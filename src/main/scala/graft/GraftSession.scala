@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds a correctly-configured SparkSession.
+  *
+  * Scale stance: these configs are what we'd ship on a 1000-executor
+  * cluster, modulo `master`: AQE on (runtime re-plan, skew-join
+  * splitting, dynamic coalescing of shuffle partitions), UTC session
+  * time zone (oracle parity + cross-cluster determinism), shuffle
+  * partitions sized to the local core count rather than the 200
+  * default (on a real cluster this is set to ~2-3x total cores or
+  * left to AQE's coalescing).
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events fixture has TIMESTAMP(NANOS); read as long, convert in-plan
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+
+  /** Local session for tests; respects SPARK_GRAFT_CPUS like the driver. */
+  def local(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

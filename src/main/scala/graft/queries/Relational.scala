@@ -1,0 +1,447 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The declared relational surface (SURVEY.md §2.3): joins,
+  * aggregations, windows, set ops, sorts/top-k, scalar functions —
+  * each as a Catalyst-planned DataFrame query with a DuckDB oracle.
+  *
+  * Scale notes (verified via .explain on sf0.1):
+  *  - dimension joins (nation/region/bands) broadcast — no shuffle of
+  *    the fact side beyond the aggregation's own exchange;
+  *  - aggregations are partial (map-side combine) before the exchange;
+  *  - top-k lowers to TakeOrderedAndProject (no global sort);
+  *  - filters/projections push into the parquet scan.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_predicates" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity") >= 30 &&
+          col("l_shipdate") < lit("1999-01-01 00:00:00").cast(TimestampType) &&
+          col("l_discount").between(0.02, 0.08))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // total order over all output columns for determinism
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }),
+
+    "q03_join_dims" -> ((s, dir) => {
+      // fact->dim joins: nation and region are broadcast by Catalyst
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_topk_orders" -> ((s, dir) => {
+      // lowers to TakeOrderedAndProject: no global sort at scale
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    "q05_join_semi" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q06_join_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q07_join_left_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_spend"))
+        .orderBy("c_custkey")
+    }),
+
+    "q08_join_full_nations" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("nk") === col("nk2"), "full")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "q09_join_nonequi_bands" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", -100000.0, 3000.0), ("mid", 3000.0, 7000.0),
+        ("high", 7000.0, 100000.0)).toDF("band", "lo", "hi")
+      // 3-row band table: broadcast-nested-loop, the only sane plan
+      // for a non-equi join against a tiny build side
+      t(s, dir, "supplier")
+        .join(broadcast(bands), col("s_acctbal") >= col("lo") && col("s_acctbal") < col("hi"))
+        .select("s_suppkey", "s_name", "band")
+        .orderBy("s_suppkey", "band")
+    }),
+
+    "q10_agg_global" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    "q11_agg_group_year" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast(LongType).as("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "ship_year")
+    }),
+
+    "q12_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    "q13_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"))
+        .orderBy("st", "pri")
+    }),
+
+    "q14_window_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    "q15_window_rank_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast(LongType).as("rk"),
+          dense_rank().over(w).cast(LongType).as("drk"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q16_window_running" -> ((s, dir) => {
+      // running frame over orders: o_orderkey is unique, so the frame
+      // order — and therefore every prefix sum — is deterministic
+      // (lineitem has no unique key; a running sum over a non-unique
+      // ordering is not a well-defined query)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("run_spend"),
+          count(lit(1)).over(w).cast(LongType).as("run_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q17_sort_multi" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy(col("o_orderpriority").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    "q18_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("nationkey"))
+      c.unionAll(su).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+
+    "q19_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("nationkey"))
+      c.intersect(su).orderBy("nationkey")
+    }),
+
+    "q20_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("nationkey"))
+      c.except(su).orderBy("nationkey")
+    }),
+
+    "q21_scalar_string" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        expr("replace(p_type, 'E', 'e')").as("ltype"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"))
+        .orderBy("p_partkey")
+    }),
+
+    "q22_scalar_date" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        col("o_orderdate").cast(TimestampType).cast(LongType).as("epoch_s"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast(LongType).as("days_to_2002"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q23_scalar_math" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_tax")).as("qty_plus_tax"),
+        abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        (col("l_orderkey") % 7).as("mod7"),
+        pow(lit(2), col("l_linenumber")).as("pow2"),
+        round(dec(col("l_extendedprice")) * dec(col("l_discount")), 2)
+          .cast("double").as("disc_amt"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_plus_tax", "abs_disc",
+          "ceil_price", "floor_price", "mod7", "pow2", "disc_amt")
+    }),
+
+    "q24_scalar_cond" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        (col("c_nationkey") % 2 === 0).as("even_nation"))
+        .orderBy("c_custkey")
+    }),
+
+    "q30_dedup_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q31_dedup_subset" -> ((s, dir) => {
+      // deterministic dropDuplicates(subset): keep the min-key row per
+      // group (dropDuplicates itself keeps an arbitrary row — not
+      // oracle-comparable, and not reproducible at scale either)
+      val w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderstatus", "o_orderkey")
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
+
+    "q32_json_extract" -> ((s, dir) => {
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")
+    }),
+
+    "q33_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }))
+
+  private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
+  private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(SUM($decQty) AS DOUBLE) AS sum_qty,
+         CAST(SUM($decPrice) AS DOUBLE) AS sum_base_price,
+         CAST(SUM($decPrice * (CAST(1 AS DECIMAL(18,2)) - $decDisc)) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM($decQty) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+         WHERE l_returnflag IN ('A','R') AND l_quantity >= 30
+           AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_discount BETWEEN 0.02 AND 0.08
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
+    "q03_join_dims" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q07_join_left_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q08_join_full_nations" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey, c.n_cust, s.n_supp
+         FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk2 ORDER BY nationkey""",
+    "q09_join_nonequi_bands" ->
+      """SELECT s_suppkey, s_name, band FROM supplier s
+         JOIN (VALUES ('low', -100000.0, 3000.0), ('mid', 3000.0, 7000.0),
+               ('high', 7000.0, 100000.0)) AS b(band, lo, hi)
+         ON s.s_acctbal >= b.lo AND s.s_acctbal < b.hi
+         ORDER BY s_suppkey, band""",
+    "q10_agg_global" ->
+      s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         CAST(SUM($decQty) AS DOUBLE) AS sum_qty FROM lineitem""",
+    "q11_agg_group_year" ->
+      s"""SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         COUNT(*) AS n, CAST(SUM($decPrice) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q12_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         COUNT(*) AS n, CAST(SUM($decQty) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q13_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+         COUNT(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY st, pri""",
+    "q14_window_rownum" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+    "q15_window_rank_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(RANK() OVER w AS BIGINT) AS rk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+         LAG(o_totalprice, 1) OVER w AS prev_price,
+         LEAD(o_totalprice, 1) OVER w AS next_price
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend,
+         CAST(COUNT(*) OVER w AS BIGINT) AS run_n
+         FROM orders WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q17_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice FROM orders
+         ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey ASC LIMIT 100""",
+    "q18_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+           UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+    "q19_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+         ORDER BY nationkey""",
+    "q20_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+         ORDER BY nationkey""",
+    "q21_scalar_string" ->
+      """SELECT p_partkey, lower(p_name) AS lname, replace(p_type, 'E', 'e') AS ltype,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         string_split(p_name, ' ')[1] AS first_word,
+         regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substring(p_name, 1, 5) AS name5
+         FROM part ORDER BY p_partkey""",
+    "q22_scalar_date" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(day(o_orderdate) AS BIGINT) AS dom,
+         date_trunc('month', o_orderdate) AS month_start,
+         strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+         FROM orders ORDER BY o_orderkey""",
+    "q23_scalar_math" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         l_quantity + l_tax AS qty_plus_tax,
+         abs(l_discount - 0.05) AS abs_disc,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         l_orderkey % 7 AS mod7,
+         power(2, l_linenumber) AS pow2,
+         CAST(round($decPrice * $decDisc, 2) AS DOUBLE) AS disc_amt
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_plus_tax,
+           abs_disc, ceil_price, floor_price, mod7, pow2, disc_amt""",
+    "q24_scalar_cond" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS band,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+         (c_nationkey % 2 = 0) AS even_nation
+         FROM customer ORDER BY c_custkey""",
+    "q30_dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q31_dedup_subset" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+           SELECT o_custkey, o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+               ORDER BY o_orderkey) AS rn
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey, o_orderstatus""",
+    "q32_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q33_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}
