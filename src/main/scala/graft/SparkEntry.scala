@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, ReferenceOps}
+import graft.queries.{Relational, ReferenceOps, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ReferenceOps.queries
+    Relational.queries ++ ReferenceOps.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ ReferenceOps.oracles
+    Relational.oracles ++ ReferenceOps.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles
 }

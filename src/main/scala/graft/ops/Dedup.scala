@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines:
+  *  - exact (hash-groupBy)
+  *  - MinHash + LSH banding (shingle -> k min-hashes -> band buckets -> bucket join)
+  *  - SimHash (bitwise majority of token hashes)
+  *  - n-gram Jaccard (exact set similarity over a blocked self-join)
+  *
+  * Hashes are md5-based so every step is reproducible in any engine
+  * (the DuckDB oracle re-derives identical signatures). At 100 TB the
+  * shapes matter more than the hash: MinHash banding turns O(n²)
+  * pairwise comparison into a shuffle on (band, signature) — each
+  * bucket is tiny, AQE's skew-join splitting handles hot buckets; the
+  * Jaccard join is blocked so the quadratic term is bounded per block.
+  */
+object Dedup {
+
+  /** n-word shingles of a token-array column named `tk`.
+    * (expression string so it stays a codegen'd HOF chain)
+    */
+  def shingleExpr(n: Int): String =
+    s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', slice(tk, i, $n)))"
+
+  /** Exact dedup: fingerprint rows by md5 over `cols`, keep the
+    * minimum `idCol` per fingerprint. Deterministic (unlike
+    * dropDuplicates, which keeps an arbitrary row) — required both for
+    * the oracle and for reproducible pipeline runs at scale.
+    * One shuffle on the fingerprint.
+    */
+  def exactDedup(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    df.withColumn("_fp", Audit.rowHashExpr(cols))
+      .groupBy(col("_fp").as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: k independent min-hashes over `n`-word
+    * shingles of `textCol`. Hash_j(s) = md5("j|" + s), minimum taken
+    * lexicographically (md5 hex is uniform, so lexicographic min is a
+    * valid min-hash). All k minima are computed in ONE groupBy pass
+    * (k aggregate expressions), not k passes over the shingles.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleWidth: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= shingleWidth)
+    val sh = toks.select(col(idCol),
+      explode(expr(shingleExpr(shingleWidth))).as("sh"))
+    sh.groupBy(idCol).agg(
+      min(md5(concat(lit("0|"), col("sh")))).as("h0"),
+      (1 until k).map(j =>
+        min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j")): _*)
+  }
+
+  /** LSH banding over a signature frame from [[minhashSignatures]]:
+    * split k hashes into `bands` bands of `rowsPerBand`, bucket on the
+    * concatenated band signature, emit candidate pairs (a < b) that
+    * share any bucket. The self-join is on (band, bandsig) — a
+    * shuffle-hash join on a high-cardinality key, never a cross join.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
+          .as("bandsig"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
+    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("bandsig"))
+    val b = exploded.select(col(idCol).as("id_b"), col("band").as("band_b"),
+      col("bandsig").as("bandsig_b"))
+    a.join(b, col("band") === col("band_b") && col("bandsig") === col("bandsig_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over token multiset: bit j of the hash is the
+    * majority vote of bit j across md5-derived 32-bit token hashes.
+    * Computed as 32 aggregate expressions in one groupBy pass — no
+    * per-bit row explosion.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val h = tok.withColumn("hv",
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val sums = (0 until 32).map(j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(1)).as(s"s$j"))
+    val agged = h.groupBy(idCol).agg(count(lit(1)).as("n"), sums: _*)
+    val hash = (0 until 32).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within blocks: distinct
+    * `shingleWidth`-word shingles per doc, self-join on (block,
+    * shingle) to count the intersection, Jaccard = |A∩B|/|A|+|B|-|A∩B|
+    * as an exact milli-ratio. Quadratic only within a block.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleWidth: Int,
+                        minJaccardMilli: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol), col(blockCol).as("blk"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= shingleWidth)
+      .select(col(idCol), col("blk"), explode(expr(shingleExpr(shingleWidth))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol).as("sid")).agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col(idCol).as("id_a"), col("blk"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
+    val common = a
+      .join(b, col("blk") === col("blk_b") && col("sh") === col("sh_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "n_b"), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        // integer DIV, not '/': Column./ is double division, which
+        // would break exact cross-engine parity
+        expr("n_common * 1000 DIV (n_a + n_b - n_common)").as("jaccard_milli"))
+      .where(col("jaccard_milli") >= minJaccardMilli)
+  }
+}

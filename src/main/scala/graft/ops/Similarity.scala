@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set against
+  *    the corpus — one pass, no shuffle of the corpus, codegen'd HOF
+  *    dot products. The right baseline at any scale when |queries| is
+  *    small.
+  *  - LSH (random hyperplane) bucketing: 2^p sign-buckets; search only
+  *    within the query's bucket. The scale path: the corpus is
+  *    partitioned by bucket once (one shuffle), each probe touches
+  *    ~corpus/2^p vectors.
+  *
+  * Exactness contract: similarity math runs over integer-quantized
+  * embeddings (round(x*1e6)) — integer dot products are exact and
+  * order-independent, so results are identical across engines and
+  * across shuffle orders, with a single deterministic IEEE double
+  * division at the end. (Float-accumulation order would otherwise
+  * differ between engines and even between runs at scale.)
+  */
+object Similarity {
+
+  /** Quantize array<float> -> array<long> at 1e-6 resolution. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast(LongType))
+
+  /** Exact integer dot product of two array<long> columns. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity scaled to micro-units (bigint), from integer
+    * dot products: dot / (||a|| * ||b||), rounded to 1e-6.
+    */
+  def cosineMicro(dot: Column, normA: Column, normB: Column): Column =
+    round(dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+      * lit(1000000.0)).cast(LongType)
+
+  /** Per-vector quantized embedding + self-dot (squared norm). */
+  def withQuantized(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("ei", quantize(col(embCol)))
+      .withColumn("nn", dotLong(col("ei"), col("ei")))
+
+  /** Brute-force top-k cosine: for each query vector (broadcast), rank
+    * the whole corpus by similarity. Deterministic rank order:
+    * (sim_micro desc, vec_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withQuantized(corpus, "embedding")
+    val q = withQuantized(queries, "embedding")
+      .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("sim_micro",
+        cosineMicro(dotLong(col("ei"), col("qe")), col("nn"), col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_micro").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("sim_micro"))
+  }
+
+  /** Deterministic random hyperplanes: plane p, dim d gets an integer
+    * weight in [-32768, 32767] derived from md5("p_d") — reproducible
+    * in any engine, no RNG state.
+    */
+  def planeWeights(planes: Int, dims: Int): Seq[Seq[Long]] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val hex = mdi.digest(s"${p}_$d".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) - 32768L
+      }
+    }
+  }
+
+  /** Sign-bucket id (0 .. 2^planes-1) for the quantized embedding
+    * column `ei`: bit p set iff dot(ei, plane_p) > 0. Exact integer
+    * arithmetic end to end.
+    */
+  def lshBucket(ei: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val planeLit = typedLit(w)
+      when(dotLong(ei, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH candidate generation: queries joined to corpus on equal
+    * bucket. Downstream re-ranks candidates with exact cosine.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    nPlanes: Int, dims: Int): DataFrame = {
+    val planes = planeWeights(nPlanes, dims)
+    val c = withQuantized(corpus, "embedding")
+      .withColumn("bucket", lshBucket(col("ei"), planes))
+    val q = withQuantized(queries, "embedding")
+      .withColumn("bucket", lshBucket(col("ei"), planes))
+      .select(col(idCol).as("q_id"), col("bucket").as("q_bucket"))
+    c.join(broadcast(q), col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol))
+  }
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Extension surface: text analysis, dedup family, multimodal
+  * plumbing, event sessionization (SURVEY.md §2.4 + north star).
+  *
+  * The fixtures contain no natural near-duplicates (texts are unique
+  * random word salads), so the near-dup queries operate on a DERIVED
+  * corpus: documents unioned with deterministically truncated copies
+  * (doc_id + 1,000,000, first 80% of tokens, every 5th doc). The
+  * DuckDB oracle derives the identical corpus, so the queries verify
+  * that the dedup operators actually find the planted near-dups and
+  * nothing else.
+  */
+object TextQueries {
+
+  /** SQL token-array expression shared by Spark `expr` fragments. */
+  private val tkSql = "split(lower(trim(text)), '\\\\s+')"
+
+  /** Derived near-dup corpus: all docs + truncated copies. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"), col("lang"), col("text"))
+    val trunc = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+          .as("text"))
+    base.unionAll(trunc)
+  }
+
+  /** Same corpus with EXACT copies (for exact-dedup). */
+  private def exactDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** Sampled corpus for the quadratic (per-block) Jaccard query. */
+  private def sampledDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val trunc = d.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+          .as("text"))
+    base.unionAll(trunc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        expr(s"length(regexp_replace(text, '\\\\s', '')) * 1000 DIV size($tkSql)")
+          .cast(LongType).as("avg_tok_len_milli"))
+        .orderBy("doc_id")
+    }),
+
+    "q41_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q42_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
+      d.select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+        TextAnalysis.stopwordCount(col("tk")).as("stop_cnt"))
+        .withColumn("stop_ratio_milli", expr("stop_cnt * 1000 DIV n_tokens"))
+        .withColumn("quality_band",
+          when(col("n_tokens") >= 50 && col("stop_ratio_milli") >= 50, "good")
+            .when(col("n_tokens") >= 20, "ok")
+            .otherwise("short"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q44_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(exactDupCorpus(s, dir), "doc_id", Seq("text"))
+        .orderBy("fingerprint")
+    }),
+
+    "q45_minhash_pairs" -> ((s, dir) => {
+      val sig = Dedup.minhashSignatures(dupCorpus(s, dir), "doc_id", "text",
+        k = 8, shingleWidth = 3)
+      Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q46_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(sampledDupCorpus(s, dir), "doc_id", "text",
+        blockCol = "lang", shingleWidth = 2, minJaccardMilli = 300)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q47_simhash" -> ((s, dir) => {
+      Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q51_multimodal_features" -> ((s, dir) => {
+      val ds = Multimodal.fromBinaryFrame(s, t(s, dir, "documents"),
+        "doc_id", "text", "doc")
+      Multimodal.extractFeatures(ds).toDF().orderBy("id")
+    }),
+
+    "q52_term_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      d.select(col("doc_id"), TextAnalysis.termCount(col("tk"), "join").as("tf"))
+        .where(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id")).limit(100)
+    }),
+
+    "q53_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val flagged = ev.withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("sess", sum("new_s").over(
+          Window.partitionBy("user_id").orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("dur_us"))
+        .orderBy("user_id", "sess")
+    }),
+
+    "q54_word_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(50)
+    }))
+
+  // ---- oracle SQL -------------------------------------------------
+
+  private val corpusCte =
+    """corpus AS (
+         SELECT doc_id, lang, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, lang,
+           array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+         FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+               FROM documents WHERE doc_id % 5 = 0))"""
+
+  private val sampledCorpusCte =
+    """corpus AS (
+         SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, lang,
+           array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+         FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+               FROM documents WHERE doc_id % 20 = 0))"""
+
+  private val simhashSums =
+    (0 until 32).map(j => s"SUM((hv >> $j) & 1) AS s$j").mkString(", ")
+  private val simhashBits =
+    (0 until 32).map(j => s"(CASE WHEN 2*s$j > n THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) * 1000
+              // len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS avg_tok_len_milli
+         FROM documents ORDER BY doc_id""",
+    "q41_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t = 'the')) AS s_en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t = 'und')) AS s_de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t = 'el')) AS s_es,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t = 'le')) AS s_fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t = '的')) AS s_zh
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN s_en + s_de + s_es + s_fr + s_zh = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "q42_quality_score" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to')) AS BIGINT) AS stop_cnt
+           FROM documents)
+         SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+           CAST(stop_cnt * 1000 // n_tokens AS BIGINT) AS stop_ratio_milli,
+           CASE WHEN n_tokens >= 50 AND stop_cnt * 1000 // n_tokens >= 50 THEN 'good'
+                WHEN n_tokens >= 20 THEN 'ok' ELSE 'short' END AS quality_band
+         FROM s ORDER BY doc_id""",
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q44_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+         SELECT md5('(' || coalesce(text, '') || ')') AS fingerprint,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         FROM corpus GROUP BY 1 ORDER BY fingerprint""",
+    "q45_minhash_pairs" ->
+      s"""WITH $corpusCte,
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         mh AS (SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || '|' || shingle)) AS h
+                FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(h, ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+           AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "q46_ngram_jaccard" ->
+      s"""WITH $sampledCorpusCte,
+         toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  FROM corpus WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2),
+         sh AS (SELECT DISTINCT doc_id, lang, array_to_string(tk[i:i+1], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i) r),
+         sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                    FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT id_a AS doc_a, id_b AS doc_b,
+           CAST(n_common * 1000 // (sa.nsh + sb.nsh - n_common) AS BIGINT) AS jaccard_milli
+         FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE n_common * 1000 // (sa.nsh + sb.nsh - n_common) >= 300
+         ORDER BY doc_a, doc_b""",
+    "q47_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tk),
+         b AS (SELECT doc_id, COUNT(*) AS n, $simhashSums FROM h GROUP BY 1)
+         SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
+         FROM b ORDER BY doc_id""",
+    "q51_multimodal_features" ->
+      """SELECT doc_id AS id, 'doc' AS kind,
+         CAST(strlen(text) AS BIGINT) AS size_bytes,
+         CAST(strlen(text) % 640 AS INTEGER) AS width,
+         CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
+         CAST(strlen(text) // 100 AS INTEGER) AS n_frames,
+         md5(text) AS fingerprint
+         FROM documents ORDER BY id""",
+    "q52_term_search" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           t -> t = 'join')) AS BIGINT) AS tf
+         FROM documents
+         WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           t -> t = 'join')) > 0
+         ORDER BY tf DESC, doc_id LIMIT 100""",
+    "q53_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, us,
+                 CASE WHEN LAG(us) OVER w IS NULL
+                        OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT user_id, us,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS sess
+               FROM f)
+         SELECT user_id, sess, COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS dur_us
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q54_word_freq" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""")
+}
