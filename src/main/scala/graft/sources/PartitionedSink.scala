@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned Parquet sink (reference O-10): the reference PUTs one
+  * in-memory Parquet object per 1M-row chunk under
+  * `prefix/table/yyyy/MM/dd/HH/table_N.parquet` (utils/s3_operations
+  * .py:49-61, key built main.py:51-57). On Spark the layout survives
+  * but each partition writes its own part-file in parallel — no
+  * driver-side buffering, no per-chunk object PUTs.
+  */
+object PartitionedSink {
+
+  /** The reference's run-scoped date path for a table. */
+  def datePath(baseDir: String, table: String, ts: LocalDateTime): String =
+    f"$baseDir/$table/${ts.getYear}%04d/${ts.getMonthValue}%02d/" +
+      f"${ts.getDayOfMonth}%02d/${ts.getHour}%02d"
+
+  /** Append the frame under the run's date path; returns rows written
+    * by re-reading the target (the engine's analogue of the
+    * reference's PG_LAST_COPY_COUNT reconciliation,
+    * utils/redshift_operations.py:154-159).
+    */
+  def writeDatePartitioned(df: DataFrame, baseDir: String, table: String,
+                           ts: LocalDateTime): Long = {
+    val path = datePath(baseDir, table, ts)
+    df.write.mode("append").parquet(path)
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** Hive-style partitioned write (`partitionBy`) — the layout the
+    * date path implies but the reference never exploits; this one
+    * gives Catalyst partition pruning on read.
+    */
+  def writePartitionedBy(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table: the streaming
+  * analogue of the batch q33_events_hourly aggregation.
+  *
+  * Batch and stream share the SAME transform function — the core
+  * Spark-first property: `hourlyAgg` is a plan fragment valid under
+  * both execution modes, so correctness is established once (batch
+  * oracle) and the streaming test only checks mode parity.
+  *
+  * Watermarking bounds state: with a 2-hour watermark on `ts`,
+  * completed hourly windows are evicted from the state store — at
+  * 100 TB/day of events the state held is O(active windows), not
+  * O(stream history).
+  */
+object EventsStream {
+
+  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS), read as
+    * long under nanosAsLong).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ns-long -> timestamp, shared by batch and stream paths. */
+  def withTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour aggregation, mode-agnostic. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Streaming read over a DIRECTORY of events parquet files (the
+    * file-stream source tails the directory for new files — the batch
+    * fixture file must be staged into one).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    withTimestamp(spark.readStream.schema(rawSchema).parquet(dir))
+
+  /** The streaming hourly aggregation with watermarked state. */
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(readStream(spark, dir).withWatermark("ts", "2 hours"))
+}

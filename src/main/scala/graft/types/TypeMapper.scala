@@ -29,6 +29,9 @@ object TypeMapper {
         case "varbinary" | "binary" => BinaryType
         case other => toSparkType(other)
       }
+    // non-numeric length args, e.g. varchar(max) / varbinary(max):
+    // the length never affects the Spark type — strip and re-resolve
+    case s if s.contains("(") => toSparkType(s.substring(0, s.indexOf('(')))
     case "bigint"                       => LongType
     case "int" | "integer"              => IntegerType
     // The reference widens booleans and sub-16-bit ints to int16

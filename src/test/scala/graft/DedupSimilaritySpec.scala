@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer plans here now"),
+    (4L, "completely different words about spark catalyst optimizer plans here"), // near-dup of 3
+    (5L, "unrelated text mentioning databases and storage engines with columns")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds near-dup pairs and not unrelated ones") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash32(two, "doc_id", "text").as[(Long, Long)]
+      .collect().toMap
+    assert(h(1L) == h(2L))
+
+    val hh = Dedup.simhash32(docs, "doc_id", "text").as[(Long, Long)]
+      .collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hh(1L), hh(2L)) < hamming(hh(1L), hh(3L)))
+  }
+
+  test("exact dedup keeps min id per duplicate group") {
+    val d = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(d, "doc_id", Seq("text"))
+      .orderBy("keeper_id").as[(String, Long, Long)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("ngram jaccard scores near-dups far above unrelated pairs") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", "blk",
+      shingleWidth = 2, minJaccardMilli = 0)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) > 700)
+    assert(pairs((3L, 4L)) > 700)
+    assert(pairs.getOrElse((1L, 3L), 0L) < 200)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(2.0f, 0.0f, 0.0f))    // same direction as 0 (scaled)
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with exact integer math") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", k = 4)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect()
+    // rank 1: the scaled copy (cos=1), then the near vector, then
+    // orthogonal (0), then opposite (-1)
+    assert(out.map(_._3).toSeq == Seq(4L, 1L, 2L, 3L))
+    assert(out.head._4 == 1000000L)          // cos = 1.0 exactly
+    assert(out(2)._4 == 0L)                  // orthogonal
+    assert(out(3)._4 == -1000000L)           // opposite
+  }
+
+  test("LSH buckets: identical-direction vectors share a bucket") {
+    val planes = Similarity.planeWeights(6, 3)
+    assert(planes.length == 6 && planes.forall(_.length == 3))
+    // deterministic: same derivation twice gives same weights
+    assert(planes == Similarity.planeWeights(6, 3))
+
+    val c = Similarity.withQuantized(vecs, "embedding")
+      .withColumn("bucket", Similarity.lshBucket(col("ei"), planes))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(c(0L) == c(4L)) // scaled copy -> identical signs -> same bucket
+    assert(c(0L) != c(3L)) // opposite vector -> complementary bucket
+  }
+}

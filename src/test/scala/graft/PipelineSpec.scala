@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.pipeline.{Config, HistoryLoad, PipelineConfig, TableConfig}
+import graft.sources.{JdbcSource, PartitionedSink}
+
+class ConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("yaml config parses into typed case classes") {
+    val cfg = Config.fromYaml(
+      """source_dir: /in
+        |target_dir: /out
+        |run_id: 42
+        |updated_by: loader
+        |tables:
+        |  lineitem: {active_flag: "T"}
+        |  orders: {active_flag: "F"}
+        |""".stripMargin)
+    assert(cfg.sourceDir == "/in" && cfg.targetDir == "/out")
+    assert(cfg.runId == 42L && cfg.updatedBy == "loader")
+    assert(cfg.tables.toSet == Set(
+      TableConfig("lineitem", "T"), TableConfig("orders", "F")))
+  }
+
+  test("missing required field fails at load time") {
+    assertThrows[IllegalArgumentException](Config.fromYaml("target_dir: /out"))
+  }
+
+  test("jdbc option construction (O-1 partitioned scan config)") {
+    val opts = JdbcSource.options(JdbcSource.ScanConfig(
+      url = "jdbc:postgresql://h/db", schema = "dbo", table = "t1",
+      user = "u", password = "p", partitionColumn = Some("id"),
+      lowerBound = Some(0), upperBound = Some(1000), numPartitions = 16))
+    assert(opts("dbtable") == "dbo.t1")
+    assert(opts("partitionColumn") == "id" && opts("numPartitions") == "16")
+    assert(opts("fetchsize") == "100000")
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+
+  private def cfg(src: String, tgt: String, tables: Seq[TableConfig]) =
+    PipelineConfig(src, tgt, runId = 7L, updatedBy = "tester", tables = tables)
+
+  test("end-to-end: scan -> audit -> normalize -> hash -> partitioned sink -> reconcile") {
+    val out = Files.createTempDirectory("graft_pipe").toString
+    val now = LocalDateTime.of(2024, 6, 1, 12, 0)
+    val hl = new HistoryLoad(spark,
+      cfg("/root/testdata/sf0.001",
+        out,
+        Seq(TableConfig("nation", "T"), TableConfig("region", "T"),
+          TableConfig("orders", "F"))), now)
+    val report = hl.process()
+    assert(report.succeeded == Seq("nation", "region"))
+    assert(report.failed.isEmpty)
+    assert(report.rowCounts("nation") == 25L && report.rowCounts("region") == 5L)
+
+    // date-partitioned layout exists and is re-readable
+    val path = PartitionedSink.datePath(out, "nation", now)
+    assert(path.endsWith("nation/2024/06/01/12"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 25)
+    assert(back.columns.contains("row_hash_code"))
+    assert(back.columns.contains("updatedby"))
+
+    // orders gated off by active_flag
+    assert(!new java.io.File(s"$out/orders").exists())
+  }
+
+  test("per-table failure isolation: one bad table doesn't abort the run") {
+    val out = Files.createTempDirectory("graft_pipe2").toString
+    val hl = new HistoryLoad(spark,
+      cfg("/root/testdata/sf0.001", out,
+        Seq(TableConfig("nosuchtable", "T"), TableConfig("nation", "T"))))
+    val report = hl.process()
+    assert(report.succeeded == Seq("nation"))
+    assert(report.failed.map(_._1) == Seq("nosuchtable"))
+  }
+
+  test("re-run appends under a new date path, leaving prior runs intact") {
+    val out = Files.createTempDirectory("graft_pipe3").toString
+    val t1 = LocalDateTime.of(2024, 6, 1, 10, 0)
+    val t2 = LocalDateTime.of(2024, 6, 1, 11, 0)
+    val tables = Seq(TableConfig("region", "T"))
+    new HistoryLoad(spark, cfg("/root/testdata/sf0.001", out, tables), t1).process()
+    new HistoryLoad(spark, cfg("/root/testdata/sf0.001", out, tables), t2).process()
+    assert(spark.read.parquet(s"$out/region/2024/06/01/10").count() == 5)
+    assert(spark.read.parquet(s"$out/region/2024/06/01/11").count() == 5)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.ops.Multimodal
+
+  test("typed media pipeline: deterministic stub features over binary payloads") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val ds = Multimodal.fromBinaryFrame(spark, docs.limit(10), "doc_id", "text", "doc")
+    val feats = Multimodal.extractFeatures(ds).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.fingerprint.length == 32))
+    assert(feats.forall(f => f.width == (f.size_bytes % 640).toInt))
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(ds).collect()
+    assert(feats.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
+  }
+}
