@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench contract: run every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line
+  * {"metric":...,"value":total_sec,"queries":{name:sec},"sf":...}.
+  *
+  * Queries run in sorted name order after a session warmup action so
+  * per-query numbers measure the query, not JVM/session init.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +22,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: spin up executor threads + codegen paths once
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -213,6 +213,7 @@ object Relational {
         expr("replace(p_type, 'E', 'e')").as("ltype"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         split(col("p_name"), " ").getItem(0).as("first_word"),
+        trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed_brand"),
         regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
         length(col("p_name")).cast(LongType).as("name_len"),
         substring(col("p_name"), 1, 5).as("name5"))
@@ -227,6 +228,8 @@ object Relational {
         date_trunc("month", col("o_orderdate")).as("month_start"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
         col("o_orderdate").cast(TimestampType).cast(LongType).as("epoch_s"),
+        from_unixtime(col("o_orderdate").cast(TimestampType).cast(LongType))
+          .as("from_epoch"),
         datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
           .cast(LongType).as("days_to_2002"))
         .orderBy("o_orderkey")
@@ -254,6 +257,49 @@ object Relational {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
         (col("c_nationkey") % 2 === 0).as("even_nation"))
         .orderBy("c_custkey")
+    }),
+
+    "q34_join_right" -> ((s, dir) => {
+      // right join: all suppliers kept even without a nation match
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "right")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q35_approx_distinct" -> ((s, dir) => {
+      // HLL sketch: engine-specific estimate, no SQL oracle (driver
+      // records the weaker rows-only check); exact count rides along
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
+    "q37_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q38_nullsafe_eq" -> ((s, dir) => {
+      // null-safe equality over genuinely nullable operands
+      t(s, dir, "customer").select(col("c_custkey"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=>
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE"))).as("seg_nullsafe_eq"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).isNull.as("is_building"))
+        .orderBy("c_custkey")
+    }),
+
+    "q39_grouping_sets" -> ((s, dir) => {
+      // SQL API entry: GROUPING SETS beyond rollup/cube
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                      coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+               FROM lineitem_v
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY rf, ls""")
     }),
 
     "q30_dedup_distinct" -> ((s, dir) => {
@@ -397,6 +443,7 @@ object Relational {
       """SELECT p_partkey, lower(p_name) AS lname, replace(p_type, 'E', 'e') AS ltype,
          concat_ws('|', p_brand, p_type) AS brand_type,
          string_split(p_name, ' ')[1] AS first_word,
+         trim('  ' || p_brand || ' ') AS trimmed_brand,
          regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
          CAST(length(p_name) AS BIGINT) AS name_len,
          substring(p_name, 1, 5) AS name5
@@ -408,6 +455,7 @@ object Relational {
          date_trunc('month', o_orderdate) AS month_start,
          strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         strftime(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS from_epoch,
          datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
          FROM orders ORDER BY o_orderkey""",
     "q23_scalar_math" ->
@@ -428,6 +476,28 @@ object Relational {
          coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
          (c_nationkey % 2 = 0) AS even_nation
          FROM customer ORDER BY c_custkey""",
+    "q34_join_right" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+         ORDER BY s_suppkey""",
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q38_nullsafe_eq" ->
+      """SELECT c_custkey,
+         (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+          nullif(c_mktsegment, 'AUTOMOBILE')) AS seg_nullsafe_eq,
+         (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_building
+         FROM customer ORDER BY c_custkey""",
+    "q39_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""",
     "q30_dedup_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
