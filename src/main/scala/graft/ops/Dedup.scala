@@ -36,11 +36,15 @@ object Dedup {
       .groupBy(col("_fp").as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k independent min-hashes over `n`-word
-    * shingles of `textCol`. Hash_j(s) = md5("j|" + s), minimum taken
-    * lexicographically (md5 hex is uniform, so lexicographic min is a
-    * valid min-hash). All k minima are computed in ONE groupBy pass
-    * (k aggregate expressions), not k passes over the shingles.
+  /** MinHash signatures: k min-hashes over `n`-word shingles of
+    * `textCol`, via Kirsch-Mitzenmacher double hashing: ONE md5 per
+    * shingle yields h1/h2 (two 32-bit halves) and hash_j = (h1 + j*h2)
+    * mod 2^32 — k independent-enough hash families for 1/k-th of the
+    * hashing cost. All k minima are computed in ONE groupBy pass, and
+    * because the minima are longs (not strings) the aggregate stays a
+    * HashAggregate with mutable primitive buffers — a string-min
+    * would fall back to SortAggregate (sort per partition, much
+    * slower at scale).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int = 3): DataFrame = {
@@ -48,20 +52,33 @@ object Dedup {
       .where(size(col("tk")) >= shingleWidth)
     val sh = toks.select(col(idCol),
       explode(expr(shingleExpr(shingleWidth))).as("sh"))
-    sh.groupBy(idCol).agg(
-      min(md5(concat(lit("0|"), col("sh")))).as("h0"),
+    val hashed = sh.select(col(idCol),
+      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("h1"),
+      conv(substring(md5(col("sh")), 9, 8), 16, 10).cast(LongType).as("h2"))
+    hashed.groupBy(idCol).agg(
+      min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("h0"),
       (1 until k).map(j =>
-        min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j")): _*)
+        min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"h$j")): _*)
   }
 
   /** LSH banding over a signature frame from [[minhashSignatures]]:
     * split k hashes into `bands` bands of `rowsPerBand`, bucket on the
-    * concatenated band signature, emit candidate pairs (a < b) that
-    * share any bucket. The self-join is on (band, bandsig) — a
-    * shuffle-hash join on a high-cardinality key, never a cross join.
+    * concatenated band signature, emit candidate pairs (a < b) within
+    * each bucket.
+    *
+    * Pairs are generated bucket-locally (groupBy band-signature ->
+    * sorted id list -> HOF pair expansion), NOT via a self-join: a
+    * self-join would recompute the entire shingle+signature lineage
+    * for both sides — double the scan and double the shuffle at any
+    * scale. One upstream pass, one shuffle on (band, bandsig).
+    *
+    * `maxBucketSize` bounds the per-bucket quadratic blowup: a
+    * degenerate hot bucket (e.g. boilerplate documents all sharing a
+    * band) is dropped rather than emitting |bucket|^2 pairs.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
@@ -70,12 +87,14 @@ object Dedup {
     val exploded = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
-    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("bandsig"))
-    val b = exploded.select(col(idCol).as("id_b"), col("band").as("band_b"),
-      col("bandsig").as("bandsig_b"))
-    a.join(b, col("band") === col("band_b") && col("bandsig") === col("bandsig_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    exploded.groupBy("band", "bandsig")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    y -> struct(element_at(ids, i) AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 

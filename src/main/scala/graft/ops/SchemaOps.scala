@@ -32,11 +32,16 @@ object SchemaOps {
   }
 
   /** Reference name normalization (utils/rdbms_operations.py:240-243):
-    * lowercase, spaces -> '_', strip '-', collapse '__' -> '_',
-    * applied in exactly that order.
+    * lowercase, spaces -> '_', strip '-', collapse '__' -> '_'.
+    *
+    * Deviation (documented, cf. SURVEY.md §7.3): the reference's
+    * single-pass `replace("__", "_")` is not idempotent ("____" ->
+    * "__"); we collapse underscore RUNS so normalization is a true
+    * canonical form — identical output on every realistic name, stable
+    * under re-application.
     */
   def normalizeName(name: String): String =
-    name.toLowerCase.replace(" ", "_").replace("-", "").replace("__", "_")
+    name.toLowerCase.replace(" ", "_").replace("-", "").replaceAll("_+", "_")
 
   /** Rename every column via [[normalizeName]]. The reference silently
     * overwrites on collision ("a-b" and "ab" both -> "ab"); we detect

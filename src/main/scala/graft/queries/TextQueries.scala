@@ -233,14 +233,21 @@ object TextQueries {
          toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
          sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
                 FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
-         mh AS (SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || '|' || shingle)) AS h
-                FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
          sig AS (SELECT doc_id, seed // 2 AS band,
-                   string_agg(h, ',' ORDER BY seed) AS bandsig
-                 FROM mh GROUP BY 1, 2)
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
            AND a.doc_id < b.doc_id
+         JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig
          ORDER BY doc_a, doc_b""",
     "q46_ngram_jaccard" ->
       s"""WITH $sampledCorpusCte,
