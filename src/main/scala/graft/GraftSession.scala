@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // managed (bucketed) tables land in tmp, never in the repo
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
 
   /** Local session for tests; respects SPARK_GRAFT_CPUS like the driver. */
   def local(): SparkSession = {

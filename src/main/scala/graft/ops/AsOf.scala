@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the canonical "operator Spark lacks".
+  *
+  * Composed from built-ins per the preference order (no custom
+  * SparkPlan needed): tag both sides, union, and carry the latest
+  * right-side values forward with `last(..., ignoreNulls)` over a
+  * (key, ts, side) window. Exactly ONE shuffle on the key and one
+  * in-partition sort — the same cost as a sort-merge join, with none
+  * of the range-condition blowup a naive `l.ts >= r.ts` join-filter
+  * would produce (that plan is a broadcast-nested-loop at scale).
+  *
+  * Semantics: for each left row, the right row with the same `key`
+  * and the greatest `rightTs <= leftTs` (ties: right row applies —
+  * inclusive as-of). Right side must be unique per (key, rightTs) for
+  * deterministic results.
+  */
+object AsOf {
+
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               suffix: String = "_asof"): DataFrame = {
+    val rightRenamed = rightVals.map(c => c -> s"$c$suffix")
+
+    val lPrepped = rightRenamed.foldLeft(
+      left.withColumn("_k", col(key))
+        .withColumn("_ts", col(leftTs))
+        .withColumn("_side", lit(1))) { case (df, (orig, renamed)) =>
+      df.withColumn(renamed, lit(null).cast(right.schema(orig).dataType))
+    }
+
+    val rBase = right.select(
+      (Seq(col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side")) ++
+        rightRenamed.map { case (orig, renamed) => col(orig).as(renamed) }): _*)
+    val rPrepped = left.columns.foldLeft(rBase) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val unioned = lPrepped.unionByName(rPrepped)
+    // right rows (_side 0) sort before left rows at equal ts -> inclusive
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightRenamed.foldLeft(unioned) { case (df, (_, renamed)) =>
+      df.withColumn(renamed, last(col(renamed), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_k", "_ts", "_side")
+  }
+}

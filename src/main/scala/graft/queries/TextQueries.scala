@@ -146,6 +146,55 @@ object TextQueries {
         .orderBy("user_id", "sess")
     }),
 
+    "q55_array_agg" -> ((s, dir) => {
+      // deterministic list aggregation: sorted array, string-joined
+      // (string form keeps the comparator engine-agnostic)
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+            .as("order_ids"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    "q56_asof_join" -> ((s, dir) => {
+      // point-in-time: each purchase joined to the user's latest
+      // prior-or-equal signup (AsOf op: one shuffle + window, no
+      // range-join blowup)
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .select("user_id", "ts")
+      graft.ops.AsOf.joinAsOf(purchases, signups, "user_id", "ts", "ts",
+          Seq("ts"), "_signup")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts_signup)").as("signup_us"))
+        .orderBy("event_id")
+    }),
+
+    "q57_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.9)").as("q90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q58_exact_moments" -> ((s, dir) => {
+      // variance/stddev from exact decimal power sums -> one final
+      // deterministic double step (builtin stddev accumulates doubles
+      // in partition order: not reproducible, not oracle-comparable)
+      val q = dec(col("l_quantity"))
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast("double").as("s1"),
+          sum(q * q).cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q54_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -300,6 +349,31 @@ object TextQueries {
          SELECT user_id, sess, COUNT(*) AS n_events,
            MAX(us) - MIN(us) AS dur_us
          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q55_array_agg" ->
+      """SELECT o_custkey,
+         array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
+         COUNT(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q56_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS signup_us
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS q50,
+         quantile_cont(l_quantity, 0.9) AS q90,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q58_exact_moments" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+         FROM s ORDER BY l_returnflag""",
     "q54_word_freq" ->
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
