@@ -15,13 +15,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the in-memory catalog forgets tables between sessions while the
+    // warehouse directory survives — clear an orphaned location so
+    // saveAsTable doesn't refuse it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet") // managed table under spark.sql.warehouse.dir
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
