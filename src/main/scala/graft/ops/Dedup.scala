@@ -52,9 +52,11 @@ object Dedup {
       .where(size(col("tk")) >= shingleWidth)
     val sh = toks.select(col(idCol),
       explode(expr(shingleExpr(shingleWidth))).as("sh"))
-    val hashed = sh.select(col(idCol),
-      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast(LongType).as("h1"),
-      conv(substring(md5(col("sh")), 9, 8), 16, 10).cast(LongType).as("h2"))
+    val hashed = sh
+      .select(col(idCol), md5(col("sh")).as("m")) // ONE md5 per shingle
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast(LongType).as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast(LongType).as("h2"))
     hashed.groupBy(idCol).agg(
       min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("h0"),
       (1 until k).map(j =>
