@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning: the composition a 100 TB
+  * text pipeline actually runs, built entirely from the engine's
+  * operator library.
+  *
+  *   1. quality gate   — drop documents under `minTokens` tokens
+  *   2. exact dedup    — keep the min-id document per exact text hash
+  *   3. near dedup     — MinHash/LSH candidate pairs; greedily drop
+  *                       the higher id of every candidate pair
+  *                       (deterministic: pairs are emitted a < b)
+  *
+  * Shuffle budget: one for the exact-dedup hash, one for the MinHash
+  * signatures, one for the LSH band buckets — all on high-cardinality
+  * keys; no quadratic stage anywhere (the pairwise work happens only
+  * inside bounded LSH buckets).
+  */
+object CorpusClean {
+
+  final case class Params(minTokens: Int = 20, minhashK: Int = 8,
+                          bands: Int = 4, rowsPerBand: Int = 2)
+
+  /** Returns the surviving (doc_id, text) rows. */
+  def clean(docs: DataFrame, params: Params = Params()): DataFrame = {
+    val quality = docs
+      .where(size(TextAnalysis.tokens(col("text"))) >= params.minTokens)
+
+    val keepers = Dedup.exactDedup(quality, "doc_id", Seq("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val unique = quality.join(keepers, Seq("doc_id"), "left_semi")
+
+    val sig = Dedup.minhashSignatures(unique, "doc_id", "text",
+      params.minhashK, shingleWidth = 3)
+    val nearDups = Dedup.lshCandidatePairs(sig, "doc_id",
+      params.bands, params.rowsPerBand)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    unique.join(nearDups, Seq("doc_id"), "left_anti")
+  }
+}

@@ -195,6 +195,22 @@ object TextQueries {
         .orderBy("l_returnflag")
     }),
 
+    "q60_corpus_clean" -> ((s, dir) => {
+      // end-to-end cleaning over a corpus with planted exact (+2M ids)
+      // and near (+1M ids, truncated) duplicates
+      val d = t(s, dir, "documents")
+      val exact = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val trunc = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+            .as("text"))
+      val corpus = d.select("doc_id", "text").unionAll(exact).unionAll(trunc)
+      graft.pipeline.CorpusClean.clean(corpus)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "q54_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -374,6 +390,45 @@ object TextQueries {
          SELECT l_returnflag, n,
            (s2 - s1 * s1 / n) / (n - 1) AS var_qty
          FROM s ORDER BY l_returnflag""",
+    "q60_corpus_clean" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                 FROM documents WHERE doc_id % 5 = 0)),
+         quality AS (SELECT * FROM corpus
+           WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 20),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM quality
+           GROUP BY md5('(' || coalesce(text, '') || ')')),
+         unique_docs AS (SELECT q.* FROM quality q JOIN keepers k ON q.doc_id = k.doc_id),
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM unique_docs),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         okb AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                 HAVING COUNT(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                     AND a.doc_id < b.doc_id
+                   JOIN okb ON okb.band = a.band AND okb.bandsig = a.bandsig),
+         dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         survivors AS (SELECT u.* FROM unique_docs u
+                       LEFT JOIN dropped dr ON u.doc_id = dr.doc_id
+                       WHERE dr.doc_id IS NULL)
+         SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS fp
+         FROM survivors ORDER BY doc_id""",
     "q54_word_freq" ->
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
