@@ -29,6 +29,17 @@ object VectorQueries {
         .orderBy("q_id", "vec_id")
     }),
 
+    // IVF probe over the fixture (no SQL oracle — k-means cells aren't
+    // practical to replicate in SQL; correctness = IvfSpec's recall
+    // tests on clustered data; driver records the rows-only check)
+    "q61_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fit(e, "vec_id", nLists = 8, iterations = 2)
+      graft.ops.Ivf.search(e, e.where(col("vec_id") < 5), "vec_id",
+          model, k = 5, nProbe = 2)
+        .orderBy("q_id", "rnk")
+    }),
+
     // embedding near-dup pairs over a 10% sample (quadratic stage is
     // sampled; the scale path for full-corpus near-dup is LSH, q49)
     "q50_embed_neardup" -> ((s, dir) => {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Ivf, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic clustered corpus: 4 well-separated direction clusters
+    * in 8 dims, 50 vectors each + small deterministic jitter.
+    */
+  private def clustered = {
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val v = base(c).clone()
+      // deterministic jitter from (c, i)
+      (0 until 8).foreach { d =>
+        v(d) = v(d) + (((c * 1315423911L + i * 2654435761L + d * 97L) % 100) / 100.0f)
+      }
+      ((c * 50 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k-means fit is deterministic and separates the clusters") {
+    val m1 = Ivf.fit(clustered, "vec_id", nLists = 4, iterations = 3)
+    val m2 = Ivf.fit(clustered, "vec_id", nLists = 4, iterations = 3)
+    assert(m1 == m2)
+
+    val cFrame = m1.centroids.toDF("cell", "cvec")
+      .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
+    val assigned = Ivf.assign(clustered, cFrame)
+    // every true cluster maps to exactly one cell
+    val purity = assigned
+      .withColumn("true_c", (col("vec_id") / 50).cast("int"))
+      .groupBy("true_c").agg(countDistinct("cell").as("cells"))
+      .agg(max("cells")).head().getLong(0)
+    assert(purity == 1L)
+  }
+
+  test("IVF search recall@5 is 1.0 on clustered data with nProbe=1") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0) // one per cluster
+    val model = Ivf.fit(corpus, "vec_id", nLists = 4, iterations = 3)
+
+    val ivf = Ivf.search(corpus, queries, "vec_id", model, k = 5, nProbe = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopKNative(corpus, queries, "vec_id", k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall == 1.0, s"recall $recall")
+  }
+}
