@@ -302,6 +302,53 @@ object Relational {
                ORDER BY rf, ls""")
     }),
 
+    "q62_scalar_string2" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+        lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+        rpad(col("p_brand"), 12, ".").as("rpadded"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("translated"),
+        levenshtein(col("p_brand"), col("p_type")).cast(LongType).as("lev"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"))
+        .orderBy("p_partkey")
+    }),
+
+    "q63_window_range_frame" -> ((s, dir) => {
+      // RANGE frame over a numeric day offset: trailing-7-day spend.
+      // RANGE (not ROWS) so same-day ties aggregate identically
+      // regardless of intra-day order — deterministic by construction
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("wk_spend"),
+          count(lit(1)).over(w).cast(LongType).as("wk_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q64_date_math" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("eom"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        date_add(col("o_orderdate").cast(DateType), 45).as("plus45d"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q65_array_funcs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("tk"))
+      d.select(col("doc_id"),
+        array_contains(col("tk"), "join").as("has_join"),
+        size(array_distinct(col("tk"))).cast(LongType).as("n_distinct"),
+        concat_ws(" ", slice(col("tk"), 2, 3)).as("mid3"),
+        element_at(col("tk"), -1).as("last_tok"))
+        .orderBy("doc_id")
+    }),
+
     "q30_dedup_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")
@@ -498,6 +545,40 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+    "q62_scalar_string2" ->
+      """SELECT p_partkey,
+         lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+         rpad(p_brand, 12, '.') AS rpadded,
+         translate(p_type, 'AEIOU', 'aeiou') AS translated,
+         CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+         reverse(p_name) AS rev,
+         repeat(p_brand, 2) AS rep
+         FROM part ORDER BY p_partkey""",
+    "q63_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS wk_spend,
+         CAST(COUNT(*) OVER w AS BIGINT) AS wk_n
+         FROM orders WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q64_date_math" ->
+      """SELECT o_orderkey,
+         CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+         CAST(last_day(o_orderdate) AS DATE) AS eom,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d
+         FROM orders ORDER BY o_orderkey""",
+    "q65_array_funcs" ->
+      """SELECT doc_id,
+         list_contains(tk, 'join') AS has_join,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         array_to_string(tk[2:4], ' ') AS mid3,
+         tk[-1] AS last_tok
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+               FROM documents)
+         ORDER BY doc_id""",
     "q30_dedup_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
