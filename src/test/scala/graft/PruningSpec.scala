@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.PartitionedSink
+import org.apache.spark.sql.functions._
+
+class PruningSpec extends SparkSpec {
+
+  test("hive-partitioned layout gives partition pruning on read") {
+    val out = Files.createTempDirectory("graft_prune").toString + "/events_by_type"
+    val ev = graft.queries.events(spark, "/root/testdata/sf0.001")
+    PartitionedSink.writePartitionedBy(ev, out, Seq("event_type"))
+
+    val pruned = PartitionedSink.read(spark, out)
+      .where(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+
+    // the scan must carry the partition filter — only the click
+    // directory is read, not a post-scan filter over everything
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(event_type"),
+      s"expected partition filters in scan:\n$plan")
+
+    val clickCount = pruned.count()
+    val allCount = PartitionedSink.read(spark, out).count()
+    assert(clickCount > 0 && clickCount < allCount)
+
+    // physical layout: the pruned read equals reading ONLY the click
+    // partition directory
+    val clickDirOnly = spark.read.parquet(s"$out/event_type=click").count()
+    assert(clickCount == clickDirOnly)
+  }
+}
