@@ -211,6 +211,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "q66_bpe_token_count" -> ((s, dir) => {
+      // BPE-ish subword counting: letter runs, digit runs, punct runs
+      // (whitespace token count rides along for comparison)
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("regexp_count(text, '(?:[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+)')")
+          .cast(LongType).as("bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q67_winnow_fingerprint" -> ((s, dir) => {
+      // rolling-hash fingerprint: hash every 8-char gram, keep hashes
+      // ≡ 0 (mod 16) (mod-p sampling — the scalable cousin of
+      // winnowing), md5 the sorted selection
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("""md5(concat_ws(',', array_sort(filter(
+          transform(sequence(1, greatest(length(text) - 7, 1)),
+            i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint)),
+          h -> h % 16 = 0))))""").as("winnow_fp"))
+        .orderBy("doc_id")
+    }),
+
     "q54_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -429,6 +451,20 @@ object TextQueries {
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
              ' +', ' ', 'g'))) AS fp
          FROM survivors ORDER BY doc_id""",
+    "q66_bpe_token_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '(?:[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)')) AS BIGINT) AS bpe_tokens,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens
+         FROM documents ORDER BY doc_id""",
+    "q67_winnow_fingerprint" ->
+      """WITH g AS (SELECT doc_id,
+             ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT AS h
+           FROM documents,
+             LATERAL (SELECT unnest(range(1, greatest(length(text) - 6, 2))) AS i) r)
+         SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN h % 16 = 0 THEN CAST(h AS VARCHAR) END,
+             ',' ORDER BY h), '')) AS winnow_fp
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q54_word_freq" ->
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
