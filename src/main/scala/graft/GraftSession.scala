@@ -33,7 +33,8 @@ object GraftSession {
 
   /** Local session for tests; respects SPARK_GRAFT_CPUS like the driver. */
   def local(): SparkSession = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(Runtime.getRuntime.availableProcessors(), 4).toString).toInt
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
