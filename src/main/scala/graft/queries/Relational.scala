@@ -349,6 +349,42 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    "q68_scalar_subquery" -> ((s, dir) => {
+      // correlated + scalar subqueries via the SQL API (Catalyst
+      // decorrelates into joins — no per-row re-execution)
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, c_acctbal,
+                 (SELECT COUNT(*) FROM orders_v o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+               FROM customer_v c
+               WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer_v)
+               ORDER BY c_custkey""")
+    }),
+
+    "q69_lateral_topn" -> ((s, dir) => {
+      // LATERAL top-n per group (the join-form alternative to window
+      // row_number; Catalyst rewrites to a ranked join)
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+               FROM customer_v c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
+
+    "q70_set_ops_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("nationkey"))
+      c.exceptAll(su).groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .unionAll(c.intersectAll(su).groupBy("nationkey")
+          .agg((count(lit(1)) * -1).as("n")))
+        .groupBy("nationkey").agg(sum(col("n")).as("net"))
+        .orderBy("nationkey")
+    }),
+
     "q30_dedup_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")
@@ -545,6 +581,31 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+    "q68_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+         ORDER BY c_custkey""",
+    "q69_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    "q70_set_ops_all" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+         su AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier),
+         ex AS (SELECT nationkey, COUNT(*) AS n FROM (
+                  SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM su)
+                GROUP BY nationkey),
+         ia AS (SELECT nationkey, COUNT(*) * -1 AS n FROM (
+                  SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM su)
+                GROUP BY nationkey)
+         SELECT nationkey, CAST(SUM(n) AS BIGINT) AS net
+         FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+         GROUP BY nationkey ORDER BY nationkey""",
     "q62_scalar_string2" ->
       """SELECT p_partkey,
          lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
