@@ -385,6 +385,41 @@ object Relational {
         .orderBy("nationkey")
     }),
 
+    "q71_posexplode" -> ((s, dir) => {
+      // generator/UDTF row: position-aware explode of token arrays
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q72_unpivot" -> ((s, dir) => {
+      // wide->long reshape via stack (UNPIVOT)
+      t(s, dir, "orders").selectExpr("o_orderkey",
+        """stack(2, 'totalprice', o_totalprice,
+                    'custkey_as_val', cast(o_custkey as double)) AS (metric, value)""")
+        .orderBy("o_orderkey", "metric")
+    }),
+
+    "q73_exotic_aggs" -> ((s, dir) => {
+      // max_by/min_by (argmax on a unique composite), bool_and/bool_or,
+      // bit_or - all order-independent exact aggregates
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          expr("""max_by(o_orderkey,
+            cast(round(o_totalprice * 100) as bigint) * 1000000 + o_orderkey)""")
+            .as("best_order"),
+          expr("""min_by(o_orderkey,
+            cast(round(o_totalprice * 100) as bigint) * 1000000 + o_orderkey)""")
+            .as("worst_order"),
+          expr("bool_and(o_totalprice > 2000)").as("all_over_2k"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+          expr("bit_or(cast(o_orderkey % 64 as bigint))").as("key_bits"))
+        .orderBy("o_custkey")
+    }),
+
     "q30_dedup_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")
@@ -581,6 +616,26 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+    "q71_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+               FROM documents WHERE doc_id < 50),
+           LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) r
+         ORDER BY doc_id, pos""",
+    "q72_unpivot" ->
+      """SELECT o_orderkey, metric, value FROM (
+           SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+           UNION ALL
+           SELECT o_orderkey, 'custkey_as_val', CAST(o_custkey AS DOUBLE) FROM orders)
+         ORDER BY o_orderkey, metric""",
+    "q73_exotic_aggs" ->
+      """SELECT o_custkey,
+         max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS best_order,
+         min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS worst_order,
+         bool_and(o_totalprice > 2000) AS all_over_2k,
+         bool_or(o_orderstatus = 'P') AS any_pending,
+         bit_or(CAST(o_orderkey % 64 AS BIGINT)) AS key_bits
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q68_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal,
          (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
