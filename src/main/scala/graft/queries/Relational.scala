@@ -420,6 +420,37 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    "q74_window_navigation" -> ((s, dir) => {
+      val wBase = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(wBase).as("first_ok"),
+        last(col("o_orderkey")).over(wFull).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"),
+        ntile(3).over(wBase).cast(LongType).as("tercile"),
+        percent_rank().over(wBase).as("pr"),
+        cume_dist().over(wBase).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q75_recursive_cte" -> ((s, dir) => {
+      // WITH RECURSIVE (Spark 4): calendar spine left-joined to
+      // per-month order counts — the gaps-filling idiom
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""WITH RECURSIVE months(n) AS (
+                 SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83),
+               spine AS (
+                 SELECT add_months(DATE '1995-01-01', n) AS month_start FROM months),
+               per_month AS (
+                 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                        COUNT(*) AS n_orders
+                 FROM orders_v GROUP BY 1)
+               SELECT spine.month_start, coalesce(per_month.n_orders, 0) AS n_orders
+               FROM spine LEFT JOIN per_month ON per_month.m = spine.month_start
+               ORDER BY spine.month_start""")
+    }),
+
     "q30_dedup_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")
@@ -616,6 +647,32 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+    "q74_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+         first_value(o_orderkey) OVER w AS first_ok,
+         last_value(o_orderkey) OVER wf AS last_ok,
+         nth_value(o_orderkey, 2) OVER wf AS second_ok,
+         CAST(ntile(3) OVER w AS BIGINT) AS tercile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "q75_recursive_cte" ->
+      """WITH RECURSIVE months(n) AS (
+           SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83),
+         spine AS (
+           SELECT CAST(DATE '1995-01-01' + INTERVAL (n) MONTH AS DATE) AS month_start
+           FROM months),
+         per_month AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT spine.month_start, coalesce(per_month.n_orders, 0) AS n_orders
+         FROM spine LEFT JOIN per_month ON per_month.m = spine.month_start
+         ORDER BY spine.month_start""",
     "q71_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
