@@ -97,6 +97,13 @@ def main():
             n_ok += 1
         print(f"{name}: {verdict}")
     print(f"== {n_ok}/{len(oracle)} OK ==")
+    # rows-only queries (no oracle): verify output exists and is non-empty
+    import os
+    for d in sorted(os.listdir(outdir)):
+        if d.startswith("q") and d not in oracle:
+            got = load_result(outdir, d)
+            n = 0 if got is None else len(got)
+            print(f"{d}: ROWS-ONLY rows={n}" + ("" if n > 0 else " (EMPTY!)"))
 
 
 if __name__ == "__main__":
