@@ -34,7 +34,7 @@ object VectorQueries {
     // tests on clustered data; driver records the rows-only check)
     "q61_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = graft.ops.Ivf.fit(e, "vec_id", nLists = 8, iterations = 2)
+      val model = graft.ops.Ivf.fit(e, "vec_id", nLists = 4, iterations = 1)
       graft.ops.Ivf.search(e, e.where(col("vec_id") < 5), "vec_id",
           model, k = 5, nProbe = 2)
         .orderBy("q_id", "rnk")
