@@ -40,6 +40,26 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // full-corpus embedding near-dup via LSH buckets: pairwise cosine
+    // only WITHIN a bucket (1/2^p of all pairs) — the unsampled scale
+    // path complementing q50's sampled exact sweep
+    "q76_embed_neardup_lsh" -> ((s, dir) => {
+      val planes = Similarity.planeWeights(6, 64)
+      val c = Similarity.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .withColumn("bucket", Similarity.lshBucket(col("ei"), planes))
+      val a = c.select(col("vec_id").as("id_a"), col("ei").as("ea"),
+        col("nn").as("na"), col("bucket"))
+      val b = c.select(col("vec_id").as("id_b"), col("ei").as("eb"),
+        col("nn").as("nb"), col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .withColumn("sim_micro",
+          Similarity.cosineMicro(Similarity.dotLong(col("ea"), col("eb")),
+            col("na"), col("nb")))
+        .where(col("sim_micro") >= 300000)
+        .select("id_a", "id_b", "sim_micro")
+        .orderBy("id_a", "id_b")
+    }),
+
     // embedding near-dup pairs over a 10% sample (quadratic stage is
     // sampled; the scale path for full-corpus near-dup is LSH, q49)
     "q50_embed_neardup" -> ((s, dir) => {
@@ -99,6 +119,33 @@ object VectorQueries {
          FROM bucket q JOIN bucket c ON q.b = c.b
            AND q.vec_id < 5 AND c.vec_id <> q.vec_id
          ORDER BY q_id, vec_id""",
+    "q76_embed_neardup_lsh" ->
+      s"""WITH $quantCte,
+         planes AS (SELECT p, d,
+                      ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT
+                        - 32768 AS wt
+                    FROM (SELECT unnest(range(0, 6)) AS p),
+                         (SELECT unnest(range(0, 64)) AS d)),
+         pdots AS (SELECT f.vec_id, pl.p, SUM(f.v * pl.wt) AS dp
+                   FROM flat f JOIN planes pl ON pl.d = f.i - 1
+                   GROUP BY 1, 2),
+         bucket AS (SELECT vec_id,
+                      CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+                    FROM pdots GROUP BY 1),
+         cand AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+                  FROM bucket a JOIN bucket b2 ON a.b = b2.b AND a.vec_id < b2.vec_id),
+         dots AS (SELECT c.id_a, c.id_b, SUM(fa.v * fb.v) AS dot
+                  FROM cand c JOIN flat fa ON fa.vec_id = c.id_a
+                    JOIN flat fb ON fb.vec_id = c.id_b AND fb.i = fa.i
+                  GROUP BY 1, 2),
+         sims AS (SELECT id_a, id_b,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM dots JOIN norms na ON na.vec_id = id_a
+                    JOIN norms nb ON nb.vec_id = id_b)
+         SELECT id_a, id_b, sim_micro FROM sims
+         WHERE sim_micro >= 300000 ORDER BY id_a, id_b""",
     "q50_embed_neardup" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ei
