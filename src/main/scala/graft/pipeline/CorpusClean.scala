@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.ops.{Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-corpus cleaning: the composition a 100 TB
   * text pipeline actually runs, built entirely from the engine's
@@ -18,6 +19,17 @@ import org.apache.spark.sql.functions._
   * signatures, one for the LSH band buckets — all on high-cardinality
   * keys; no quadratic stage anywhere (the pairwise work happens only
   * inside bounded LSH buckets).
+  *
+  * Scan budget: `quality` feeds BOTH the exact-dedup keeper pass and
+  * the survivor semi-join; `unique` feeds BOTH the MinHash stage and
+  * the final anti-join. Without materialization Spark re-derives each
+  * subtree per consumer — at corpus scale that is dozens of full
+  * source scans (round-1 plan: 48 scans / 22 exchanges). Both are
+  * persisted DISK_ONLY (spill-safe at 100 TB), so each run scans the
+  * source once and never re-runs a dedup shuffle. Callers that write
+  * the result to a sink can free the cache afterwards via
+  * `spark.catalog.clearCache()` or by re-staging to parquet between
+  * phases.
   */
 object CorpusClean {
 
@@ -28,10 +40,14 @@ object CorpusClean {
   def clean(docs: DataFrame, params: Params = Params()): DataFrame = {
     val quality = docs
       .where(size(TextAnalysis.tokens(col("text"))) >= params.minTokens)
+      .persist(StorageLevel.DISK_ONLY)
 
     val keepers = Dedup.exactDedup(quality, "doc_id", Seq("text"))
       .select(col("keeper_id").as("doc_id"))
+    // Materialized once: consumed by the MinHash stage AND the final
+    // anti-join; also collapses the duplicated `quality` derivation.
     val unique = quality.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.DISK_ONLY)
 
     val sig = Dedup.minhashSignatures(unique, "doc_id", "text",
       params.minhashK, shingleWidth = 3)

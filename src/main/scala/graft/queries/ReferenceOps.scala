@@ -10,7 +10,10 @@ import org.apache.spark.sql.types._
 object ReferenceOps {
 
   val queries: Map[String, Q] = Map(
-    // O-4 cast matrix (reference utils/dataframe_operations.py:15-50)
+    // O-4 cast matrix (reference utils/dataframe_operations.py:15-50).
+    // The decimal/float32 casts are the operator under test; the final
+    // projection widens them to double so the driver's hasher sees one
+    // canonical numeric rendering (the q01/q37 convention).
     "q25_cast_matrix" -> ((s, dir) => {
       t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_linenumber").cast(ShortType).as("ln_i16"),
@@ -20,6 +23,8 @@ object ReferenceOps {
         col("l_orderkey").cast(StringType).as("key_str"),
         (col("l_quantity") > 25).cast(ShortType).as("gt25_i16"),
         col("l_extendedprice").cast(FloatType).as("price_f32"))
+        .withColumn("qty_dec", col("qty_dec").cast(DoubleType))
+        .withColumn("price_f32", col("price_f32").cast(DoubleType))
         // (l_orderkey, l_linenumber) non-unique in fixture: total order
         .orderBy("l_orderkey", "ln_i16", "qty_dec", "ship_date", "price_f32")
     }),
@@ -58,18 +63,20 @@ object ReferenceOps {
         StructField("o_orderdate", DateType),
         StructField("o_orderstatus", StringType)))
       SchemaOps.enforce(t(s, dir, "orders"), target)
+        // widen the enforced DECIMAL(18,2) to double for hash-stable output
+        .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
         .orderBy(col("o_orderkey").cast(LongType))
     }))
 
   val oracles: Map[String, String] = Map(
     "q25_cast_matrix" ->
       """SELECT l_orderkey, CAST(l_linenumber AS SMALLINT) AS ln_i16,
-         CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
          CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty_int,
          CAST(l_shipdate AS DATE) AS ship_date,
          CAST(l_orderkey AS VARCHAR) AS key_str,
          CAST(l_quantity > 25 AS SMALLINT) AS gt25_i16,
-         CAST(l_extendedprice AS FLOAT4) AS price_f32
+         CAST(CAST(l_extendedprice AS FLOAT4) AS DOUBLE) AS price_f32
          FROM lineitem ORDER BY l_orderkey, ln_i16, qty_dec, ship_date, price_f32""",
     "q26_audit_columns" ->
       """SELECT n_nationkey, n_name, 'redshiftadmin' AS updatedby,
@@ -89,7 +96,7 @@ object ReferenceOps {
          FROM part ORDER BY p_partkey""",
     "q29_schema_enforce" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
          CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus
          FROM orders ORDER BY CAST(o_orderkey AS BIGINT)""")
 }
