@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.pipeline.{HistoryLoad, PipelineConfig}
+import graft.sources.JdbcSource
+import org.apache.spark.sql.functions._
+
+/** Live end-to-end coverage for the JDBC scan (O-1, reference
+  * utils/rdbms_operations.py:197-248) and the TRUNCATE+COPY-style
+  * bulk load (O-11, utils/redshift_operations.py:121-167), against an
+  * embedded in-memory Derby database (ships with Spark, no network).
+  *
+  * Flow mirrors the reference pipeline: partitioned scan -> transform
+  * (audit + normalize + row hash) -> truncate-overwrite -> re-scan ->
+  * count + row-hash reconciliation.
+  */
+class JdbcE2eSpec extends SparkSpec {
+
+  // keep derby.log out of the repo root
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft_derby").toString)
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def scanCfg(table: String, partitioned: Boolean) = JdbcSource.ScanConfig(
+    url = url, schema = "APP", table = table, user = "app", password = "app",
+    partitionColumn = if (partitioned) Some("n_nationkey") else None,
+    lowerBound = Some(0L), upperBound = Some(25L), numPartitions = 4)
+
+  test("O-1/O-11: partitioned scan -> transform -> truncate overwrite -> reconcile") {
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    // seed the "RDBMS" source table (creates DDL via the Derby dialect)
+    nation.write.format("jdbc")
+      .option("url", url).option("dbtable", "APP.nation_src")
+      .mode("overwrite").save()
+
+    // O-1: the reference's 1M-row chunk loop as partition parallelism
+    val scanned = JdbcSource.read(spark, scanCfg("nation_src", partitioned = true))
+    assert(scanned.rdd.getNumPartitions == 4, "range-partitioned scan")
+    assert(scanned.count() == 25)
+
+    val hl = new HistoryLoad(spark,
+      PipelineConfig("/unused", "/unused", runId = 7L, updatedBy = "tester",
+        tables = Seq.empty))
+    val transformed = hl.transform(scanned)
+
+    // first load creates the target DDL; O-11 truncate-overwrite must
+    // then replace rows while KEEPING that DDL (idempotent re-run)
+    transformed.write.format("jdbc")
+      .option("url", url).option("dbtable", "APP.nation_tgt")
+      .mode("overwrite").save()
+    JdbcSource.overwrite(transformed, url, "APP", "nation_tgt", "app", "app")
+
+    // DDL survived the truncate path: Derby still knows the table and
+    // a third overwrite through the sink API works too
+    JdbcSource.overwrite(transformed, url, "APP", "nation_tgt", "app", "app")
+
+    // reconcile: count + per-row hash (audit timestamp excluded — the
+    // row hash is computed over data columns only)
+    val back = JdbcSource.read(spark, scanCfg("nation_tgt", partitioned = false))
+    assert(back.count() == 25)
+    val expect = transformed.select(col("n_nationkey").cast("long"), col("row_hash_code"))
+      .orderBy("n_nationkey").collect().toSeq
+    val got = back.select(col("n_nationkey").cast("long"), col("row_hash_code"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(got == expect, "row hashes after JDBC round-trip")
+  }
+
+  test("O-1 predicate pushdown reaches the JDBC scan") {
+    val scanned = JdbcSource.read(spark, scanCfg("nation_src", partitioned = true))
+      .where(col("n_regionkey") === 0)
+    // JDBCRelation reports pushed filters in the physical plan
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"expected pushed JDBC filter:\n$plan")
+    assert(scanned.count() == 5)
+  }
+}
