@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -12,11 +12,18 @@ import graft.functions.FloatVectorOps.{floatCosine, floatDot}
   * probes only its `nProbe` closest cells.
   *
   * Everything is DataFrame-composed and deterministic:
-  *  - init: centroids = the `nLists` lowest-id vectors (no RNG);
-  *  - Lloyd iterations: assign via broadcast centroid table + native
-  *    codegen dot products, update via per-dimension posexplode mean
-  *    (one narrow shuffle per iteration, all map-side combined);
-  *  - only the k (tiny) centroids ever reach the driver.
+  *  - init: ONE corpus scan collects an oversampled far-point pool
+  *    (top `nLists*initOversample` by distance from the lowest-id
+  *    vector), then a driver-side greedy farthest-point pass over that
+  *    tiny pool picks the `nLists` seeds — the k-means|| shape (one
+  *    distributed oversample pass + cheap local reduce) instead of one
+  *    full scan per centroid;
+  *  - Lloyd iterations: assignment is a per-row argmin over an
+  *    in-plan broadcast centroid array (ZERO exchange — no crossJoin,
+  *    no window); the per-dimension mean update is one narrow shuffle
+  *    per iteration, all map-side combined;
+  *  - only the k (tiny) centroids and the init pool ever reach the
+  *    driver.
   *
   * At 100 TB the corpus is assigned once (one pass, broadcast
   * centroids) and written partitioned by cell; each probe then reads
@@ -27,42 +34,71 @@ object Ivf {
 
   final case class Model(centroids: Seq[(Int, Seq[Float])])
 
+  /** Per-row `struct(d2, cell)` candidates against an in-plan literal
+    * centroid array. d2 omits the constant `|x|^2` term — argmin and
+    * probe ordering are unchanged; no join, no shuffle.
+    */
+  private def scoredCells(emb: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    val cArr = array(centroids.map { case (cell, v) =>
+      struct(lit(v.toArray).as("cvec"), lit(cell).as("cell")) }: _*)
+    transform(cArr, c => struct(
+      (floatDot(c.getField("cvec"), c.getField("cvec"))
+        - lit(2.0) * floatDot(emb, c.getField("cvec"))).as("d2"),
+      c.getField("cell").as("cell")))
+  }
+
+  /** Sequential-sum double dot, bit-identical to FloatDotProduct. */
+  private def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
   /** Deterministic Lloyd's k-means over the `embedding` column.
-    * Init is farthest-point traversal (deterministic k-means++
-    * stand-in): start from the lowest-id vector, then repeatedly take
-    * the vector farthest from the current centroid set (ties by id).
-    * Each init step is one scan with broadcast centroids; production
-    * fits on 100 TB would run this on a sample — the operator takes
-    * whatever frame it's given.
+    * Production fits on 100 TB would run this on a sample — the
+    * operator takes whatever frame it's given.
     */
   def fit(corpus: DataFrame, idCol: String, nLists: Int,
-          iterations: Int = 3): Model = {
+          iterations: Int = 3, initOversample: Int = 8): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val first = corpus.orderBy(col(idCol)).limit(1)
       .select(col("embedding")).as[Seq[Float]].head()
+
+    // one scan: oversampled far-point pool (full d2 from the seed;
+    // |x|^2 matters here because rows are compared to each other)
+    val pool: Seq[(Long, Seq[Float])] = corpus
+      .withColumn("d2",
+        floatDot(col("embedding"), col("embedding"))
+          - lit(2.0) * floatDot(col("embedding"), lit(first.toArray)))
+      .orderBy(col("d2").desc, col(idCol).asc)
+      .limit((nLists - 1) * initOversample)
+      .select(col(idCol).cast(LongType), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+
+    // driver-side greedy farthest-point over the pool (k-means||'s
+    // local reduce): maximize min-distance to the picked set, ties to
+    // the lower id — identical selection rule to the sequential init,
+    // restricted to the pool
     var centroids: Seq[(Int, Seq[Float])] = Seq((0, first))
+    var remaining = pool
     (1 until nLists).foreach { i =>
-      val cFrame = centroids.toDF("cell", "cvec")
-        .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
-      val farthest = corpus.crossJoin(broadcast(cFrame))
-        .withColumn("d2",
-          floatDot(col("embedding"), col("embedding"))
-            - lit(2.0) * floatDot(col("embedding"), col("cvec"))
-            + floatDot(col("cvec"), col("cvec")))
-        .groupBy(col(idCol), col("embedding"))
-        .agg(min(col("d2")).as("mind2"))
-        .orderBy(col("mind2").desc, col(idCol).asc)
-        .limit(1)
-        .select(col("embedding")).as[Seq[Float]].head()
-      centroids = centroids :+ ((i, farthest))
+      if (remaining.nonEmpty) {
+        val next = remaining.maxBy { case (id, v) =>
+          val mind2 = centroids.map { case (_, c) =>
+            dotD(v, v) - 2.0 * dotD(v, c) + dotD(c, c) }.min
+          (mind2, -id) // farthest; ties -> lowest id
+        }
+        centroids = centroids :+ ((i, next._2))
+        remaining = remaining.filterNot(_._1 == next._1)
+      }
     }
 
     (0 until iterations).foreach { _ =>
-      val cFrame = centroids.toDF("cell", "cvec")
-        .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
-      val assigned = assign(corpus, cFrame)
+      val assigned = assign(corpus, centroids)
       // per-dimension mean via posexplode: map-side partial avgs, one
       // shuffle on (cell, dim) — never collects vectors to the driver
       val means = assigned
@@ -79,38 +115,120 @@ object Ivf {
     Model(centroids)
   }
 
-  /** Nearest-cell assignment via broadcast centroids. */
-  def assign(corpus: DataFrame, centroidFrame: DataFrame): DataFrame = {
-    val idCols = corpus.columns.map(col)
-    val w = Window.partitionBy(corpus.columns.head, corpus.columns.tail: _*)
-      .orderBy(col("d2").asc, col("cell").asc)
-    corpus.crossJoin(broadcast(centroidFrame))
-      // squared euclidean via dots: |x|^2 - 2<x,c> + |c|^2; |x|^2 is
-      // constant per row, so rank by |c|^2 - 2<x,c>
-      .withColumn("d2",
-        floatDot(col("cvec"), col("cvec")) - lit(2.0) * floatDot(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(idCols :+ col("cell"): _*)
+  /** Nearest-cell assignment: per-row argmin over the broadcast
+    * centroid literal — a pure map, zero exchange in the plan.
+    */
+  def assign(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    corpus.withColumn("cell",
+      array_min(scoredCells(col("embedding"), centroids)).getField("cell"))
+
+  // ---------------------------------------------------------------
+  // Oracle-parity path: the same IVF pipeline over integer-quantized
+  // embeddings (round(x*1e6) -> long). Integer d2 is exact and
+  // order-independent, so init, assignment, probe selection and
+  // ranking are bit-identical in any engine — this is the variant the
+  // SQL oracle replays (q61). Lloyd iterations are deliberately
+  // absent here: floating-point means are not exactly replicable
+  // cross-engine; the float path above owns refinement.
+  // ---------------------------------------------------------------
+
+  final case class QuantModel(centroids: Seq[(Int, Seq[Long])])
+
+  /** Exact integer analogue of [[scoredCells]]: struct(d2, cell) per
+    * centroid with d2 = |c|^2 - 2<x,c> (|c|^2 precomputed exactly on
+    * the driver — integers don't drift).
+    */
+  private def scoredCellsQ(ei: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
+    val cArr = array(centroids.map { case (cell, v) =>
+      struct(lit(v.toArray).as("cvec"), lit(v.map(x => x * x).sum).as("cc"),
+        lit(cell).as("cell")) }: _*)
+    transform(cArr, c => struct(
+      (c.getField("cc")
+        - lit(2L) * Similarity.dotLong(ei, c.getField("cvec"))).as("d2"),
+      c.getField("cell").as("cell")))
   }
 
-  /** Probe: top-k cosine within the query's `nProbe` nearest cells. */
-  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
-             model: Model, k: Int, nProbe: Int): DataFrame = {
+  private def dotL(a: Seq[Long], b: Seq[Long]): Long =
+    a.lazyZip(b).map(_ * _).sum
+
+  /** Quantized farthest-point init (no Lloyd): one corpus scan for the
+    * oversampled pool, greedy selection on the driver, all in exact
+    * integer arithmetic.
+    */
+  def fitQuantized(corpus: DataFrame, idCol: String, nLists: Int,
+                   initOversample: Int = 8): QuantModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cFrame = model.centroids.toDF("cell", "cvec")
-      .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
+    val q = Similarity.withQuantized(corpus, "embedding")
 
-    val corpusCells = assign(corpus, cFrame)
+    val first = q.orderBy(col(idCol)).limit(1)
+      .select(col("ei")).as[Seq[Long]].head()
 
-    val wq = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cell").asc)
-    val queryCells = queries.crossJoin(broadcast(cFrame))
+    val pool: Seq[(Long, Seq[Long])] = q
       .withColumn("d2",
-        floatDot(col("cvec"), col("cvec")) - lit(2.0) * floatDot(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nProbe)
-      .select(col(idCol).as("q_id"), col("embedding").as("qe"), col("cell"))
+        col("nn") - lit(2L) * Similarity.dotLong(col("ei"), lit(first.toArray)))
+      .orderBy(col("d2").desc, col(idCol).asc)
+      .limit((nLists - 1) * initOversample)
+      .select(col(idCol).cast(LongType), col("ei"))
+      .as[(Long, Seq[Long])].collect().toSeq
+
+    var centroids: Seq[(Int, Seq[Long])] = Seq((0, first))
+    var remaining = pool
+    (1 until nLists).foreach { i =>
+      if (remaining.nonEmpty) {
+        val next = remaining.maxBy { case (id, v) =>
+          val mind2 = centroids.map { case (_, c) =>
+            dotL(v, v) - 2L * dotL(v, c) + dotL(c, c) }.min
+          (mind2, -id)
+        }
+        centroids = centroids :+ ((i, next._2))
+        remaining = remaining.filterNot(_._1 == next._1)
+      }
+    }
+    QuantModel(centroids)
+  }
+
+  /** Quantized probe — same shape as [[search]], exact integer cell
+    * math and micro-unit cosine ranking (Similarity.cosineMicro).
+    */
+  def searchQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      model: QuantModel, k: Int, nProbe: Int): DataFrame = {
+    val c = Similarity.withQuantized(corpus, "embedding")
+      .withColumn("cell",
+        array_min(scoredCellsQ(col("ei"), model.centroids)).getField("cell"))
+
+    val qc = Similarity.withQuantized(queries, "embedding")
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCellsQ(col("ei"), model.centroids)),
+          1, nProbe)))
+      .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
+        col("probe").getField("cell").as("cell"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("sim_micro").desc, col(idCol))
+    c.join(broadcast(qc), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("sim_micro",
+        Similarity.cosineMicro(Similarity.dotLong(col("ei"), col("qe")),
+          col("nn"), col("qn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("sim_micro"))
+  }
+
+  /** Probe: top-k cosine within the query's `nProbe` nearest cells.
+    * Query-side probe selection is the same in-plan argmin (sorted,
+    * first nProbe) — no window over the query set either.
+    */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String,
+             model: Model, k: Int, nProbe: Int): DataFrame = {
+    val corpusCells = assign(corpus, model.centroids)
+
+    val queryCells = queries
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCells(col("embedding"), model.centroids)),
+          1, nProbe)))
+      .select(col(idCol).as("q_id"), col("embedding").as("qe"),
+        col("probe").getField("cell").as("cell"))
 
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     corpusCells.join(broadcast(queryCells), Seq("cell"))

@@ -29,13 +29,15 @@ object VectorQueries {
         .orderBy("q_id", "vec_id")
     }),
 
-    // IVF probe over the fixture (no SQL oracle — k-means cells aren't
-    // practical to replicate in SQL; correctness = IvfSpec's recall
-    // tests on clustered data; driver records the rows-only check)
+    // IVF probe over the fixture, on the quantized oracle-parity path:
+    // exact-integer farthest-point init (oversampled pool + greedy),
+    // integer-d2 cell assignment, nProbe probe, micro-unit cosine
+    // ranking — every step bit-replicable in SQL. The float/Lloyd
+    // performance path is covered by IvfSpec's recall tests.
     "q61_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = graft.ops.Ivf.fit(e, "vec_id", nLists = 4, iterations = 1)
-      graft.ops.Ivf.search(e, e.where(col("vec_id") < 5), "vec_id",
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      graft.ops.Ivf.searchQuantized(e, e.where(col("vec_id") < 5), "vec_id",
           model, k = 5, nProbe = 2)
         .orderBy("q_id", "rnk")
     }),
@@ -84,6 +86,80 @@ object VectorQueries {
        norms AS (SELECT vec_id, SUM(v*v) AS nn FROM flat GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    // replays Ivf.fitQuantized + searchQuantized step by step: c0 =
+    // lowest-id vector; pool = top 24 by integer d2 from c0; greedy
+    // farthest-point picks p1..p3 (unrolled — nLists is fixed at 4);
+    // assignment/probe rank by exact (d2, cell); cosine in micro units
+    "q61_ann_ivf" ->
+      s"""WITH $quantCte,
+         c0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+         dots0 AS (SELECT f.vec_id, SUM(f.v * c.v) AS xc
+                   FROM flat f JOIN flat c ON c.i = f.i
+                     AND c.vec_id = (SELECT vec_id FROM c0)
+                   GROUP BY 1),
+         pool AS (SELECT d.vec_id, n.nn - 2*d.xc AS d2
+                  FROM dots0 d JOIN norms n ON n.vec_id = d.vec_id
+                  ORDER BY d2 DESC, d.vec_id LIMIT 24),
+         pdot AS (SELECT fa.vec_id AS ida, fb.vec_id AS idb, SUM(fa.v*fb.v) AS dot
+                  FROM flat fa JOIN flat fb ON fb.i = fa.i
+                  WHERE fa.vec_id IN (SELECT vec_id FROM pool)
+                    AND (fb.vec_id IN (SELECT vec_id FROM pool)
+                         OR fb.vec_id = (SELECT vec_id FROM c0))
+                  GROUP BY 1, 2),
+         pd AS (SELECT ida, idb, na.nn - 2*dot + nb.nn AS d2
+                FROM pdot JOIN norms na ON na.vec_id = ida
+                  JOIN norms nb ON nb.vec_id = idb),
+         p1 AS (SELECT ida AS vec_id FROM pd WHERE idb = (SELECT vec_id FROM c0)
+                ORDER BY d2 DESC, ida LIMIT 1),
+         p2 AS (SELECT ida AS vec_id FROM (
+                  SELECT ida, MIN(d2) AS mind2 FROM pd
+                  WHERE idb IN (SELECT vec_id FROM c0 UNION SELECT vec_id FROM p1)
+                    AND ida <> (SELECT vec_id FROM p1)
+                  GROUP BY ida)
+                ORDER BY mind2 DESC, ida LIMIT 1),
+         p3 AS (SELECT ida AS vec_id FROM (
+                  SELECT ida, MIN(d2) AS mind2 FROM pd
+                  WHERE idb IN (SELECT vec_id FROM c0 UNION SELECT vec_id FROM p1
+                                UNION SELECT vec_id FROM p2)
+                    AND ida NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)
+                  GROUP BY ida)
+                ORDER BY mind2 DESC, ida LIMIT 1),
+         cents AS (SELECT 0 AS cell, (SELECT vec_id FROM c0) AS vec_id
+                   UNION ALL SELECT 1, (SELECT vec_id FROM p1)
+                   UNION ALL SELECT 2, (SELECT vec_id FROM p2)
+                   UNION ALL SELECT 3, (SELECT vec_id FROM p3)),
+         cflat AS (SELECT c.cell, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.vec_id),
+         cnorm AS (SELECT cell, SUM(v*v) AS cc FROM cflat GROUP BY 1),
+         scored AS (SELECT a.vec_id, a.cell, cn.cc - 2*a.dot AS d2 FROM (
+                      SELECT f.vec_id, cf.cell, SUM(f.v * cf.v) AS dot
+                      FROM flat f JOIN cflat cf ON cf.i = f.i GROUP BY 1, 2) a
+                    JOIN cnorm cn ON cn.cell = a.cell),
+         assigned AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                        FROM scored) WHERE rn = 1),
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         qdots AS (SELECT cp.q_id, cp.vec_id, SUM(fq.v * fc.v) AS dot FROM (
+                     SELECT p.q_id, a.vec_id FROM probes p
+                     JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id) cp
+                   JOIN flat fq ON fq.vec_id = cp.q_id
+                   JOIN flat fc ON fc.vec_id = cp.vec_id AND fc.i = fq.i
+                   GROUP BY 1, 2),
+         sims AS (SELECT q_id, d.vec_id,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM qdots d JOIN norms nq ON nq.vec_id = d.q_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id)
+         SELECT q_id, rnk, vec_id, sim_micro FROM (
+           SELECT q_id, vec_id, sim_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_micro DESC, vec_id) AS BIGINT) AS rnk
+           FROM sims)
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "q48_ann_bruteforce" ->
       s"""WITH $quantCte,
          dots AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot

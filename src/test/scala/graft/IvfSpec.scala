@@ -34,9 +34,11 @@ class IvfSpec extends SparkSpec {
     val m2 = Ivf.fit(clustered, "vec_id", nLists = 4, iterations = 3)
     assert(m1 == m2)
 
-    val cFrame = m1.centroids.toDF("cell", "cvec")
-      .select(col("cell"), col("cvec").cast("array<float>").as("cvec"))
-    val assigned = Ivf.assign(clustered, cFrame)
+    val assigned = Ivf.assign(clustered, m1.centroids)
+    // assignment is a pure map over broadcast centroid literals — the
+    // plan must contain no exchange at all
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
     // every true cluster maps to exactly one cell
     val purity = assigned
       .withColumn("true_c", (col("vec_id") / 50).cast("int"))
