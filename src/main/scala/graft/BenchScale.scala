@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Repeatable scale benchmark: the README's measured-scaling table as
+  * a runnable main emitting ONE JSON line, so round-over-round deltas
+  * are comparable artifacts instead of ad-hoc numbers.
+  *
+  * Inputs are synthesized deterministically from the sf0.1 fixtures by
+  * cross-joining a replication index and remapping keys — e.g.
+  * lineitem x20 = 12M rows, documents x100 = 50k docs (with real
+  * duplicate structure for the dedup/clean ops, since replicas are
+  * exact duplicates by construction).
+  *
+  * Usage: SPARK_GRAFT_SCALE=20 sbt "runMain graft.BenchScale"
+  */
+object BenchScale {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
+    val spark = GraftSession.local()
+
+    val tmp = Files.createTempDirectory("graft_bench_scale").toString
+
+    // ---- deterministic scaled inputs -------------------------------
+    def replicate(df: DataFrame, times: Int, keyCols: Seq[String]): DataFrame = {
+      val rep = spark.range(times).select(col("id").as("rep__"))
+      keyCols.foldLeft(df.crossJoin(rep)) { (d, k) =>
+        d.withColumn(k, col(k) * times + col("rep__"))
+      }.drop("rep__")
+    }
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val part = spark.read.parquet(s"$base/part.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+
+    // materialize scaled inputs once (setup, not timed) with explicit
+    // partitioning — a real 100 TB source arrives in thousands of row
+    // groups, not the handful a crossJoin lineage would leave, and the
+    // timed ops below must scan parquet at full core parallelism
+    val parts = spark.sparkContext.defaultParallelism * 2
+    replicate(li, scale, Seq("l_orderkey")).repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/src/lineitem.parquet")
+    replicate(docs.select("doc_id", "text"), scale * 5, Seq("doc_id"))
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+    replicate(emb, 1280, Seq("vec_id")).repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+
+    val liBig = spark.read.parquet(s"$tmp/src/lineitem.parquet")
+    val docsBig = spark.read.parquet(s"$tmp/docs.parquet")
+    val embBig = spark.read.parquet(s"$tmp/emb.parquet")
+    val liRows = liBig.count()
+    val docRows = docsBig.count()
+    val embRows = embBig.count()
+
+    // ---- timed operations ------------------------------------------
+    def time(name: String)(action: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      action
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = Seq(
+      time("agg_decimal") {
+        liBig.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
+          .collect()
+      },
+      time("rowhash_exact_dedup") {
+        graft.ops.Dedup.exactDedup(
+          liBig.select(col("l_orderkey").as("id"),
+            concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity")).as("text")),
+          "id", Seq("text")).count()
+      },
+      time("window_top3_per_key") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_partkey").orderBy(col("l_extendedprice").desc)
+        liBig.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).count()
+      },
+      time("broadcast_join_agg") {
+        liBig.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand").agg(sum("l_quantity")).collect()
+      },
+      time("minhash_signatures") {
+        graft.ops.Dedup.minhashSignatures(docsBig, "doc_id", "text",
+          k = 8, shingleWidth = 3).count()
+      },
+      time("corpus_clean_full") {
+        graft.pipeline.CorpusClean.clean(docsBig).count()
+        spark.catalog.clearCache()
+      },
+      time("ann_bruteforce_native") {
+        graft.ops.Similarity.bruteForceTopKNative(
+          embBig, emb.where(col("vec_id") < 5), "vec_id", k = 5).count()
+      },
+      time("historyload_pipeline") {
+        val hl = new graft.pipeline.HistoryLoad(spark,
+          graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,
+            updatedBy = "bench", tables = Seq(graft.pipeline.TableConfig("lineitem", "T"))))
+        val report = hl.process()
+        require(report.failed.isEmpty && report.rowCounts("lineitem") == liRows,
+          s"pipeline reconcile mismatch: $report")
+      })
+
+    val ops = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows},"scale":$scale,"base":"$base"}""")
+    spark.stop()
+  }
+}

@@ -59,7 +59,17 @@ object Config {
       tables = tables)
   }
 
-  def fromYamlFile(path: String): PipelineConfig =
-    fromYaml(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"))
+  /** Load config through the Hadoop filesystem layer, so any
+    * registered scheme works — bare local paths, `file://`, HDFS, or
+    * an object store — mirroring the reference's S3-or-local config
+    * read (utils/s3_operations.py:22-46, utils/config_gen.py:37-58).
+    */
+  def fromYamlFile(path: String,
+                   hadoopConf: org.apache.hadoop.conf.Configuration =
+                     new org.apache.hadoop.conf.Configuration()): PipelineConfig = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(hadoopConf).open(p)
+    try fromYaml(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
+  }
 }

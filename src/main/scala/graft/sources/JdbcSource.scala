@@ -28,6 +28,28 @@ object JdbcSource {
       numPartitions: Int = 8,
       fetchSize: Int = 100000)
 
+  object ScanConfig {
+    /** Build a scan config with credentials resolved through a
+      * [[SecretProvider]] chain (reference config_gen.py:60-123's
+      * env-then-config fallback, without values in code): keys are
+      * `<name>.url`, `<name>.user`, `<name>.password`.
+      */
+    def fromSecrets(secrets: SecretProvider, name: String,
+                    schema: String, table: String,
+                    partitionColumn: Option[String] = None,
+                    lowerBound: Option[Long] = None,
+                    upperBound: Option[Long] = None,
+                    numPartitions: Int = 8): ScanConfig =
+      ScanConfig(
+        url = secrets.require(s"$name.url"),
+        schema = schema, table = table,
+        user = secrets.require(s"$name.user"),
+        password = secrets.require(s"$name.password"),
+        partitionColumn = partitionColumn,
+        lowerBound = lowerBound, upperBound = upperBound,
+        numPartitions = numPartitions)
+  }
+
   /** Pure option-map construction (unit-testable without a DB). */
   def options(c: ScanConfig): Map[String, String] = {
     val base = Map(

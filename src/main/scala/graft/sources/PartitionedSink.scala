@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.time.LocalDateTime
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Partitioned Parquet sink (reference O-10): the reference PUTs one
   * in-memory Parquet object per 1M-row chunk under
@@ -18,15 +19,21 @@ object PartitionedSink {
       f"${ts.getDayOfMonth}%02d/${ts.getHour}%02d"
 
   /** Append the frame under the run's date path; returns rows written
-    * by re-reading the target (the engine's analogue of the
-    * reference's PG_LAST_COPY_COUNT reconciliation,
-    * utils/redshift_operations.py:154-159).
+    * (the engine's analogue of the reference's PG_LAST_COPY_COUNT
+    * reconciliation, utils/redshift_operations.py:154-159).
+    *
+    * The count rides the write itself via `observe` — O(this write),
+    * measured on the rows that actually flowed into the sink. The
+    * previous re-read-and-count was O(every run ever written to that
+    * hour's path) and raced with concurrent writers.
     */
   def writeDatePartitioned(df: DataFrame, baseDir: String, table: String,
                            ts: LocalDateTime): Long = {
     val path = datePath(baseDir, table, ts)
-    df.write.mode("append").parquet(path)
-    df.sparkSession.read.parquet(path).count()
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows_written"))
+      .write.mode("append").parquet(path)
+    obs.get("rows_written").asInstanceOf[Long]
   }
 
   /** Hive-style partitioned write (`partitionBy`) — the layout the

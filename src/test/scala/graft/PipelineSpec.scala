@@ -28,6 +28,34 @@ class ConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     assertThrows[IllegalArgumentException](Config.fromYaml("target_dir: /out"))
   }
 
+  test("secret resolution order: env wins, then config file, fail-fast on miss") {
+    import graft.sources.SecretProvider
+    val env = SecretProvider.fromEnv(Map("PG_PASSWORD" -> "from-env"))
+    val file = SecretProvider.fromYaml(
+      """pg.password: from-file
+        |pg.user: loader
+        |pg.url: jdbc:postgresql://h/db
+        |""".stripMargin)
+    val chain = env.orElse(file)
+    assert(chain.require("pg.password") == "from-env")  // env shadows file
+    assert(chain.require("pg.user") == "loader")        // file fills the gap
+    assertThrows[NoSuchElementException](chain.require("pg.missing"))
+
+    // wired into the scan config: no credentials in code
+    val cfg = JdbcSource.ScanConfig.fromSecrets(chain, "pg", "dbo", "t1")
+    assert(cfg.url == "jdbc:postgresql://h/db" && cfg.user == "loader"
+      && cfg.password == "from-env")
+  }
+
+  test("config loads through Hadoop FS: file:// URI and bare path") {
+    val f = Files.createTempFile("graft_cfg", ".yaml")
+    Files.write(f, "source_dir: /in\ntarget_dir: /out\ntables:\n  nation: {active_flag: \"T\"}\n".getBytes)
+    val viaUri = Config.fromYamlFile("file://" + f.toAbsolutePath)
+    val viaPath = Config.fromYamlFile(f.toAbsolutePath.toString)
+    assert(viaUri == viaPath && viaUri.sourceDir == "/in")
+    assert(viaUri.tables == Seq(TableConfig("nation", "T")))
+  }
+
   test("jdbc option construction (O-1 partitioned scan config)") {
     val opts = JdbcSource.options(JdbcSource.ScanConfig(
       url = "jdbc:postgresql://h/db", schema = "dbo", table = "t1",
@@ -77,6 +105,17 @@ class PipelineSpec extends SparkSpec {
     val report = hl.process()
     assert(report.succeeded == Seq("nation"))
     assert(report.failed.map(_._1) == Seq("nosuchtable"))
+  }
+
+  test("sink reconcile counts this write only, not every run at the path") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val ts = LocalDateTime.of(2024, 6, 1, 9, 0)
+    val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    assert(PartitionedSink.writeDatePartitioned(df, out, "region", ts) == 5)
+    // append into the SAME hour: reconcile reports this write (5), the
+    // path accumulates both
+    assert(PartitionedSink.writeDatePartitioned(df, out, "region", ts) == 5)
+    assert(spark.read.parquet(PartitionedSink.datePath(out, "region", ts)).count() == 10)
   }
 
   test("re-run appends under a new date path, leaving prior runs intact") {
