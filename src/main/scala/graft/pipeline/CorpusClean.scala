@@ -33,8 +33,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusClean {
 
+  /** `fastHashing` switches both dedup stages to the xxhash/native
+    * scale path (identical keeper semantics, different — equally
+    * valid — MinHash family; see Dedup). Default stays md5: that is
+    * the family the cross-engine oracle replays (q60).
+    */
   final case class Params(minTokens: Int = 20, minhashK: Int = 8,
-                          bands: Int = 4, rowsPerBand: Int = 2)
+                          bands: Int = 4, rowsPerBand: Int = 2,
+                          fastHashing: Boolean = false)
 
   /** Returns the surviving (doc_id, text) rows. */
   def clean(docs: DataFrame, params: Params = Params()): DataFrame = {
@@ -42,15 +48,17 @@ object CorpusClean {
       .where(size(TextAnalysis.tokens(col("text"))) >= params.minTokens)
       .persist(StorageLevel.DISK_ONLY)
 
-    val keepers = Dedup.exactDedup(quality, "doc_id", Seq("text"))
+    val exact = if (params.fastHashing) Dedup.exactDedupFast _ else Dedup.exactDedup _
+    val keepers = exact(quality, "doc_id", Seq("text"))
       .select(col("keeper_id").as("doc_id"))
     // Materialized once: consumed by the MinHash stage AND the final
     // anti-join; also collapses the duplicated `quality` derivation.
     val unique = quality.join(keepers, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.DISK_ONLY)
 
-    val sig = Dedup.minhashSignatures(unique, "doc_id", "text",
-      params.minhashK, shingleWidth = 3)
+    val minhash =
+      if (params.fastHashing) Dedup.minhashSignaturesFast _ else Dedup.minhashSignatures _
+    val sig = minhash(unique, "doc_id", "text", params.minhashK, 3)
     val nearDups = Dedup.lshCandidatePairs(sig, "doc_id",
       params.bands, params.rowsPerBand)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
   }
 
+  test("fast (xxhash64) paths agree with the md5 paths on what is a duplicate") {
+    // planted exact duplicates: 100 base docs, ids+1000 are copies
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val corpus = base.unionAll(base.select(col("doc_id") + 1000, col("text")))
+
+    // exact dedup: same duplicate-group structure (keeper, group size)
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.select("keeper_id", "n_copies").as[(Long, Long)].collect().sorted.toSeq
+    val slow = groups(Dedup.exactDedup(corpus, "doc_id", Seq("text")))
+    val fast = groups(Dedup.exactDedupFast(corpus, "doc_id", Seq("text")))
+    assert(fast == slow)
+
+    // fast minhash: every planted exact-dup pair must band-collide,
+    // and the fast signatures are deterministic across runs
+    val sigF = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", k = 8)
+    val pairsF = Dedup.lshCandidatePairs(sigF, "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val planted = base.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000)).toSet
+    // only docs that survive the >=shingleWidth token gate can pair
+    val eligible = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = planted.filter { case (a, b) => eligible(a) && eligible(b) }
+    assert(expected.nonEmpty && expected.subsetOf(pairsF),
+      s"missing planted pairs: ${(expected -- pairsF).take(5)}")
+    val sigF2 = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", k = 8)
+    assert(sigF.orderBy("doc_id").collect().toSeq ==
+      sigF2.orderBy("doc_id").collect().toSeq)
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
