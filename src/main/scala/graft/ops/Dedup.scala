@@ -135,6 +135,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-dup candidate pairs into duplicate CLUSTERS:
+    * connected components over the pair graph, each node labeled with
+    * the minimum doc id of its component (the deterministic keeper).
+    * LSH emits pairwise evidence; dedup policy needs transitive
+    * closure — A~B and B~C must retire both B and C, even though
+    * (A,C) never surfaced as a pair.
+    *
+    * Algorithm: min-label propagation to a fixpoint. Each round is
+    * one join edges⋈labels + one min-aggregation — all map-side
+    * combinable; `localCheckpoint` truncates the growing lineage per
+    * round. Rounds needed = component diameter, and near-dup clusters
+    * are short chains in practice (`maxIter` caps pathology). At
+    * 100 TB the same loop runs with the edge frame persisted across
+    * rounds (done here); if diameters ever get deep, the
+    * alternating-star variant halves the round count at the cost of
+    * two shuffles per round.
+    *
+    * The fixpoint is unique (min over a connected component), so the
+    * result is deterministic regardless of join/shuffle order.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // round 1: every node (both directions present) takes min(self, neighbors)
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("component"))
+      .localCheckpoint()
+    var converged = false
+    var round = 1
+    while (!converged && round < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("component"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") < col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash over token multiset: bit j of the hash is the
     * majority vote of bit j across md5-derived 32-bit token hashes.
     * Computed as 32 aggregate expressions in one groupBy pass — no

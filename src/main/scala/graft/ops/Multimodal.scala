@@ -1,18 +1,23 @@
 package graft.ops
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns with typed metadata, processed via typed-Dataset
   * mapPartitions (the Scala analogue of mapInPandas batch UDFs).
   *
-  * The Spark-side plumbing — schema, encoders, partition-batched
-  * execution, feature schema — is real and tested. The codec step is a
-  * STUB: this container ships no image/audio libraries, so
-  * `decodeStub` derives deterministic pseudo-features (md5 fingerprint
-  * + length-based dimensions) instead of calling a real decoder. A
-  * production build swaps `decodeStub` for a JNI/codec call without
-  * touching any of the distributed plumbing.
+  * The codec layer is a real dispatcher over the payload's magic
+  * bytes. Formats that are pure byte arithmetic are FULLY decoded in
+  * stdlib code — WAV/PCM audio (RIFF chunk walk: sample rate,
+  * channels, frame count, duration, RMS level) and BMP images (DIB
+  * header: dimensions, bit depth, mean luminance). Compressed formats
+  * (JPEG/PNG/MP4...) need codec libraries this container doesn't
+  * ship, so unrecognized payloads take the documented fallback branch:
+  * deterministic pseudo-features (md5 fingerprint + length-derived
+  * dims). A production build adds JNI/codec calls as new `case`s in
+  * `decode` without touching any distributed plumbing.
   *
   * Scale notes: mapPartitions keeps per-record overhead amortized over
   * a whole partition (one codec context per partition, not per row);
@@ -25,19 +30,82 @@ object Multimodal {
   /** An opaque media payload + metadata. */
   case class MediaRecord(id: Long, kind: String, data: Array[Byte])
 
-  /** Extracted features (decode output). */
-  case class MediaFeatures(id: Long, kind: String, size_bytes: Long,
-                           width: Int, height: Int, n_frames: Int,
+  /** Extracted features (decode output). `level_milli` is the audio
+    * RMS (milli of full scale) or image mean luminance (milli of 255);
+    * 0 on the opaque fallback path.
+    */
+  case class MediaFeatures(id: Long, kind: String, codec: String,
+                           size_bytes: Long, width: Int, height: Int,
+                           n_frames: Int, sample_rate: Int, channels: Int,
+                           duration_ms: Long, level_milli: Long,
                            fingerprint: String)
 
-  /** STUB decoder — deterministic pseudo-decode; see class docs.
-    * Real implementation: ??? (image/audio codec unavailable here).
+  private def md5Hex(data: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(data).map("%02x".format(_)).mkString
+
+  /** Codec dispatch on magic bytes. */
+  def decode(r: MediaRecord): MediaFeatures = {
+    val d = r.data
+    if (d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F'
+        && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E') decodeWav(r)
+    else if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') decodeBmp(r)
+    else decodeOpaque(r)
+  }
+
+  /** WAV/PCM: walk RIFF chunks for "fmt " and "data"; all features are
+    * exact integer byte arithmetic except one final RMS sqrt.
     */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(r.data).map("%02x".format(_)).mkString
+  private def decodeWav(r: MediaRecord): MediaFeatures = {
+    val buf = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= r.data.length) {
+      val id = new String(r.data, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      if (id == "fmt ") {
+        channels = buf.getShort(pos + 10).toInt
+        rate = buf.getInt(pos + 12)
+        bits = buf.getShort(pos + 22).toInt
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    val bytesPerFrame = math.max(channels * (bits / 8), 1)
+    val frames = if (dataOff < 0) 0 else dataLen / bytesPerFrame
+    val durationMs = if (rate > 0) frames.toLong * 1000L / rate else 0L
+    // RMS over 16-bit samples, milli of full scale
+    val level =
+      if (bits == 16 && dataOff >= 0 && dataLen >= 2) {
+        var sumSq = 0.0; var i = dataOff; var n = 0
+        val end = math.min(dataOff + dataLen, r.data.length) - 1
+        while (i < end) { val s = buf.getShort(i).toDouble; sumSq += s * s; n += 1; i += 2 }
+        if (n == 0) 0L else math.round(math.sqrt(sumSq / n) / 32768.0 * 1000.0)
+      } else 0L
+    MediaFeatures(r.id, r.kind, "wav/pcm", r.data.length.toLong, 0, 0,
+      frames, rate, channels, durationMs, level, md5Hex(r.data))
+  }
+
+  /** BMP: DIB header dims + mean luminance over the pixel array. */
+  private def decodeBmp(r: MediaRecord): MediaFeatures = {
+    val buf = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = math.abs(buf.getInt(22)) // negative = top-down rows
+    var i = math.max(dataOff, 0); var sum = 0L; var n = 0L
+    while (i < r.data.length) { sum += (r.data(i) & 0xff); n += 1; i += 1 }
+    val level = if (n == 0) 0L else sum * 1000L / (255L * n)
+    MediaFeatures(r.id, r.kind, "bmp", r.data.length.toLong, width, height,
+      1, 0, 0, 0L, level, md5Hex(r.data))
+  }
+
+  /** Fallback for formats needing external codec libraries:
+    * deterministic pseudo-features (documented stub branch).
+    */
+  private def decodeOpaque(r: MediaRecord): MediaFeatures = {
     val n = r.data.length
-    MediaFeatures(r.id, r.kind, n.toLong, n % 640, (n * 7) % 480, n / 100, fp)
+    MediaFeatures(r.id, r.kind, "opaque", n.toLong, n % 640, (n * 7) % 480,
+      n / 100, 0, 0, 0L, 0L, md5Hex(r.data))
   }
 
   /** Partition-batched feature extraction over typed records. One
@@ -46,7 +114,7 @@ object Multimodal {
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it => it.map(decodeStub) }
+    ds.mapPartitions { it => it.map(decode) }
   }
 
   /** Lift a (id, binary) frame into the typed pipeline. */

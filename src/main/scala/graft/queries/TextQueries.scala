@@ -104,6 +104,15 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH pairs -> transitive duplicate clusters: connected components
+    // with min-id labels (the deterministic keeper per cluster)
+    "q77_neardup_clusters" -> ((s, dir) => {
+      val sig = Dedup.minhashSignatures(dupCorpus(s, dir), "doc_id", "text",
+        k = 8, shingleWidth = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     "q46_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(sampledDupCorpus(s, dir), "doc_id", "text",
         blockCol = "lang", shingleWidth = 2, minJaccardMilli = 300)
@@ -315,6 +324,36 @@ object TextQueries {
          SELECT md5('(' || coalesce(text, '') || ')') AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM corpus GROUP BY 1 ORDER BY fingerprint""",
+    // q45's pair chain + transitive closure (recursive CTE, UNION
+    // dedups so it terminates on cycles); component = min reachable id
+    "q77_neardup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte,
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                     AND a.doc_id < b.doc_id
+                   JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         comp AS (SELECT src AS id, least(src, MIN(dst)) AS component
+                  FROM reach GROUP BY src)
+         SELECT id, component FROM comp ORDER BY id""",
     "q45_minhash_pairs" ->
       s"""WITH $corpusCte,
          toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
@@ -360,11 +399,13 @@ object TextQueries {
          SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
          FROM b ORDER BY doc_id""",
     "q51_multimodal_features" ->
-      """SELECT doc_id AS id, 'doc' AS kind,
+      """SELECT doc_id AS id, 'doc' AS kind, 'opaque' AS codec,
          CAST(strlen(text) AS BIGINT) AS size_bytes,
          CAST(strlen(text) % 640 AS INTEGER) AS width,
          CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
          CAST(strlen(text) // 100 AS INTEGER) AS n_frames,
+         CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels,
+         CAST(0 AS BIGINT) AS duration_ms, CAST(0 AS BIGINT) AS level_milli,
          md5(text) AS fingerprint
          FROM documents ORDER BY id""",
     "q52_term_search" ->

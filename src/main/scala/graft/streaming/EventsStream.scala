@@ -52,4 +52,20 @@ object EventsStream {
   /** The streaming hourly aggregation with watermarked state. */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(readStream(spark, dir).withWatermark("ts", "2 hours"))
+
+  /** Exact dedup by event id, mode-agnostic: in streaming mode the
+    * duplicates are dropped across micro-batches through the state
+    * store, and the watermark bounds that state — ids older than the
+    * horizon are evicted, so state is O(events within the watermark),
+    * not O(stream history). The at-least-once file/queue sources this
+    * feeds from make a dedup stage the standard first hop of a
+    * production ingest (the streaming analogue of O-15).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** The streaming dedup with watermarked state. */
+  def dedupStream(spark: SparkSession, dir: String,
+                  delay: String = "48 hours"): DataFrame =
+    dedupEvents(readStream(spark, dir).withWatermark("ts", delay))
 }

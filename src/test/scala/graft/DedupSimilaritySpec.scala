@@ -24,6 +24,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
   }
 
+  test("connected components: transitive min-id labels over pair evidence") {
+    // a 4-chain (needs multi-round propagation), a 2-pair, a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("fast (xxhash64) paths agree with the md5 paths on what is a duplicate") {
     // planted exact duplicates: 100 base docs, ids+1000 are copies
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -132,16 +132,69 @@ class PipelineSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
   import graft.ops.Multimodal
+  import Multimodal.MediaRecord
 
-  test("typed media pipeline: deterministic stub features over binary payloads") {
+  test("typed media pipeline: deterministic fallback features over opaque payloads") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val ds = Multimodal.fromBinaryFrame(spark, docs.limit(10), "doc_id", "text", "doc")
     val feats = Multimodal.extractFeatures(ds).collect()
     assert(feats.length == 10)
-    assert(feats.forall(f => f.fingerprint.length == 32))
+    assert(feats.forall(f => f.codec == "opaque" && f.fingerprint.length == 32))
     assert(feats.forall(f => f.width == (f.size_bytes % 640).toInt))
     // determinism: same input -> same features
     val again = Multimodal.extractFeatures(ds).collect()
     assert(feats.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
+  }
+
+  /** Minimal valid mono 16-bit PCM WAV: `samples` at `rate` Hz. */
+  private def wavBytes(samples: Seq[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)            // PCM, mono
+    buf.putInt(rate); buf.putInt(rate * 2)      // byte rate
+    buf.putShort(2); buf.putShort(16)           // block align, bits
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Minimal 24bpp BMP with the given pixel bytes (BGR rows). */
+  private def bmpBytes(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(54 + pixels.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("BM".getBytes); buf.putInt(54 + pixels.length)
+    buf.putInt(0); buf.putInt(54)               // reserved, pixel offset
+    buf.putInt(40); buf.putInt(w); buf.putInt(h) // DIB v3 header
+    buf.putShort(1); buf.putShort(24)
+    buf.putInt(0); buf.putInt(pixels.length); buf.putInt(2835); buf.putInt(2835)
+    buf.putInt(0); buf.putInt(0)
+    buf.put(pixels)
+    buf.array()
+  }
+
+  test("real WAV/PCM decode: rate, frames, duration, RMS from raw bytes") {
+    import spark.implicits._
+    // constant full-scale-half samples -> RMS = 500 milli exactly
+    val wav = wavBytes(Seq.fill(8000)(16384.toShort), rate = 8000)
+    val ds = Seq(MediaRecord(1L, "audio", wav)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.codec == "wav/pcm")
+    assert(f.sample_rate == 8000 && f.channels == 1)
+    assert(f.n_frames == 8000 && f.duration_ms == 1000L)
+    assert(f.level_milli == 500L, s"rms was ${f.level_milli}")
+  }
+
+  test("real BMP decode: dimensions and mean luminance from raw bytes") {
+    import spark.implicits._
+    // 2x2 x 24bpp, all channels 51 -> luminance 51/255 = 200 milli
+    val bmp = bmpBytes(2, 2, Array.fill(12)(51.toByte))
+    val ds = Seq(MediaRecord(2L, "image", bmp)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.codec == "bmp")
+    assert(f.width == 2 && f.height == 2 && f.n_frames == 1)
+    assert(f.level_milli == 200L, s"luminance was ${f.level_milli}")
   }
 }

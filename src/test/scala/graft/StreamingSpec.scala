@@ -33,4 +33,35 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batch))
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicate event ids across micro-batches") {
+    // the same fixture staged TWICE: every event id arrives in two
+    // different files; maxFilesPerTrigger=1 forces separate
+    // micro-batches, so the drop happens through the state store
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve(s"events_$n.parquet"))
+    }
+
+    val src = spark.readStream.schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val deduped = EventsStream.dedupEvents(
+      EventsStream.withTimestamp(src).withWatermark("ts", "3650 days"))
+
+    val q = deduped.select("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      val expected = spark.read.schema(EventsStream.rawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(ids.length == expected.length, "one survivor per event id")
+      assert(ids.sameElements(expected))
+    } finally q.stop()
+  }
 }
