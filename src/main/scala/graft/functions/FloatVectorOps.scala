@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native codegen'd dot product over two array<float> columns.
   *
@@ -59,11 +59,63 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product over two array<long> columns.
+  *
+  * Unlike float dots, INTEGER dot products are exactly associative —
+  * the result is bit-identical to the interpreted
+  * `aggregate(zip_with(...))` chain under any evaluation order. So
+  * this expression can sit on the ORACLE-parity path (Similarity
+  * .dotLong): same exactness contract, codegen loop instead of a
+  * per-element lambda interpreter.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += arrA.getLong(i) * arrB.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVectorOps {
 
   /** Column API: dot(a, b) over array<float>. */
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: exact dot(a, b) over array<long>. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Cosine similarity built on the native dot. */

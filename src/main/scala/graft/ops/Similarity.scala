@@ -29,9 +29,14 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast(LongType))
 
-  /** Exact integer dot product of two array<long> columns. */
+  /** Exact integer dot product of two array<long> columns — the
+    * native codegen'd loop (graft.functions.LongDotProduct). Integer
+    * addition is exactly associative, so unlike the float path this
+    * IS the oracle-parity dot: bit-identical to the interpreted
+    * `aggregate(zip_with(...))` chain it replaced, at codegen speed.
+    */
   def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.FloatVectorOps.longDot(a, b)
 
   /** Cosine similarity scaled to micro-units (bigint), from integer
     * dot products: dot / (||a|| * ||b||), rounded to 1e-6.

@@ -130,6 +130,27 @@ object TextQueries {
       Multimodal.extractFeatures(ds).toDF().orderBy("id")
     }),
 
+    // TF-IDF top-5 terms per document: exact integer tf/df, one
+    // deterministic ln + round at the end (micro units)
+    "q78_tfidf_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(nDocs)
+        .withColumn("score_micro",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(1000000.0)).cast(LongType))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w).cast(LongType))
+        .where(col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "score_micro")
+        .orderBy("doc_id", "rnk")
+    }),
+
     "q52_term_search" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
@@ -408,6 +429,23 @@ object TextQueries {
          CAST(0 AS BIGINT) AS duration_ms, CAST(0 AS BIGINT) AS level_milli,
          md5(text) AS fingerprint
          FROM documents ORDER BY id""",
+    "q78_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, t.term, t.tf,
+             CAST(round(t.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+               * 1000000) AS BIGINT) AS score_micro
+           FROM tf t JOIN df ON df.term = t.term, n)
+         SELECT doc_id, rnk, term, tf, score_micro FROM (
+           SELECT doc_id, term, tf, score_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, term) AS BIGINT) AS rnk
+           FROM scored)
+         WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     "q52_term_search" ->
       """SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

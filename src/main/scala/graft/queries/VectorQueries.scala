@@ -62,6 +62,20 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // per-label embedding centroids: exact long sums per dimension
+    // (order-independent), one IEEE division chain at the end — the
+    // aggregation a label-balanced sampler or a class-prototype
+    // similarity search runs over the whole corpus
+    "q79_label_centroids" -> ((s, dir) => {
+      val e = Similarity.withQuantized(t(s, dir, "embeddings"), "embedding")
+      e.select(col("label"), posexplode(col("ei")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_micro"))
+        .withColumn("centroid",
+          col("sum_micro").cast("double") / col("n") / lit(1000000.0))
+        .orderBy("label", "dim")
+    }),
+
     // embedding near-dup pairs over a 10% sample (quadratic stage is
     // sampled; the scale path for full-corpus near-dup is LSH, q49)
     "q50_embed_neardup" -> ((s, dir) => {
@@ -222,6 +236,15 @@ object VectorQueries {
                     JOIN norms nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, sim_micro FROM sims
          WHERE sim_micro >= 300000 ORDER BY id_a, id_b""",
+    "q79_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ei
+           FROM embeddings),
+         flat AS (SELECT label, generate_subscripts(ei, 1) - 1 AS dim, unnest(ei) AS v FROM e)
+         SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
+           SUM(v) AS sum_micro,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+         FROM flat GROUP BY label, dim ORDER BY label, dim""",
     "q50_embed_neardup" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ei

@@ -37,6 +37,32 @@ class FloatVectorOpsSpec extends SparkSpec {
       q.count() == 500) // expression planned and runnable either way
   }
 
+  test("native long dot is bit-identical to the interpreted HOF chain") {
+    val rows = Seq(
+      (Seq(1000000L, -2000000L, 3000000L), Seq(7L, 11L, 13L)),
+      (Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)),
+      (Seq(Long.MaxValue / 4294967296L, 5L, -9L), Seq(3L, -5L, 2L))
+    ).toDF("a", "b")
+    val out = rows.select(
+      FloatVectorOps.longDot(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    // exactness on the real quantized fixture: every pairwise dot of
+    // the first 20 embeddings agrees with the HOF chain
+    val e = graft.ops.Similarity.withQuantized(
+      Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(20), "embedding")
+    val a = e.select($"vec_id".as("ia"), $"ei".as("ea"))
+    val bb = e.select($"vec_id".as("ib"), $"ei".as("eb"))
+    val diff = a.crossJoin(bb).select(
+        FloatVectorOps.longDot(col("ea"), col("eb")).as("native"),
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("cosine of identical vectors is 1.0, opposite is -1.0") {
     val two = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-1.0f, -2.0f)))
       .toDF("a", "b", "c")
