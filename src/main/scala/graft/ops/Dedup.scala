@@ -154,8 +154,44 @@ object Dedup {
     *
     * The fixpoint is unique (min over a connected component), so the
     * result is deterministic regardless of join/shuffle order.
+    *
+    * Size-adaptive: the pair graph after LSH banding is tiny relative
+    * to the corpus (it holds only suspected duplicates), so up to
+    * `driverMaxEdges` the component resolution is one collect + exact
+    * union-find on the driver — no per-round jobs at all. Beyond
+    * that, the distributed propagation loop takes over. Both paths
+    * produce the identical (unique) labeling.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverMaxEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    if (driverMaxEdges > 0) {
+      val sample = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(driverMaxEdges.toInt + 1).as[(Long, Long)].collect()
+      if (sample.length <= driverMaxEdges) {
+        // union-find with path compression, then min-id per root
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        // unions keep the smaller root, so find() IS the component min
+        sample.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = sample.flatMap { case (a, b) => Seq(a, b) }.distinct
+        return nodes.sorted.map(n => (n, find(n))).toSeq
+          .toDF("id", "component")
+      }
+    }
+
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

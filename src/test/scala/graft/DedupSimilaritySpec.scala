@@ -28,10 +28,16 @@ class DedupSpec extends SparkSpec {
     // a 4-chain (needs multi-round propagation), a 2-pair, a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default) and distributed propagation
+    // path (forced) must produce the identical unique labeling
+    val viaDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val viaLoop = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expected)
+    assert(viaLoop == expected)
   }
 
   test("fast (xxhash64) paths agree with the md5 paths on what is a duplicate") {
