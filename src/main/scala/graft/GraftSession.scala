@@ -18,6 +18,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // engine extensions: native rewrites for idiomatic HOF patterns
+      .withExtensions(e =>
+        e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

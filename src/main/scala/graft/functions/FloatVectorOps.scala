@@ -73,10 +73,16 @@ case class LongDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // null on length mismatch — zip_with pads the shorter array with
+  // nulls and the sum collapses to null, and this expression must be
+  // substitutable for that chain (plans/NativeDotRewrite relies on it)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    val n = arrA.numElements()
+    if (n != arrB.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -92,12 +98,16 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
