@@ -135,6 +135,35 @@ object Dedup {
       .distinct()
   }
 
+  /** WEIGHTED MinHash: Jaccard over token MULTISETS (tf-weighted),
+    * via exact repetition expansion — token t with frequency w
+    * contributes elements t#1..t#w, and MinHash over that expanded
+    * set estimates the weighted Jaccard
+    * sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) exactly in
+    * expectation. Boilerplate-heavy documents that repeat the same
+    * phrases stop looking identical to their deduplicated token sets.
+    *
+    * Deterministic md5/KM family (cross-engine replicable, q80's
+    * oracle re-derives it); expansion cost is bounded by total token
+    * count — the same cost class as the shingle explode. Output shape
+    * is h0..h{k-1}, so [[lshCandidatePairs]] consumes it unchanged.
+    */
+  def weightedMinhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val hashed = tf
+      .select(col(idCol), col("tok"), explode(expr("sequence(1, tf)")).as("rep"))
+      .select(col(idCol), md5(concat_ws("#", col("tok"), col("rep"))).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast(LongType).as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast(LongType).as("h2"))
+    hashed.groupBy(idCol).agg(
+      min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("h0"),
+      (1 until k).map(j =>
+        min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"h$j")): _*)
+  }
+
   /** Resolve near-dup candidate pairs into duplicate CLUSTERS:
     * connected components over the pair graph, each node labeled with
     * the minimum doc id of its component (the deterministic keeper).

@@ -104,6 +104,15 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // tf-weighted MinHash/LSH near-dup pairs over the dup corpus —
+    // multiset Jaccard (repeated phrases count), same banding
+    "q80_weighted_minhash_pairs" -> ((s, dir) => {
+      val sig = Dedup.weightedMinhashSignatures(dupCorpus(s, dir), "doc_id",
+        "text", k = 8)
+      Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LSH pairs -> transitive duplicate clusters: connected components
     // with min-id labels (the deterministic keeper per cluster)
     "q77_neardup_clusters" -> ((s, dir) => {
@@ -345,6 +354,29 @@ object TextQueries {
          SELECT md5('(' || coalesce(text, '') || ')') AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM corpus GROUP BY 1 ORDER BY fingerprint""",
+    "q80_weighted_minhash_pairs" ->
+      s"""WITH $corpusCte,
+         toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                  FROM corpus),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         reps AS (SELECT doc_id, tok || '#' || CAST(rep AS VARCHAR) AS elem
+                  FROM tf, LATERAL (SELECT unnest(range(1, tf + 1)) AS rep) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(elem), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(elem), 9, 8))::BIGINT AS h2
+                FROM reps),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+           AND a.doc_id < b.doc_id
+         JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig
+         ORDER BY doc_a, doc_b""",
     // q45's pair chain + transitive closure (recursive CTE, UNION
     // dedups so it terminates on cycles); component = min reachable id
     "q77_neardup_clusters" ->

@@ -24,6 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
   }
 
+  test("weighted minhash is multiset-sensitive; plain minhash is not") {
+    val docs = Seq(
+      (1L, "spark spark spark catalyst optimizer"),   // heavy repetition
+      (2L, "spark catalyst optimizer"),               // same token SET
+      (3L, "spark spark spark catalyst optimizer"))   // identical multiset of 1
+      .toDF("doc_id", "text")
+    val w = Dedup.weightedMinhashSignatures(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    // identical multisets agree on every hash; set-equal multisets differ
+    assert(w(0).toSeq.drop(1) == w(2).toSeq.drop(1))
+    assert(w(0).toSeq.drop(1) != w(1).toSeq.drop(1))
+  }
+
   test("connected components: transitive min-id labels over pair evidence") {
     // a 4-chain (needs multi-round propagation), a 2-pair, a triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
