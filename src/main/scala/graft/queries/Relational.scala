@@ -479,6 +479,27 @@ object Relational {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
         .orderBy("hour", "event_type")
+    }),
+
+    // funnel interval self-join: click -> purchase by the same user
+    // within one hour. Time math in exact integer microseconds (the
+    // epoch_us/unix_micros parity convention); executes as one
+    // SortMergeJoin on user_id with the range as a join filter — no
+    // quadratic stage. Streaming analogue: EventsStream.funnelPairs.
+    "q81_funnel_pairs" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+      c.join(p, col("user_id") === col("p_user")
+          && col("p_us") > col("c_us")
+          && col("p_us") <= col("c_us") + lit(3600000000L))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("c_us")).as("delta_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -767,5 +788,13 @@ object Relational {
     "q33_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q81_funnel_pairs" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+         FROM events c JOIN events p ON p.user_id = c.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND epoch_us(p.ts) > epoch_us(c.ts)
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+         ORDER BY c.user_id, click_id, purchase_id""")
 }

@@ -68,4 +68,26 @@ object EventsStream {
   def dedupStream(spark: SparkSession, dir: String,
                   delay: String = "48 hours"): DataFrame =
     dedupEvents(readStream(spark, dir).withWatermark("ts", delay))
+
+  /** Funnel interval join (click -> purchase by the same user within
+    * one hour), mode-agnostic — the streaming analogue of
+    * q81_funnel_pairs. As a stream-stream join the range condition
+    * bounds both state stores: with watermarked inputs, clicks older
+    * than watermark−1h and purchases older than watermark are evicted,
+    * so state is O(events in the join window), not O(stream history).
+    */
+  def funnelPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+        expr("""c.user_id = p.user_id AND p.ts > c.ts
+                AND p.ts <= c.ts + interval 1 hour"""))
+      .select(col("c.user_id"), col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+
+  /** The streaming funnel with watermarked two-sided state. */
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readStream(spark, dir)
+    funnelPairs(
+      ev.where(col("event_type") === "click").withWatermark("ts", "2 hours"),
+      ev.where(col("event_type") === "purchase").withWatermark("ts", "2 hours"))
+  }
 }

@@ -64,4 +64,31 @@ class StreamingSpec extends SparkSpec {
       assert(ids.sameElements(expected))
     } finally q.stop()
   }
+
+  test("stream-stream funnel join matches the batch plan over the same data") {
+    val batchEv = EventsStream.withTimestamp(
+      spark.read.schema(EventsStream.rawSchema)
+        .parquet("/root/testdata/sf0.001/events.parquet"))
+    val batch = EventsStream.funnelPairs(
+        batchEv.where("event_type = 'click'"),
+        batchEv.where("event_type = 'purchase'"))
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val q = EventsStream.funnelStream(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .orderBy("user_id", "click_id", "purchase_id").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
 }
