@@ -215,6 +215,50 @@ object Ivf {
       .select(col("q_id"), col("rnk"), col(idCol), col("sim_micro"))
   }
 
+  /** Materialize the IVF index: the corpus written once, hive-
+    * partitioned by cell. This is the 100 TB deployment shape — the
+    * assignment pass runs once (narrow map, see [[assign]]), and every
+    * subsequent probe reads ONLY its probed cells via partition
+    * pruning instead of scanning the corpus. cell count = directory
+    * count, so `nLists` should be sized like any partition key
+    * (hundreds to low thousands).
+    */
+  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit =
+    assign(corpus, model.centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a materialized index: identical semantics to [[search]],
+    * but the corpus side is a pruned read of the probed cell
+    * directories. The probed cell set is computed first (one tiny job
+    * over the query set — queries are broadcast-sized by contract) and
+    * pushed as a STATIC `cell IN (...)` partition filter, so pruning
+    * is guaranteed rather than left to dynamic-pruning heuristics.
+    * Asserted in IvfSpec.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, idCol: String, model: Model,
+                  k: Int, nProbe: Int): DataFrame = {
+    val queryCells = queries
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCells(col("embedding"), model.centroids)),
+          1, nProbe)))
+      .select(col(idCol).as("q_id"), col("embedding").as("qe"),
+        col("probe").getField("cell").as("cell"))
+
+    val probedCells = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusCells = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("sim", floatCosine(col("embedding"), col("qe")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("sim"))
+  }
+
   /** Probe: top-k cosine within the query's `nProbe` nearest cells.
     * Query-side probe selection is the same in-plan argmin (sorted,
     * first nProbe) — no window over the query set either.

@@ -47,6 +47,33 @@ class IvfSpec extends SparkSpec {
     assert(purity == 1L)
   }
 
+  test("materialized index: pruned probe reads match in-memory search") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val model = Ivf.fit(corpus, "vec_id", nLists = 4, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Ivf.writeIndex(corpus, model, path)
+
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 4, cellDirs.mkString(","))
+
+    val fromIndex = Ivf.searchIndex(spark, path, queries, "vec_id", model,
+      k = 5, nProbe = 1)
+    val inMemory = Ivf.search(corpus, queries, "vec_id", model, k = 5, nProbe = 1)
+    assert(fromIndex.orderBy("q_id", "rnk").collect().toSeq ==
+      inMemory.orderBy("q_id", "rnk").collect().toSeq)
+
+    // the probe must prune partitions: the corpus scan carries a
+    // static cell-membership partition filter, not a full-corpus read
+    val scanLine = fromIndex.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("cell") &&
+      (scanLine.contains(" IN ") || scanLine.contains("INSET")),
+      s"expected static cell pruning in scan:\n$scanLine")
+  }
+
   test("IVF search recall@5 is 1.0 on clustered data with nProbe=1") {
     val corpus = clustered
     val queries = corpus.where($"vec_id" % 50 === 0) // one per cluster
