@@ -104,6 +104,17 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // stratified deterministic sampling: rebalance languages with
+    // content-addressed membership (reproducible on any engine /
+    // partitioning / rerun — RNG samplers are not)
+    "q82_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 300, "de" -> 800, "zh" -> 800), defaultMilli = 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // tf-weighted MinHash/LSH near-dup pairs over the dup corpus —
     // multiset Jaccard (repeated phrases count), same banding
     "q80_weighted_minhash_pairs" -> ((s, dir) => {
@@ -354,6 +365,12 @@ object TextQueries {
          SELECT md5('(' || coalesce(text, '') || ')') AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM corpus GROUP BY 1 ORDER BY fingerprint""",
+    "q82_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+           < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 800
+                       WHEN 'zh' THEN 800 ELSE 100 END
+         ORDER BY doc_id""",
     "q80_weighted_minhash_pairs" ->
       s"""WITH $corpusCte,
          toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
