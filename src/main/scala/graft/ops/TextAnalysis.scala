@@ -19,6 +19,21 @@ object TextAnalysis {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** PII scrubbing: redact emails, URLs, and long digit runs (phone/
+    * account numbers) with typed placeholders. Patterns use only
+    * regex constructs shared by Java regex and RE2, so the scrub is
+    * reproducible in any engine (q83's oracle re-runs it in DuckDB).
+    * A narrow, codegen'd map — the standard first hop before text is
+    * allowed into a training corpus.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^ ]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** Occurrences of an exact token. */

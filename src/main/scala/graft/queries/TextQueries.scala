@@ -104,6 +104,22 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // PII scrub over a corpus with planted emails/URLs/numbers —
+    // fingerprint proves the redacted text matches exactly
+    "q83_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("contact_"), col("doc_id")), lit("user@example.com"),
+          lit("https://example.org/x?y=1"), lit("call 555 123 4567 now"))
+          .as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("clean"))
+        .withColumn("fp", md5(col("clean")))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // stratified deterministic sampling: rebalance languages with
     // content-addressed membership (reproducible on any engine /
     // partitioning / rerun — RNG samplers are not)
@@ -365,6 +381,20 @@ object TextQueries {
          SELECT md5('(' || coalesce(text, '') || ')') AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM corpus GROUP BY 1 ORDER BY fingerprint""",
+    "q83_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+           concat_ws(' ', text, 'contact_' || CAST(doc_id AS VARCHAR),
+             'user@example.com', 'https://example.org/x?y=1',
+             'call 555 123 4567 now') AS text
+           FROM documents)
+         SELECT doc_id, md5(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g')) AS fp
+         FROM planted ORDER BY doc_id""",
     "q82_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000

@@ -45,4 +45,31 @@ object PartitionedSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction for one parquet directory: rewrite the
+    * part files into ~`targetFileBytes`-sized files. Chronic small
+    * files are the classic failure mode of append-per-run layouts
+    * like the hourly date path above — at 100 TB a scan's task count
+    * (and the namenode/object-store listing cost) is governed by file
+    * count, not data size. Uses `coalesce` (narrow, no shuffle) and a
+    * write-to-temp + rename swap; returns (filesBefore, filesAfter).
+    *
+    * For hive-partitioned tables, compact leaf directories
+    * individually (partition pruning must keep working).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction swap failed for $path")
+    (parts.length, n)
+  }
 }

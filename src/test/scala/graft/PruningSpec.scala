@@ -30,4 +30,20 @@ class PruningSpec extends SparkSpec {
     val clickDirOnly = spark.read.parquet(s"$out/event_type=click").count()
     assert(clickCount == clickDirOnly)
   }
+
+  test("compaction merges small files without changing the data") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(16).write.parquet(out)
+    val before = orders.orderBy("o_orderkey").collect().toSeq
+
+    val (nBefore, nAfter) = PartitionedSink.compact(spark, out)
+    assert(nBefore == 16 && nAfter == 1, s"$nBefore -> $nAfter")
+    val partFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles == 1)
+
+    val after = spark.read.parquet(out).orderBy("o_orderkey").collect().toSeq
+    assert(after == before)
+  }
 }
