@@ -38,6 +38,7 @@ object BenchScale {
     val part = spark.read.parquet(s"$base/part.parquet")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet") // ts = ns long
 
     // materialize scaled inputs once (setup, not timed) with explicit
     // partitioning — a real 100 TB source arrives in thousands of row
@@ -51,13 +52,19 @@ object BenchScale {
       .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
     replicate(emb, 1280, Seq("vec_id")).repartition(parts)
       .write.mode("overwrite").parquet(s"$tmp/emb.parquet")
+    // user_id also remapped: each replica is an independent user
+    // universe, so join density per user stays constant
+    replicate(ev, scale, Seq("event_id", "user_id")).repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
 
     val liBig = spark.read.parquet(s"$tmp/src/lineitem.parquet")
     val docsBig = spark.read.parquet(s"$tmp/docs.parquet")
     val embBig = spark.read.parquet(s"$tmp/emb.parquet")
+    val evBig = spark.read.parquet(s"$tmp/events.parquet")
     val liRows = liBig.count()
     val docRows = docsBig.count()
     val embRows = embBig.count()
+    val evRows = evBig.count()
 
     // ---- timed operations ------------------------------------------
     // best-of-2: the first run of an op pays one-time JIT/codegen and
@@ -120,6 +127,29 @@ object BenchScale {
         graft.ops.Similarity.bruteForceTopKNative(
           embBig, emb.where(col("vec_id") < 5), "vec_id", k = 5).count()
       },
+      time("weighted_minhash") {
+        graft.ops.Dedup.weightedMinhashSignatures(docsBig, "doc_id", "text",
+          k = 8).count()
+      },
+      time("neardup_components") {
+        val sig = graft.ops.Dedup.minhashSignaturesFast(docsBig, "doc_id",
+          "text", k = 8, shingleWidth = 3)
+        // star edges: connectivity-equivalent, n-1 edges per bucket
+        val edges = graft.ops.Dedup.lshCandidateEdges(sig, "doc_id",
+          bands = 4, rowsPerBand = 2)
+        graft.ops.Dedup.connectedComponents(edges).count()
+      },
+      time("funnel_interval_join") {
+        // ns-long timestamps: exact integer range join, 1h = 3.6e12 ns
+        val c = evBig.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        val p = evBig.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        c.join(p, col("user_id") === col("p_user")
+            && col("p_ts") > col("c_ts")
+            && col("p_ts") <= col("c_ts") + lit(3600000000000L))
+          .count()
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,
@@ -132,7 +162,7 @@ object BenchScale {
     val ops = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows},"scale":$scale,"base":"$base"}""")
+    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
     spark.stop()
   }
 }

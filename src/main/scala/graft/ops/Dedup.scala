@@ -135,6 +135,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Connectivity-preserving variant of [[lshCandidatePairs]] for the
+    * components/dedup path: per bucket emit STAR edges (min id ->
+    * every other id), n-1 edges instead of C(n,2) pairs. Within a
+    * bucket the star spans exactly the same connected component, so
+    * [[connectedComponents]] over these edges produces identical
+    * clusters — at a fraction of the edge volume (a degenerate
+    * 100-way duplicate bucket emits 99 edges, not 4950). Use the full
+    * pair set only when every candidate pair gets similarity-verified
+    * downstream.
+    */
+  def lshCandidateEdges(sig: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
+          .as("bandsig"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
+    exploded.groupBy("band", "bandsig")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), y -> struct(element_at(ids, 1) AS a, y AS b))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** WEIGHTED MinHash: Jaccard over token MULTISETS (tf-weighted),
     * via exact repetition expansion — token t with frequency w
     * contributes elements t#1..t#w, and MinHash over that expanded
@@ -195,36 +226,40 @@ object Dedup {
                           driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-
-    if (driverMaxEdges > 0) {
-      val sample = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .limit(driverMaxEdges.toInt + 1).as[(Long, Long)].collect()
-      if (sample.length <= driverMaxEdges) {
-        // union-find with path compression, then min-id per root
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        // unions keep the smaller root, so find() IS the component min
-        sample.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val nodes = sample.flatMap { case (a, b) => Seq(a, b) }.distinct
-        return nodes.sorted.map(n => (n, find(n))).toSeq
-          .toDF("id", "component")
-      }
-    }
-
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+    // materialize the (usually expensive) pair lineage exactly ONCE;
+    // both the size probe and either resolution path read the cache
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() / 2
+
+    if (nEdges <= driverMaxEdges) {
+      val sample = edges.where(col("src") < col("dst"))
+        .as[(Long, Long)].collect()
+      edges.unpersist()
+      // union-find with path compression; unions keep the smaller
+      // root, so find() IS the component min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sample.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = sample.flatMap { case (a, b) => Seq(a, b) }.distinct
+      return nodes.sorted.map(n => (n, find(n))).toSeq
+        .toDF("id", "component")
+    }
 
     // round 1: every node (both directions present) takes min(self, neighbors)
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))

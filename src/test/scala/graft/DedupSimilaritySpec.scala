@@ -24,6 +24,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
   }
 
+  test("star candidate edges yield identical components to full pairs") {
+    // 3-way duplicate clusters: base + two copy generations
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(60)
+    val corpus = base
+      .unionAll(base.select(col("doc_id") + 1000, col("text")))
+      .unionAll(base.select(col("doc_id") + 2000, col("text")))
+    val sig = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", k = 8)
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val full = comps(Dedup.lshCandidatePairs(sig, "doc_id", 4, 2))
+    val star = comps(Dedup.lshCandidateEdges(sig, "doc_id", 4, 2))
+    assert(full.nonEmpty && full == star)
+  }
+
   test("weighted minhash is multiset-sensitive; plain minhash is not") {
     val docs = Seq(
       (1L, "spark spark spark catalyst optimizer"),   // heavy repetition
