@@ -1,0 +1,37 @@
+package graft
+
+/** Permanent plan audit over EVERY SparkEntry query: the operators
+  * that must never appear silently — CartesianProduct (an unintended
+  * cross join is a scale-killer) and SortAggregate (a string-keyed or
+  * non-mutable aggregate buffer fell out of HashAggregate; see the
+  * MinHash long-buffer rationale). BroadcastNestedLoopJoin is allowed
+  * only where it is the intended plan (brute-force scoring against a
+  * broadcast-size side, scalar-count cross joins).
+  *
+  * Catches regressions the per-op specs can't: a refactor that turns
+  * a broadcast join into a cartesian, or an aggregate falling back to
+  * sort-based, shows up here before it shows up at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val bnljAllowed = Set(
+    "q09_join_nonequi_bands",  // non-equi vs broadcast dimension
+    "q48_ann_bruteforce",      // corpus x 5 broadcast query vectors
+    "q50_embed_neardup",       // sampled quadratic stage (by design)
+    "q78_tfidf_topk")          // single-row n_docs scalar cross join
+
+  test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "SortAggregate" -> plan.contains("SortAggregate"),
+        "BroadcastNestedLoopJoin" ->
+          (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)))
+      bad.collect { case (op, true) => s"$name: $op" }
+    }
+    assert(offenders.isEmpty, s"plan audit failures:\n${offenders.mkString("\n")}")
+    spark.catalog.clearCache() // q60's corpus-clean persists its stages
+  }
+}
