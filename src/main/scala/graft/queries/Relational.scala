@@ -268,11 +268,18 @@ object Relational {
     }),
 
     "q35_approx_distinct" -> ((s, dir) => {
-      // HLL sketch: engine-specific estimate, no SQL oracle (driver
-      // records the weaker rows-only check); exact count rides along
+      // HLL estimates are engine-specific, so the sketch VALUE can't
+      // be differentially compared — but its accuracy contract can:
+      // emit the exact count (true differential check) plus a boolean
+      // asserting the sketch landed within 5x its configured 1% rsd.
+      // The oracle expects TRUE; a broken sketch integration fails
+      // the hash compare.
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_orders"),
+          (abs(col("approx") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.05)).as("sketch_within_5pct"))
     }),
 
     "q37_pivot" -> ((s, dir) => {
@@ -650,6 +657,9 @@ object Relational {
       """SELECT s_suppkey, s_name, n_name
          FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
          ORDER BY s_suppkey""",
+    "q35_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+         TRUE AS sketch_within_5pct FROM lineitem""",
     "q37_pivot" ->
       """SELECT o_orderpriority,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
