@@ -12,7 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q02_filter_predicates", "q03_join_dims",
-        "q04_topk_orders", "q48_ann_bruteforce", "q45_minhash_pairs")
+        "q04_topk_orders", "q48_ann_bruteforce", "q45_minhash_pairs",
+        "q60_corpus_clean", "q61_ann_ivf", "q77_neardup_clusters",
+        "q78_tfidf_topk", "q81_funnel_pairs")
     val spark = GraftSession.local()
     names.foreach { n =>
       println(s"\n===== $n =====")

@@ -38,9 +38,17 @@ object CorpusClean {
     * valid — MinHash family; see Dedup). Default stays md5: that is
     * the family the cross-engine oracle replays (q60).
     */
+  /** `transitive` resolves near-dup evidence through connected
+    * components before dropping: with pairs (A,C) and (B,C) only, the
+    * pair-greedy rule keeps both A and B even though they are
+    * transitively duplicates — components keep exactly the min id per
+    * duplicate cluster. Default false: q60's oracle replays the
+    * pair-greedy contract.
+    */
   final case class Params(minTokens: Int = 20, minhashK: Int = 8,
                           bands: Int = 4, rowsPerBand: Int = 2,
-                          fastHashing: Boolean = false)
+                          fastHashing: Boolean = false,
+                          transitive: Boolean = false)
 
   /** Returns the surviving (doc_id, text) rows. */
   def clean(docs: DataFrame, params: Params = Params()): DataFrame = {
@@ -59,9 +67,19 @@ object CorpusClean {
     val minhash =
       if (params.fastHashing) Dedup.minhashSignaturesFast _ else Dedup.minhashSignatures _
     val sig = minhash(unique, "doc_id", "text", params.minhashK, 3)
-    val nearDups = Dedup.lshCandidatePairs(sig, "doc_id",
-      params.bands, params.rowsPerBand)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDups =
+      if (params.transitive) {
+        // star edges (connectivity-equivalent, n-1 per bucket) ->
+        // components -> drop everything but each cluster's min id
+        val edges = Dedup.lshCandidateEdges(sig, "doc_id",
+          params.bands, params.rowsPerBand)
+        Dedup.connectedComponents(edges)
+          .where(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+      } else {
+        Dedup.lshCandidatePairs(sig, "doc_id", params.bands, params.rowsPerBand)
+          .select(col("doc_b").as("doc_id")).distinct()
+      }
 
     unique.join(nearDups, Seq("doc_id"), "left_anti")
   }

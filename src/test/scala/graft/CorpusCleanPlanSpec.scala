@@ -37,6 +37,25 @@ class CorpusCleanPlanSpec extends SparkSpec {
     self + plan.children.map(countSourceScans(_, seen)).sum
   }
 
+  test("transitive mode keeps exactly one document per duplicate cluster") {
+    import spark.implicits._
+    // A~C and B~C are near-dups (C truncated copies), A and B are the
+    // same doc under different ids: pair-greedy keeps A and B; the
+    // transitive mode must keep only the min id A
+    val base = ("common tokens shared by every variant of this document " * 3).trim
+    val docs = Seq(
+      (1L, base + " alpha"),
+      (2L, base + " alpha"),  // exact dup of 1 (removed by exact stage)
+      (5L, base)              // truncated near-dup of both
+    ).toDF("doc_id", "text")
+    val params = graft.pipeline.CorpusClean.Params(minTokens = 3,
+      transitive = true)
+    val kept = graft.pipeline.CorpusClean.clean(docs, params)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L), s"kept $kept")
+    spark.catalog.clearCache()
+  }
+
   test("q60 corpus-clean scans the source at most 3 times per run") {
     val df = graft.SparkEntry.queries("q60_corpus_clean")(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0) // materialize (populates caches, finalizes AQE)
