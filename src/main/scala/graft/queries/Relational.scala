@@ -488,6 +488,13 @@ object Relational {
         .orderBy("hour", "event_type")
     }),
 
+    // one-pass exact data profiling over lineitem's numeric columns
+    "q84_profile" -> ((s, dir) => {
+      graft.ops.Profile.profileNumeric(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")
+    }),
+
     // funnel interval self-join: click -> purchase by the same user
     // within one hour. Time math in exact integer microseconds (the
     // epoch_us/unix_micros parity convention); executes as one
@@ -799,6 +806,29 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q84_profile" ->
+      """WITH p AS (
+           SELECT 'l_orderkey' AS "column", COUNT(l_orderkey) AS n,
+             COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+             COUNT(DISTINCT l_orderkey) AS n_distinct,
+             CAST(MIN(l_orderkey) AS DOUBLE) AS min_d,
+             CAST(MAX(l_orderkey) AS DOUBLE) AS max_d FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', COUNT(l_quantity),
+             COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+             CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', COUNT(l_extendedprice),
+             COUNT(*) - COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+             CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', COUNT(l_discount),
+             COUNT(*) - COUNT(l_discount), COUNT(DISTINCT l_discount),
+             CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+           FROM lineitem)
+         SELECT * FROM p ORDER BY "column"""",
     "q81_funnel_pairs" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
          epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
