@@ -242,7 +242,7 @@ object VectorQueries {
            FROM embeddings),
          flat AS (SELECT label, generate_subscripts(ei, 1) - 1 AS dim, unnest(ei) AS v FROM e)
          SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
-           SUM(v) AS sum_micro,
+           CAST(SUM(v) AS BIGINT) AS sum_micro,
            CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
          FROM flat GROUP BY label, dim ORDER BY label, dim""",
     "q50_embed_neardup" ->
