@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{ChangeCapture, Contamination, Packing, QualitySignals, UrlOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 pipeline operators: repetition signals, decontamination,
+  * URL filtering, sequence packing, snapshot diff.
+  */
+class PipelineOps3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionMetrics: counts, dominance, and lexicographic tie-break") {
+    // grams of "a b a b a": "a b","b a","a b","b a" -> 4 grams,
+    // 2 distinct, top run 2, tie between "a b" and "b a" -> "a b"
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w"), (3L, "t t t t t")).toDF("id", "text")
+    val out = QualitySignals.repetitionMetrics(df, "id", "text", n = 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 4)
+    assert(out(0).getAs[Long]("n_distinct") == 2)
+    assert(out(0).getAs[String]("top_gram") == "a b")
+    assert(out(0).getAs[Long]("top_c") == 2)
+    assert(out(0).getAs[Long]("dup_gram_milli") == 500)
+    assert(out(0).getAs[Long]("top_gram_milli") == 500)
+    // all-unique doc: zero repetition, every gram is "top" with c=1
+    assert(out(1).getAs[Long]("dup_gram_milli") == 0)
+    assert(out(1).getAs[Long]("top_c") == 1)
+    // degenerate doc: one gram repeated 4x -> fully duplicated
+    assert(out(2).getAs[Long]("n_distinct") == 1)
+    assert(out(2).getAs[Long]("dup_gram_milli") == 750)
+    assert(out(2).getAs[Long]("top_gram_milli") == 1000)
+  }
+
+  test("repetitionMetrics excludes docs shorter than n tokens") {
+    val df = Seq((1L, "solo"), (2L, "two tokens")).toDF("id", "text")
+    val out = QualitySignals.repetitionMetrics(df, "id", "text", n = 2)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("contamination check finds planted overlap and nothing else") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon other words here"), // shares the leading 5-gram
+      (2L, "completely different content with no overlap at all")).toDF("id", "text")
+    val out = Contamination.check(corpus, bench, "id", "text", n = 5)
+      .orderBy("id").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id") == 1L)
+    assert(out(0).getAs[Long]("n_hit_grams") == 1L)
+    assert(out(0).getAs[Long]("n_bench_docs") == 1L)
+    assert(out(0).getAs[Long]("first_bench_id") == 100L)
+  }
+
+  test("contamination per-doc grams dedupe inside the row") {
+    // repeated gram in one corpus doc still counts once
+    val bench = Seq((9L, "a b c d e")).toDF("id", "text")
+    val corpus = Seq((1L, "a b c d e a b c d e")).toDF("id", "text")
+    val out = Contamination.check(corpus, bench, "id", "text", n = 5).collect()
+    assert(out.head.getAs[Long]("n_hit_grams") == 1L)
+  }
+
+  test("UrlOps host/apex extraction and blocklist") {
+    val df = Seq(
+      (1L, "https://en.site-3.com/p/1"),
+      (2L, "http://deep.sub.site-4.com/x?q=1"),
+      (3L, "not a url")).toDF("id", "url")
+    val out = UrlOps.filterBlocked(df, "url", Seq("site-3.com")).orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+    assert(out(0).getAs[String]("host") == "deep.sub.site-4.com")
+    assert(out(0).getAs[String]("apex") == "site-4.com")
+    assert(out(1).getAs[String]("host") == "")
+  }
+
+  test("packTokenStream: blocks fill contiguously per group") {
+    val df = Seq(
+      ("g1", 1L, 600L), ("g1", 2L, 600L), ("g1", 3L, 600L), ("g1", 4L, 600L),
+      ("g2", 5L, 2500L)).toDF("grp", "id", "w")
+    val out = Packing.packTokenStream(df, "grp", "id", "w", blockTokens = 1000L)
+      .orderBy("id").collect()
+    // cum: 600,1200,1800,2400 -> starts 0,600,1200,1800 -> blocks 0,0,1,1
+    assert(out.map(_.getAs[Long]("start_block")).toSeq == Seq(0L, 0L, 1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("block_offset")).toSeq == Seq(0L, 600L, 200L, 800L, 0L))
+  }
+
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newDf = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = ChangeCapture.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSeq
+      == Seq((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("snapshotDiff null-safe compare: null->value and value->null are updates") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val newDf = Seq((1L, Some("y")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val out = ChangeCapture.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+    assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
