@@ -195,6 +195,27 @@ object Dedup {
         min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"h$j")): _*)
   }
 
+  /** Scale-path weighted MinHash: same output shape as
+    * [[weightedMinhashSignatures]] (h0..h{k-1} longs, so
+    * [[lshCandidatePairs]] consumes either variant), computed by the
+    * native [[graft.functions.WeightedMinHashTokens]] expression —
+    * the whole tf-weighted signature is a NARROW MAP over the corpus:
+    * no tf groupBy, no repetition explode, no aggregation shuffle
+    * (the md5 path pays two corpus-volume shuffles for the same
+    * estimator). Different hash family than md5 → different (equally
+    * valid) signatures; the md5 variant remains the oracle-parity
+    * surface.
+    */
+  def weightedMinhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+                                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 1)
+    val sig = toks.withColumn("wmh",
+      graft.functions.WeightedMinHashTokens.weightedMinhashArray(col("tk"), k))
+    sig.select(col(idCol) +:
+      (0 until k).map(j => element_at(col("wmh"), j + 1).as(s"h$j")): _*)
+  }
+
   /** Resolve near-dup candidate pairs into duplicate CLUSTERS:
     * connected components over the pair graph, each node labeled with
     * the minimum doc id of its component (the deterministic keeper).
