@@ -85,6 +85,20 @@ object BenchScale {
           .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
           .collect()
       },
+      time("agg_exact_decimal") {
+        // exact (order-independent) money aggregation, Decimal path
+        liBig.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")),
+            sum(col("l_extendedprice").cast("decimal(18,2)")), count(lit(1)))
+          .collect()
+      },
+      time("agg_exact_cents") {
+        // same exact aggregation in primitive long cents
+        liBig.groupBy("l_returnflag", "l_linestatus")
+          .agg(graft.ops.Cents.sumUnits(col("l_quantity")),
+            graft.ops.Cents.sumUnits(col("l_extendedprice")), count(lit(1)))
+          .collect()
+      },
       time("rowhash_exact_dedup") {
         graft.ops.Dedup.exactDedup(
           liBig.select(col("l_orderkey").as("id"),
@@ -129,6 +143,10 @@ object BenchScale {
       },
       time("weighted_minhash") {
         graft.ops.Dedup.weightedMinhashSignatures(docsBig, "doc_id", "text",
+          k = 8).count()
+      },
+      time("weighted_minhash_fast") {
+        graft.ops.Dedup.weightedMinhashSignaturesFast(docsBig, "doc_id", "text",
           k = 8).count()
       },
       time("neardup_components") {
