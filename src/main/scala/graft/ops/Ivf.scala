@@ -188,6 +188,17 @@ object Ivf {
     QuantModel(centroids)
   }
 
+  /** Quantized cell assignment: each corpus row with its nearest cell
+    * (exact integer d2, cell index as the deterministic tie-break) —
+    * a NARROW map over a broadcast centroid array, zero Exchange.
+    * Returns the quantized columns (ei, nn) alongside, so downstream
+    * within-cell math reuses them.
+    */
+  def assignQuantized(corpus: DataFrame, model: QuantModel): DataFrame =
+    Similarity.withQuantized(corpus, "embedding")
+      .withColumn("cell",
+        array_min(scoredCellsQ(col("ei"), model.centroids)).getField("cell"))
+
   /** Quantized probe — same shape as [[search]], exact integer cell
     * math and micro-unit cosine ranking (Similarity.cosineMicro).
     */

@@ -130,4 +130,34 @@ object Similarity {
     c.join(broadcast(q), col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol))
   }
+
+  /** SemDeDup-style semantic deduplication: assign every embedding to
+    * its IVF cell (narrow map over broadcast centroids, zero
+    * Exchange), compare pairs only WITHIN a cell, and retire each
+    * vector whose cell contains a lower-id vector with cosine >=
+    * `minSimMicro`. Output: (vec_id, keeper_id) for retired vectors —
+    * keeper_id is the smallest qualifying neighbor (the deterministic
+    * cluster representative under the one-hop min policy; feed the
+    * pairs to [[Dedup.connectedComponents]] when transitive retirement
+    * is wanted).
+    *
+    * Scale shape: the quadratic term is bounded per cell (nLists
+    * sized so cells fit a task — the same contract as any blocked
+    * pairwise stage), and the only shuffle is the cell-equi-join.
+    * All math exact integers: quantized dots, micro-unit cosine.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, model: Ivf.QuantModel,
+                    minSimMicro: Long): DataFrame = {
+    val a = Ivf.assignQuantized(corpus, model)
+      .select(col(idCol), col("ei"), col("nn"), col("cell"))
+    val tgt = a.select(col(idCol).as("vec_id"), col("ei").as("ea"),
+      col("nn").as("na"), col("cell"))
+    val cand = a.select(col(idCol).as("cand_id"), col("ei").as("eb"),
+      col("nn").as("nb"), col("cell").as("cell_b"))
+    tgt.join(cand, col("cell") === col("cell_b") && col("cand_id") < col("vec_id"))
+      .withColumn("sim_micro",
+        cosineMicro(dotLong(col("ea"), col("eb")), col("na"), col("nb")))
+      .where(col("sim_micro") >= minSimMicro)
+      .groupBy("vec_id").agg(min("cand_id").as("keeper_id"))
+  }
 }

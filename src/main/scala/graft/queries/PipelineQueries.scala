@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.ops.{ChangeCapture, Contamination, Packing, QualitySignals, TextAnalysis, UrlOps}
+import graft.ops.{ChangeCapture, Contamination, Packing, QualitySignals, SegmentDedup, TextAnalysis, UrlOps}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Training-data pipeline surface, round 3: repetition quality
   * signals, benchmark decontamination, URL/domain provenance
@@ -75,6 +76,57 @@ object PipelineQueries {
             concat(col("text"), lit(" [new]")).as("text")))
       ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text"))
         .orderBy("doc_id")
+    }),
+
+    // sub-document dedup: 10-token segments, global first-occurrence
+    // keeper, docs reassembled from surviving segments. The trunc
+    // copies (+1M ids) share their leading segments with the
+    // originals, so the plant is detected segment-by-segment.
+    "q90_segment_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select("doc_id", "text")
+        .unionAll(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+              .as("text")))
+      SegmentDedup.dedupSegments(corpus, "doc_id", "text", segTokens = 10)
+        .orderBy("doc_id")
+    }),
+
+    // model-based quality filter: unigram-LM negative log-likelihood
+    // per document (the KenLM-perplexity-filter shape, unigram order).
+    // Vocabulary counts broadcast; exact integer micro-units rounded
+    // per (doc, term) exactly like q78's tf-idf convention.
+    "q91_unigram_nll" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+      val nTot = toks.agg(count(lit(1)).as("n_total"))
+      tf.join(broadcast(vocab), "tok").crossJoin(nTot)
+        .withColumn("nll_micro",
+          round(col("tf") * log(col("n_total").cast("double") / col("cnt").cast("double"))
+            * lit(1000000.0)).cast(LongType))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), sum("nll_micro").as("nll_micro"))
+        .withColumn("nll_per_tok_micro", expr("nll_micro DIV n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus shape report: document token-count histogram in
+    // 8-token buckets (one tiny aggregation over the corpus)
+    "q92_token_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens DIV 8"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+        .select(col("bucket"), (col("bucket") * 8).as("lo"),
+          (col("bucket") * 8 + 7).as("hi"), col("n_docs"),
+          col("sum_tokens"), col("min_tokens"), col("max_tokens"))
+        .orderBy("bucket")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +210,54 @@ object PipelineQueries {
                 WHEN ot IS DISTINCT FROM nt THEN 'update' END AS change_type
          FROM j
          WHERE n_id IS NULL OR o_id IS NULL OR ot IS DISTINCT FROM nt
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q90_segment_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                 FROM documents WHERE doc_id % 5 = 0)),
+         tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM corpus),
+         segs AS (SELECT doc_id, s AS seg_idx,
+                    array_to_string(tk[s*10+1:s*10+10], ' ') AS seg
+                  FROM tk, LATERAL (SELECT unnest(range(0, (len(tk)-1)//10 + 1)) AS s) r),
+         tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY 1),
+         kept AS (SELECT doc_id, seg_idx, seg FROM (
+                    SELECT doc_id, seg_idx, seg,
+                      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                    FROM segs) WHERE rn = 1),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_fp
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, t.n_segs, coalesce(a.n_kept, 0) AS n_kept, a.clean_fp
+         FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
+    "q91_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM toks),
+         scored AS (SELECT doc_id, t.tf,
+             CAST(round(t.tf * ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))
+               * 1000000) AS BIGINT) AS nll_micro
+           FROM tf t JOIN vocab v ON v.tok = t.tok, n)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+           CAST(CAST(SUM(nll_micro) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
+             AS nll_per_tok_micro
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "q92_token_histogram" ->
+      """WITH d AS (SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                      AS n_tokens FROM documents)
+         SELECT n_tokens // 8 AS bucket, (n_tokens // 8) * 8 AS lo,
+           (n_tokens // 8) * 8 + 7 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+         FROM d GROUP BY 1 ORDER BY bucket""")
 }

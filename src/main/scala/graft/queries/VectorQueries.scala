@@ -76,6 +76,17 @@ object VectorQueries {
         .orderBy("label", "dim")
     }),
 
+    // SemDeDup-style semantic dedup: IVF cells as the blocking key,
+    // within-cell cosine >= 0.3, one-hop min-id keeper — the
+    // embedding-space retirement pass a curated corpus runs after
+    // text-level dedup
+    "q93_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      Similarity.semanticDedup(e, "vec_id", model, minSimMicro = 300000L)
+        .orderBy("vec_id")
+    }),
+
     // embedding near-dup pairs over a 10% sample (quadratic stage is
     // sampled; the scale path for full-corpus near-dup is LSH, q49)
     "q50_embed_neardup" -> ((s, dir) => {
@@ -99,14 +110,14 @@ object VectorQueries {
        flat AS (SELECT vec_id, generate_subscripts(ei, 1) AS i, unnest(ei) AS v FROM e),
        norms AS (SELECT vec_id, SUM(v*v) AS nn FROM flat GROUP BY 1)"""
 
-  val oracles: Map[String, String] = Map(
-    // replays Ivf.fitQuantized + searchQuantized step by step: c0 =
-    // lowest-id vector; pool = top 24 by integer d2 from c0; greedy
-    // farthest-point picks p1..p3 (unrolled — nLists is fixed at 4);
-    // assignment/probe rank by exact (d2, cell); cosine in micro units
-    "q61_ann_ivf" ->
-      s"""WITH $quantCte,
-         c0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+  /** Shared IVF replay (fitQuantized nLists=4 + assignment): c0 =
+    * lowest-id vector; pool = top 24 by integer d2 from c0; greedy
+    * farthest-point picks p1..p3 (unrolled — nLists is fixed at 4);
+    * cell assignment ranks by exact (d2, cell). Used by q61 (probe)
+    * and q93 (semantic dedup).
+    */
+  private val ivfAssignCte =
+    """c0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
          dots0 AS (SELECT f.vec_id, SUM(f.v * c.v) AS xc
                    FROM flat f JOIN flat c ON c.i = f.i
                      AND c.vec_id = (SELECT vec_id FROM c0)
@@ -151,7 +162,14 @@ object VectorQueries {
          assigned AS (SELECT vec_id, cell FROM (
                         SELECT vec_id, cell,
                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-                        FROM scored) WHERE rn = 1),
+                        FROM scored) WHERE rn = 1)"""
+
+  val oracles: Map[String, String] = Map(
+    // replays Ivf.fitQuantized + searchQuantized step by step;
+    // probe rank by exact (d2, cell); cosine in micro units
+    "q61_ann_ivf" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
          probes AS (SELECT vec_id AS q_id, cell FROM (
                       SELECT vec_id, cell,
                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -236,6 +254,28 @@ object VectorQueries {
                     JOIN norms nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, sim_micro FROM sims
          WHERE sim_micro >= 300000 ORDER BY id_a, id_b""",
+    // same IVF replay as q61 up to `assigned`, then within-cell pairs
+    // (cand < target), exact micro-cosine (list_dot_product over
+    // micro-quantized bigints stays exact: |dot| <= 64 * 1e12 << 2^53),
+    // one-hop min keeper
+    "q93_semantic_dedup" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         cand AS (SELECT a.vec_id AS vec_id, b.vec_id AS cand_id
+                  FROM assigned a JOIN assigned b
+                    ON b.cell = a.cell AND b.vec_id < a.vec_id),
+         sims AS (SELECT c.vec_id, c.cand_id,
+                    CAST(round(CAST(list_dot_product(ea.ei, eb.ei) AS DOUBLE) /
+                      (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM cand c
+                    JOIN e ea ON ea.vec_id = c.vec_id
+                    JOIN e eb ON eb.vec_id = c.cand_id
+                    JOIN norms na ON na.vec_id = c.vec_id
+                    JOIN norms nb ON nb.vec_id = c.cand_id)
+         SELECT vec_id, MIN(cand_id) AS keeper_id
+         FROM sims WHERE sim_micro >= 300000
+         GROUP BY vec_id ORDER BY vec_id""",
     "q79_label_centroids" ->
       """WITH e AS (SELECT vec_id, label,
            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ei
