@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{ChangeCapture, Contamination, Packing, QualitySignals, SegmentDedup, TextAnalysis, UrlOps}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -127,6 +128,42 @@ object PipelineQueries {
           (col("bucket") * 8 + 7).as("hi"), col("n_docs"),
           col("sum_tokens"), col("min_tokens"), col("max_tokens"))
         .orderBy("bucket")
+    }),
+
+    // quantile sketch with the q35 accuracy-contract pattern: exact
+    // percentiles (true differential check) + a boolean asserting the
+    // GK sketch landed within tolerance — the oracle expects TRUE, so
+    // a broken sketch integration fails the hash compare
+    "q94_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("percentile(l_quantity, 0.9)").as("p90_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+          col("n"),
+          (abs(col("a50") - col("p50_exact")) <= lit(1.0) &&
+            abs(col("a90") - col("p90_exact")) <= lit(1.0)).as("sketch_within_1"))
+        .orderBy("l_returnflag")
+    }),
+
+    // deterministic priority sampling: uniform k-per-group without
+    // replacement via content-addressed md5 priorities (reproducible
+    // on any engine/partitioning — the distributed replacement for a
+    // seeded RNG reservoir). One shuffle on the group key; for huge
+    // groups, pre-filter with an approximate priority threshold
+    // before the exact rank.
+    "q95_priority_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("pri",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .where(col("rn") <= 20)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +296,19 @@ object PipelineQueries {
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
-         FROM d GROUP BY 1 ORDER BY bucket""")
+         FROM d GROUP BY 1 ORDER BY bucket""",
+    "q94_approx_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50_exact,
+         quantile_cont(l_quantity, 0.9) AS p90_exact,
+         COUNT(*) AS n, TRUE AS sketch_within_1
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q95_priority_sample" ->
+      """WITH p AS (SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pri
+           FROM documents),
+         r AS (SELECT lang, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rn
+               FROM p)
+         SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""")
 }
