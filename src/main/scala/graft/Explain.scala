@@ -14,7 +14,8 @@ object Explain {
       else Seq("q01_pricing_summary", "q02_filter_predicates", "q03_join_dims",
         "q04_topk_orders", "q48_ann_bruteforce", "q45_minhash_pairs",
         "q60_corpus_clean", "q61_ann_ivf", "q77_neardup_clusters",
-        "q78_tfidf_topk", "q81_funnel_pairs")
+        "q78_tfidf_topk", "q81_funnel_pairs", "q86_contamination",
+        "q90_segment_dedup", "q93_semantic_dedup")
     val spark = GraftSession.local()
     names.foreach { n =>
       println(s"\n===== $n =====")
