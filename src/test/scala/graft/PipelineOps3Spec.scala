@@ -91,6 +91,29 @@ class PipelineOps3Spec extends SparkSpec {
       == Seq((2L, "update"), (3L, "delete"), (4L, "insert")))
   }
 
+  test("null and empty text: quality/contamination ops drop the row, never throw") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("a b c")))
+      .toDF("id", "text")
+    // null text -> null tokens -> size() = -1 -> excluded by the >= n guard
+    assert(QualitySignals.repetitionMetrics(df, "id", "text", 2)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    val bench = Seq((9L, "a b c d e")).toDF("id", "text")
+    assert(Contamination.check(df, bench, "id", "text", 5).count() == 0)
+  }
+
+  test("segment dedup: doc whose every segment duplicates another doc") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")) // == doc 1's first segment
+      .toDF("doc_id", "text")
+    val out = graft.ops.SegmentDedup.dedupSegments(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_segs") == 2 && out(0).getAs[Long]("n_kept") == 2)
+    // doc 2's only segment == doc 1's first segment -> fully deduped
+    assert(out(1).getAs[Long]("n_segs") == 1 && out(1).getAs[Long]("n_kept") == 0)
+    assert(out(1).isNullAt(out(1).fieldIndex("clean_fp")))
+  }
+
   test("snapshotDiff null-safe compare: null->value and value->null are updates") {
     val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
       .toDF("k", "v")
