@@ -31,6 +31,36 @@ class PruningSpec extends SparkSpec {
     assert(clickCount == clickDirOnly)
   }
 
+  test("clustered write: row-group stats let a filtered scan skip most data") {
+    val base = Files.createTempDirectory("graft_cluster").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+
+    // unsorted layout: every file covers the whole key range
+    orders.repartition(8).write.parquet(s"$base/unsorted")
+    PartitionedSink.clusteredWrite(orders, s"$base/clustered",
+      Seq("o_totalprice"), nFiles = 8)
+
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).where(col("o_totalprice") < 10000.0)
+      q.collect() // execute THIS plan so its scan metrics populate
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val selected = spark.read.parquet(s"$base/clustered")
+      .where(col("o_totalprice") < 10000.0).count()
+    val unsortedRead = scanRows(s"$base/unsorted")
+    val clusteredRead = scanRows(s"$base/clustered")
+
+    // same answer, far fewer rows decoded: the unsorted layout decodes
+    // every row group; the clustered one skips all but the matching
+    // range (bounded by one file's worth here)
+    assert(selected > 0)
+    assert(unsortedRead == orders.count(),
+      s"unsorted layout should decode everything, got $unsortedRead")
+    assert(clusteredRead < unsortedRead / 4,
+      s"clustered scan decoded $clusteredRead vs unsorted $unsortedRead")
+  }
+
   test("compaction merges small files without changing the data") {
     val out = Files.createTempDirectory("graft_compact").toString + "/t"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
