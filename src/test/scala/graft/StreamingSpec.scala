@@ -65,6 +65,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert applies each micro-batch as a partition-scoped merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_supsert").toString
+    val target = s"$tmp/target"
+
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("k", "v", "part")
+      .write.partitionBy("part").parquet(target)
+
+    // two update files -> two micro-batches (maxFilesPerTrigger=1);
+    // disjoint keys, so the final state is order-independent
+    val updDir = new java.io.File(s"$tmp/updates"); updDir.mkdirs()
+    def stageFile(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val stage = s"$tmp/stage_$name"
+      rows.toDF("k", "v", "part").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(updDir, s"$name.parquet").toPath)
+    }
+    stageFile("u1", Seq((2L, "B", "p1"), (4L, "d", "p2"))) // update + insert
+    stageFile("u2", Seq((5L, "e", "p3")))                  // brand-new partition
+
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("part", StringType)))
+    val updates = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(updDir.toString)
+    val q = graft.streaming.StreamingUpsert.start(updates, target,
+      Seq("k"), "part", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(target)
+      .select("k", "v", "part").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", "p1"), (2L, "B", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p2"), (5L, "e", "p3")))
+  }
+
   test("stream-stream funnel join matches the batch plan over the same data") {
     val batchEv = EventsStream.withTimestamp(
       spark.read.schema(EventsStream.rawSchema)
