@@ -164,6 +164,39 @@ object PipelineQueries {
         .where(col("rn") <= 20)
         .select("lang", "rn", "doc_id")
         .orderBy("lang", "rn")
+    }),
+
+    // the FineWeb-style composite gate: length + repetition + LM
+    // signals joined per doc, each with its own verdict column so the
+    // gate is auditable (which filter fired), `keep` = all pass.
+    // Thresholds are corpus-relative constants; the oracle replays
+    // the identical computation, so the comparison is exact at any SF.
+    "q96_quality_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("dup_gram_milli"))
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+      val nTot = toks.agg(count(lit(1)).as("n_total"))
+      val nll = tf.join(broadcast(vocab), "tok").crossJoin(nTot)
+        .withColumn("nm",
+          round(col("tf") * log(col("n_total").cast("double") / col("cnt").cast("double"))
+            * lit(1000000.0)).cast(LongType))
+        .groupBy("doc_id").agg(sum("tf").as("n_tokens"), sum("nm").as("nllm"))
+        .withColumn("nll_per_tok_micro", expr("nllm DIV n_tokens"))
+        .select("doc_id", "n_tokens", "nll_per_tok_micro")
+      nll.join(rep, "doc_id")
+        .withColumn("pass_length", col("n_tokens") >= 20)
+        .withColumn("pass_repetition", col("dup_gram_milli") <= 50)
+        .withColumn("pass_lm",
+          col("nll_per_tok_micro").between(3390000L, 3415000L))
+        .withColumn("keep",
+          col("pass_length") && col("pass_repetition") && col("pass_lm"))
+        .select("doc_id", "n_tokens", "dup_gram_milli", "nll_per_tok_micro",
+          "pass_length", "pass_repetition", "pass_lm", "keep")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -310,5 +343,37 @@ object PipelineQueries {
          r AS (SELECT lang, doc_id,
                  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rn
                FROM p)
-         SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""")
+         SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""",
+    "q96_quality_gate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+         g AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+               FROM tk, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+               WHERE len(tk) >= 2),
+         c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+                   CAST((SUM(c) - COUNT(*)) * 1000 // SUM(c) AS BIGINT) AS dup_gram_milli
+                 FROM c GROUP BY 1),
+         toks AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM toks),
+         sc AS (SELECT doc_id, t.tf,
+                  CAST(round(t.tf * ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    * 1000000) AS BIGINT) AS nm
+                FROM tf t JOIN vocab v ON v.tok = t.tok, n),
+         nll AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(CAST(SUM(nm) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
+                     AS nll_per_tok_micro
+                 FROM sc GROUP BY 1)
+         SELECT nll.doc_id, n_tokens, dup_gram_milli, nll_per_tok_micro,
+           n_tokens >= 20 AS pass_length,
+           dup_gram_milli <= 50 AS pass_repetition,
+           nll_per_tok_micro BETWEEN 3390000 AND 3415000 AS pass_lm,
+           (n_tokens >= 20 AND dup_gram_milli <= 50
+             AND nll_per_tok_micro BETWEEN 3390000 AND 3415000) AS keep
+         FROM nll JOIN rep ON rep.doc_id = nll.doc_id
+         ORDER BY nll.doc_id""")
 }
