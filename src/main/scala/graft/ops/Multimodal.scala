@@ -50,6 +50,8 @@ object Multimodal {
     if (d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F'
         && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E') decodeWav(r)
     else if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') decodeBmp(r)
+    else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N'
+        && d(3) == 'G') decodePng(r)
     else decodeOpaque(r)
   }
 
@@ -97,6 +99,94 @@ object Multimodal {
     val level = if (n == 0) 0L else sum * 1000L / (255L * n)
     MediaFeatures(r.id, r.kind, "bmp", r.data.length.toLong, width, height,
       1, 0, 0, 0L, level, md5Hex(r.data))
+  }
+
+  /** PNG: real decode in pure JDK code — chunk walk for IHDR/IDAT,
+    * zlib inflate (`java.util.zip.Inflater`), per-spec scanline
+    * unfiltering (None/Sub/Up/Average/Paeth), mean luminance over the
+    * color channels (alpha excluded). Covers the 8-bit-depth,
+    * non-interlaced gray / gray+alpha / RGB / RGBA layouts (what JDK
+    * and most encoders emit); palette or interlaced images decode
+    * header metadata only (level 0).
+    */
+  private def decodePng(r: MediaRecord): MediaFeatures = {
+    val d = r.data
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= d.length) {
+      val len = buf.getInt(pos)
+      val typ = new String(d, pos + 4, 4, "US-ASCII")
+      if (typ == "IHDR" && pos + 21 <= d.length) {
+        width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
+        bitDepth = d(pos + 16) & 0xff; colorType = d(pos + 17) & 0xff
+        interlace = d(pos + 20) & 0xff
+      } else if (typ == "IDAT" && pos + 8 + len <= d.length) {
+        idat.write(d, pos + 8, len)
+      }
+      pos += 12 + len // len + type + data + crc
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+    }
+    val level =
+      if (bitDepth == 8 && interlace == 0 && channels > 0
+          && width > 0 && height > 0) {
+        val bpp = channels
+        val stride = width * bpp
+        val raw = new Array[Byte]((stride + 1) * height)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        var stalled = false
+        while (!inf.finished() && !stalled && off < raw.length) {
+          val k = inf.inflate(raw, off, raw.length - off)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+          else off += k
+        }
+        inf.end()
+        val px = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          val f = raw(y * (stride + 1)) & 0xff
+          val rowIn = y * (stride + 1) + 1
+          val rowOut = y * stride
+          var x = 0
+          while (x < stride) {
+            val cur = raw(rowIn + x) & 0xff
+            val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
+            val b = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + b
+              case 3 => cur + (a + b) / 2
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case _ => cur
+            }
+            px(rowOut + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val colorCh = colorType match { case 4 => 1; case 6 => 3; case _ => channels }
+        var sum = 0L; var n = 0L; var i = 0
+        while (i < px.length) {
+          var ch = 0
+          while (ch < colorCh) { sum += px(i + ch) & 0xff; n += 1; ch += 1 }
+          i += bpp
+        }
+        if (n == 0) 0L else sum * 1000L / (255L * n)
+      } else 0L
+    MediaFeatures(r.id, r.kind, "png", d.length.toLong, width, height,
+      1, 0, 0, 0L, level, md5Hex(d))
   }
 
   /** Fallback for formats needing external codec libraries:

@@ -197,4 +197,44 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width == 2 && f.height == 2 && f.n_frames == 1)
     assert(f.level_milli == 200L, s"luminance was ${f.level_milli}")
   }
+
+  test("real PNG decode: inflate + unfilter against the JDK encoder") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // RGB image with a gradient (exercises Sub/Paeth filters the
+    // encoder may choose), encoded by the JDK's own PNG writer
+    val w = 16; val h = 8
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 16) % 256; val g = (y * 32) % 256; val b = 51
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      sum += r + g + b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val expected = sum * 1000L / (255L * w * h * 3)
+
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(3L, "image", bos.toByteArray)).toDS()).head()
+    assert(f.codec == "png")
+    assert(f.width == w && f.height == h)
+    assert(f.level_milli == expected,
+      s"luminance ${f.level_milli} != $expected")
+  }
+
+  test("real PNG decode: 8-bit grayscale") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, 102) // raw gray 102/255 = 400 milli
+      // (setRGB would colorspace-convert sRGB -> linear and store ~34)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(4L, "image", bos.toByteArray)).toDS()).head()
+    assert(f.codec == "png" && f.width == 4 && f.height == 4)
+    assert(f.level_milli == 400L, s"luminance was ${f.level_milli}")
+  }
 }
