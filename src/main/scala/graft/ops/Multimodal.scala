@@ -111,6 +111,33 @@ object Multimodal {
     */
   private def decodePng(r: MediaRecord): MediaFeatures = {
     val d = r.data
+    val (width, height) = pngHeader(d)
+    val level = pngPixels(d) match {
+      case Some((w, h, bpp, colorCh, px)) =>
+        var sum = 0L; var n = 0L; var i = 0
+        while (i < px.length) {
+          var ch = 0
+          while (ch < colorCh) { sum += px(i + ch) & 0xff; n += 1; ch += 1 }
+          i += bpp
+        }
+        if (n == 0) 0L else sum * 1000L / (255L * n)
+      case None => 0L
+    }
+    MediaFeatures(r.id, r.kind, "png", d.length.toLong, width, height,
+      1, 0, 0, 0L, level, md5Hex(d))
+  }
+
+  private def pngHeader(d: Array[Byte]): (Int, Int) =
+    if (d.length >= 24) {
+      val buf = ByteBuffer.wrap(d).order(ByteOrder.BIG_ENDIAN)
+      (buf.getInt(16), buf.getInt(20)) // IHDR is always the first chunk
+    } else (0, 0)
+
+  /** Unfiltered PNG pixel array: (width, height, bytesPerPixel,
+    * colorChannels, pixels). None for palette/interlaced/non-8-bit
+    * layouts.
+    */
+  private def pngPixels(d: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     val buf = ByteBuffer.wrap(d).order(ByteOrder.BIG_ENDIAN)
     var pos = 8
     var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
@@ -131,62 +158,52 @@ object Multimodal {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
     }
-    val level =
-      if (bitDepth == 8 && interlace == 0 && channels > 0
-          && width > 0 && height > 0) {
-        val bpp = channels
-        val stride = width * bpp
-        val raw = new Array[Byte]((stride + 1) * height)
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(idat.toByteArray)
-        var off = 0
-        var stalled = false
-        while (!inf.finished() && !stalled && off < raw.length) {
-          val k = inf.inflate(raw, off, raw.length - off)
-          if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
-          else off += k
+    if (bitDepth != 8 || interlace != 0 || channels == 0
+        || width <= 0 || height <= 0) return None
+    val bpp = channels
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    var stalled = false
+    while (!inf.finished() && !stalled && off < raw.length) {
+      val k = inf.inflate(raw, off, raw.length - off)
+      if (k == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+      else off += k
+    }
+    inf.end()
+    val px = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
+        val b = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => cur
         }
-        inf.end()
-        val px = new Array[Byte](stride * height)
-        var y = 0
-        while (y < height) {
-          val f = raw(y * (stride + 1)) & 0xff
-          val rowIn = y * (stride + 1) + 1
-          val rowOut = y * stride
-          var x = 0
-          while (x < stride) {
-            val cur = raw(rowIn + x) & 0xff
-            val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
-            val b = if (y > 0) px(rowOut - stride + x) & 0xff else 0
-            val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
-            val v = f match {
-              case 0 => cur
-              case 1 => cur + a
-              case 2 => cur + b
-              case 3 => cur + (a + b) / 2
-              case 4 =>
-                val p = a + b - c
-                val pa = math.abs(p - a); val pb = math.abs(p - b)
-                val pc = math.abs(p - c)
-                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-              case _ => cur
-            }
-            px(rowOut + x) = (v & 0xff).toByte
-            x += 1
-          }
-          y += 1
-        }
-        val colorCh = colorType match { case 4 => 1; case 6 => 3; case _ => channels }
-        var sum = 0L; var n = 0L; var i = 0
-        while (i < px.length) {
-          var ch = 0
-          while (ch < colorCh) { sum += px(i + ch) & 0xff; n += 1; ch += 1 }
-          i += bpp
-        }
-        if (n == 0) 0L else sum * 1000L / (255L * n)
-      } else 0L
-    MediaFeatures(r.id, r.kind, "png", d.length.toLong, width, height,
-      1, 0, 0, 0L, level, md5Hex(d))
+        px(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val colorCh = colorType match { case 4 => 1; case 6 => 3; case _ => channels }
+    Some((width, height, bpp, colorCh, px))
   }
 
   /** Fallback for formats needing external codec libraries:
@@ -196,6 +213,142 @@ object Multimodal {
     val n = r.data.length
     MediaFeatures(r.id, r.kind, "opaque", n.toLong, n % 640, (n * 7) % 480,
       n / 100, 0, 0, 0L, 0L, md5Hex(r.data))
+  }
+
+  // ---- raster access (resize / perceptual hash) --------------------
+
+  /** Full 8-bit grayscale raster for formats we decode completely:
+    * 24bpp BMP (bottom-up or top-down, row padding honored) and 8-bit
+    * non-interlaced PNG. Returns (width, height, row-major gray).
+    */
+  def grayRaster(r: MediaRecord): Option[(Int, Int, Array[Int])] = {
+    val d = r.data
+    if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') bmpGray(d)
+    else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P'
+        && d(2) == 'N' && d(3) == 'G') pngGray(d)
+    else None
+  }
+
+  private def bmpGray(d: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawH = buf.getInt(22)
+    val height = math.abs(rawH)
+    val bits = buf.getShort(28).toInt
+    if (bits != 24 || width <= 0 || height <= 0) return None
+    val stride = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff + stride.toLong * height > d.length) return None
+    val g = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      // positive height = bottom-up storage
+      val srcRow = if (rawH > 0) height - 1 - y else y
+      var x = 0
+      while (x < width) {
+        val p = dataOff + srcRow * stride + x * 3
+        g(y * width + x) =
+          ((d(p) & 0xff) + (d(p + 1) & 0xff) + (d(p + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, g))
+  }
+
+  private def pngGray(d: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pngPixels(d).map { case (w, h, bpp, colorCh, px) =>
+      val g = new Array[Int](w * h)
+      var i = 0
+      while (i < g.length) {
+        var sum = 0; var ch = 0
+        while (ch < colorCh) { sum += px(i * bpp + ch) & 0xff; ch += 1 }
+        g(i) = sum / colorCh
+        i += 1
+      }
+      (w, h, g)
+    }
+
+  /** Nearest-neighbor resize of the decoded raster to `side`x`side`
+    * gray — the "resize" step of an image feature pipeline (and the
+    * input to [[aHash64]]). None for formats without a full decode.
+    */
+  def thumbnail(r: MediaRecord, side: Int): Option[Array[Int]] =
+    grayRaster(r).map { case (w, h, g) =>
+      Array.tabulate(side * side) { i =>
+        val ty = i / side; val tx = i % side
+        g((ty * h / side) * w + (tx * w / side))
+      }
+    }
+
+  /** 64-bit average-hash over the 8x8 thumbnail: bit i set iff pixel i
+    * is above the thumbnail mean. Format-independent (the same pixel
+    * content hashes identically from BMP or PNG bytes), cheap enough
+    * to compute at scan time, and Hamming-comparable for image
+    * near-dup — LSH-bucket it exactly like SimHash.
+    */
+  def aHash64(r: MediaRecord): Option[Long] =
+    thumbnail(r, 8).map { t =>
+      val mean = t.sum / 64
+      t.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc
+      }
+    }
+
+  /** Image perceptual hashes for a media Dataset; opaque formats fall
+    * back to a deterministic md5-derived pseudo-hash (flagged by
+    * codec = "opaque").
+    */
+  case class MediaHash(id: Long, codec: String, thumb_hash: Long)
+  def imageHashes(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      aHash64(r) match {
+        case Some(h) => MediaHash(r.id, decode(r).codec, h)
+        case None =>
+          MediaHash(r.id, "opaque",
+            java.lang.Long.parseUnsignedLong(md5Hex(r.data).take(15), 16))
+      }
+    })
+  }
+
+  // ---- frame sampling ----------------------------------------------
+
+  /** `k` evenly spaced frames from a WAV payload (first-channel 16-bit
+    * sample values) — the "frame-sample" step of an audio/video
+    * pipeline; video key-framing plugs into the same shape once a
+    * codec is available. Empty for non-WAV payloads.
+    */
+  case class FrameSample(id: Long, n_frames: Int, samples: Array[Int])
+  def sampleFrames(ds: Dataset[MediaRecord], k: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val d = r.data
+      val isWav = d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
+        d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
+      if (!isWav) FrameSample(r.id, 0, Array.empty)
+      else {
+        val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var channels = 1; var bits = 16; var dataOff = -1; var dataLen = 0
+        while (pos + 8 <= d.length) {
+          val id = new String(d, pos, 4, "US-ASCII")
+          val len = buf.getInt(pos + 4)
+          if (id == "fmt ") {
+            channels = math.max(buf.getShort(pos + 10).toInt, 1)
+            bits = buf.getShort(pos + 22).toInt
+          } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+          pos += 8 + len + (len & 1)
+        }
+        val bytesPerFrame = math.max(channels * (bits / 8), 1)
+        val frames = if (dataOff < 0) 0 else dataLen / bytesPerFrame
+        if (frames == 0 || bits != 16) FrameSample(r.id, frames, Array.empty)
+        else FrameSample(r.id, frames, Array.tabulate(math.min(k, frames)) { i =>
+          buf.getShort(dataOff + (i.toLong * frames / math.min(k, frames)).toInt
+            * bytesPerFrame).toInt
+        })
+      }
+    })
   }
 
   /** Partition-batched feature extraction over typed records. One

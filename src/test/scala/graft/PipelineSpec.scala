@@ -237,4 +237,47 @@ class MultimodalSpec extends SparkSpec {
     assert(f.codec == "png" && f.width == 4 && f.height == 4)
     assert(f.level_milli == 400L, s"luminance was ${f.level_milli}")
   }
+
+  test("perceptual hash is format-independent: same pixels, BMP == PNG") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 8x8: left half dark (20), right half bright (200); y-symmetric
+    // so BMP's bottom-up row order cannot mask a bug
+    def gray(x: Int): Int = if (x < 4) 20 else 200
+    val bmpPixels = Array.tabulate(8 * 8 * 3) { i =>
+      gray((i / 3) % 8).toByte // stride 24 = 8*3, no row padding
+    }
+    val bmp = bmpBytes(8, 8, bmpPixels)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = gray(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+
+    val hashes = Multimodal.imageHashes(Seq(
+      MediaRecord(1L, "image", bmp),
+      MediaRecord(2L, "image", bos.toByteArray)).toDS())
+      .collect().sortBy(_.id)
+    assert(hashes(0).codec == "bmp" && hashes(1).codec == "png")
+    // bright columns 4..7 of every row -> per-row nibble 0xF0
+    val expected = (0 until 8).foldLeft(0L)((acc, row) => acc | (0xF0L << (row * 8)))
+    assert(hashes(0).thumb_hash == expected,
+      f"bmp hash ${hashes(0).thumb_hash}%016x != $expected%016x")
+    assert(hashes(0).thumb_hash == hashes(1).thumb_hash,
+      "same pixels must hash identically from BMP and PNG bytes")
+  }
+
+  test("frame sampling: k evenly spaced WAV samples") {
+    import spark.implicits._
+    val wav = wavBytes((0 until 8000).map(_.toShort), rate = 8000)
+    val fs = Multimodal.sampleFrames(
+      Seq(MediaRecord(5L, "audio", wav)).toDS(), k = 4).head()
+    assert(fs.n_frames == 8000)
+    assert(fs.samples.toSeq == Seq(0, 2000, 4000, 6000))
+    // non-media payload: no frames, empty samples
+    val none = Multimodal.sampleFrames(
+      Seq(MediaRecord(6L, "doc", "plain text".getBytes)).toDS(), k = 4).head()
+    assert(none.n_frames == 0 && none.samples.isEmpty)
+  }
 }
