@@ -45,4 +45,13 @@ object Contamination {
         countDistinct(col("bench_id")).as("n_bench_docs"),
         min(col("bench_id")).as("first_bench_id"))
   }
+
+  /** The removal composite: corpus minus every contaminated document
+    * (left anti-join against [[check]]'s hit set — hits are tiny, so
+    * the anti-join broadcasts).
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame =
+    corpus.join(broadcast(check(corpus, bench, idCol, textCol, n).select(idCol)),
+      Seq(idCol), "left_anti")
 }
