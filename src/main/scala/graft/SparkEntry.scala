@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineQueries, Relational, ReferenceOps, TextQueries, VectorQueries}
+import graft.queries.{CurationQueries, PipelineQueries, Relational, ReferenceOps, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ReferenceOps.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ReferenceOps.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles ++
+      CurationQueries.oracles
 }

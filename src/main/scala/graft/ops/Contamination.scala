@@ -46,6 +46,26 @@ object Contamination {
         min(col("bench_id")).as("first_bench_id"))
   }
 
+  /** Corpus-wide n-gram document-frequency statistics: for each
+    * distinct `n`-gram, how many documents contain it and the smallest
+    * containing doc id (a deterministic exemplar). The raw material
+    * for boilerplate/template detection and blocklist construction —
+    * a gram appearing in thousands of documents is navigation chrome,
+    * not content.
+    *
+    * Scale shape: grams are deduplicated inside the row before the
+    * explode, and the groupBy partial-aggregates map-side (count and
+    * min both combine), so the shuffle carries one record per distinct
+    * (gram, partition) — not per occurrence. `minDf` prunes the long
+    * singleton tail BEFORE any downstream consumer sees it.
+    */
+  def gramDocFrequency(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDf: Long = 2L): DataFrame =
+    distinctShingles(docs, idCol, textCol, n)
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("first_doc"))
+      .where(col("df") >= minDf)
+
   /** The removal composite: corpus minus every contaminated document
     * (left anti-join against [[check]]'s hit set — hits are tiny, so
     * the anti-join broadcasts).

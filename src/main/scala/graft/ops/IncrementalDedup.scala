@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Incremental-ingest dedup: drop from a new batch every document
+  * whose content fingerprint already exists in the historical corpus.
+  *
+  * This is the steady-state shape of corpus curation at 100 TB: the
+  * full corpus was deduplicated once, and each day a (relatively)
+  * small increment arrives that must be checked against ALL history.
+  * A plain `left_anti` join re-shuffles the historical fingerprint set
+  * on every ingest — O(history) work for an O(batch) question.
+  *
+  * Here a Bloom filter built over the historical fingerprints (built
+  * distributed via `DataFrameStatFunctions.bloomFilter` — one
+  * aggregation pass, merged on the driver, broadcast to executors)
+  * prefilters the batch:
+  *
+  *   - bloom says NO  -> the fingerprint is definitely absent from
+  *     history (no false negatives) -> the row passes through with no
+  *     join at all;
+  *   - bloom says MAYBE -> the row (true dups + an `fpp` fraction of
+  *     false positives) goes to an exact anti-join for resolution.
+  *
+  * Exactness is preserved by construction — the bloom only routes
+  * rows, the anti-join decides. The join's probe side shrinks from
+  * |batch| to |dups| + fpp·|batch|, so for a mostly-novel batch the
+  * shuffle all but disappears. Sizing: ~1.2 GB per 10^9 fingerprints
+  * at 1% fpp; beyond that, partition history by fingerprint range and
+  * run one bloom per range, or simply raise fpp — correctness never
+  * depends on it. Pre-bucketing history by `fp` (see [[Bucketing]])
+  * removes the history-side shuffle of the residual join too.
+  *
+  * Reference analogue: the reference dedups only within one pandas
+  * chunk (`utils/dataframe_operations.py` drop_duplicates); the
+  * cross-run/incremental form is the scale generalization.
+  */
+object IncrementalDedup {
+
+  /** 60-bit content fingerprint: ('0x' || substr(md5(x), 1, 15)) as a
+    * BIGINT — engine-portable (same value in DuckDB), collision odds
+    * ~n²/2^61 (≪1 for any realistic batch), and primitive-typed so
+    * joins and blooms stay on long buffers.
+    */
+  def fp60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** Rows of `batch` whose `fpCol` (a long fingerprint) does NOT occur
+    * in `history(fpCol)`. Bloom-prefiltered exact anti-join; output
+    * equals `batch.join(history, Seq(fpCol), "left_anti")` exactly.
+    *
+    * `expectedItems`/`fpp` size the bloom only — they never affect the
+    * result, only how much of the batch short-circuits the join.
+    */
+  def dedupAgainst(batch: DataFrame, history: DataFrame, fpCol: String,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = history.stat.bloomFilter(fpCol, expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    // No built-in Column function exposes BloomFilter membership; a
+    // one-call-per-row deterministic UDF on a primitive long is the
+    // narrowest bridge (the hot path stays the prefiltered join).
+    val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
+    val definitelyNew = batch.where(!mightContain(col(fpCol)))
+    val maybeDup = batch.where(mightContain(col(fpCol)))
+      .join(history.select(fpCol), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(maybeDup)
+  }
+}

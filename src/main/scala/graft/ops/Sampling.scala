@@ -44,4 +44,66 @@ object Sampling {
     }
     df.where(hashMilli(col(keyCol)) < rate)
   }
+
+  /** Per-domain sampling rates (per-mill) that steer the corpus toward
+    * a target mixture — the static form of training-data mixture
+    * reweighting (the DoReMi/Pile-style "domain weights" knob, applied
+    * as deterministic downsampling, never upsampling).
+    *
+    * For domain d with n_d rows out of N total and target share t_d
+    * (per-mill), the keep-rate is min(1, t_d·N / (1000·n_d)) — i.e.
+    * rate_milli = min(1000, t_d·N div n_d), computed in exact integer
+    * arithmetic. Domains under their target keep everything (capped at
+    * 1000); over-represented domains are thinned. Unlisted domains get
+    * `defaultMilli`.
+    *
+    * One tiny aggregation (|domains| rows) produces the rate table;
+    * applying it is a broadcast join + narrow filter — nothing about
+    * the corpus itself shuffles.
+    */
+  def mixtureRatesMilli(df: DataFrame, domainCol: String,
+                        targetMilli: Map[String, Int],
+                        defaultMilli: Int = 1000): DataFrame = {
+    val target = targetMilli.toSeq.sortBy(_._1).foldLeft(lit(defaultMilli)) {
+      case (acc, (d, s)) => when(col(domainCol) === d, lit(s)).otherwise(acc)
+    }
+    df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
+      .crossJoin(df.agg(count(lit(1)).as("n_total")))
+      .withColumn("_target", target.cast(LongType))
+      .withColumn("rate_milli",
+        least(lit(1000L), expr("(_target * n_total) DIV n_domain")).cast(LongType))
+      .drop("_target")
+  }
+
+  /** Apply [[mixtureRatesMilli]]: keep rows whose content hash falls
+    * under their domain's rate. Membership stays a pure function of
+    * (key, domain targets) — reproducible across engines and reruns.
+    */
+  def mixtureResample(df: DataFrame, keyCol: String, domainCol: String,
+                      targetMilli: Map[String, Int],
+                      defaultMilli: Int = 1000): DataFrame = {
+    val rates = mixtureRatesMilli(df, domainCol, targetMilli, defaultMilli)
+      .select(col(domainCol), col("rate_milli"))
+    df.join(broadcast(rates), domainCol)
+      .where(hashMilli(col(keyCol)) < col("rate_milli"))
+  }
+
+  /** At-most-`k`-per-group cap by content-addressed priority: the
+    * deterministic reservoir. Used for cluster-balanced diversity
+    * subsampling (cap each embedding cluster), boilerplate caps per
+    * host, etc. One shuffle on the group key; the `rn` column is the
+    * 1-based priority rank within the group.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("_pri"), col(keyCol))
+    df.withColumn("_pri",
+        conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast(LongType))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+      .drop("_pri")
+  }
 }

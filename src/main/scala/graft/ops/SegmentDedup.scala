@@ -29,25 +29,38 @@ object SegmentDedup {
     */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
                     segTokens: Int): DataFrame = {
-    val segs = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), size(col("tk")).as("_n_tk"),
-        posexplode(expr(
-          s"""transform(sequence(0, (size(tk) - 1) DIV $segTokens),
-             |  s -> concat_ws(' ', slice(tk, s * $segTokens + 1, $segTokens)))"""
-            .stripMargin)).as(Seq("seg_idx", "seg")))
-    val totals = segs.groupBy(idCol)
-      .agg(count(lit(1)).as("n_segs"))
+    val segs = segments(df, idCol, textCol, segTokens)
     val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
     val kept = segs
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .groupBy(idCol)
+    reassemble(segs, kept, idCol)
+  }
+
+  /** (id, seg_idx, seg): the document split into `segTokens`-token
+    * windows. Narrow (explode only — no shuffle).
+    */
+  def segments(df: DataFrame, idCol: String, textCol: String,
+               segTokens: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(tk) - 1) DIV $segTokens),
+             |  s -> concat_ws(' ', slice(tk, s * $segTokens + 1, $segTokens)))"""
+            .stripMargin)).as(Seq("seg_idx", "seg")))
+
+  /** Reassemble per-document stats from the full segment set and the
+    * surviving subset: n_segs, n_kept, clean_fp = md5 of the kept
+    * segments in original order (null when nothing survived).
+    */
+  def reassemble(segs: DataFrame, kept: DataFrame, idCol: String): DataFrame = {
+    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("n_segs"))
+    val agg = kept.groupBy(idCol)
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(
           transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             x => x.getField("seg")), " ")).as("clean_fp"))
-    totals.join(kept, Seq(idCol), "left")
+    totals.join(agg, Seq(idCol), "left")
       .select(col(idCol), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("clean_fp"))

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.ops.{Contamination, IncrementalDedup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surface, round 3 (cont.): incremental-ingest dedup
+  * against a historical fingerprint store, domain-mixture
+  * reweighting, and corpus-wide n-gram document-frequency statistics.
+  * Fixtures: the 500-doc `documents` table (fixed across SFs), with
+  * synthetic plants built from modular id arithmetic exactly like
+  * q86/q89/q90.
+  */
+object CurationQueries {
+
+  /** Mixture targets (per-mill) for q98: thin over-represented `en`,
+    * keep the small languages intact or lightly thinned. Constants so
+    * the oracle replays them verbatim.
+    */
+  private val mixTargets = Map(
+    "en" -> 200, "de" -> 100, "es" -> 100, "fr" -> 50, "zh" -> 140)
+
+  val queries: Map[String, Q] = Map(
+    // incremental-ingest dedup: history = every 3rd doc's fingerprint;
+    // batch = the rest + planted re-crawls of history docs (+2M ids).
+    // Bloom prefilter routes rows, the anti-join decides — output is
+    // exactly "batch minus history" (the plants all drop).
+    "q97_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hist = d.where(col("doc_id") % 3 === 0)
+        .select(IncrementalDedup.fp60(col("text")).as("fp"))
+      val batch = d.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .withColumn("fp", IncrementalDedup.fp60(col("text")))
+        .select("doc_id", "fp")
+      IncrementalDedup.dedupAgainst(batch, hist, "fp", expectedItems = 10000L)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
+    // domain-mixture reweighting: per-language keep-rates that steer
+    // the corpus toward the target mix, applied as deterministic
+    // content-addressed downsampling; output is the audit table
+    // (domain, size, rate, kept)
+    "q98_mixture_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rates = Sampling.mixtureRatesMilli(d, "lang", mixTargets)
+      val kept = Sampling.mixtureResample(d, "doc_id", "lang", mixTargets)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_domain").as("n_docs"), col("rate_milli"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // corpus n-gram doc-frequency: the 50 most document-frequent
+    // 3-grams (boilerplate/template detector); deterministic top-k on
+    // (df desc, gram)
+    "q100_gram_docfreq" -> ((s, dir) => {
+      Contamination.gramDocFrequency(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 2L)
+        .orderBy(desc("df"), asc("sh"))
+        .limit(50)
+        .select("sh", "df", "first_doc")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q97_incremental_dedup" ->
+      """WITH hist AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+                       FROM documents WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+                   FROM documents WHERE doc_id % 3 <> 0
+                   UNION ALL
+                   SELECT doc_id + 2000000 AS doc_id,
+                     ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+                   FROM documents WHERE doc_id % 6 = 0)
+         SELECT doc_id, fp FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+         ORDER BY doc_id""",
+    "q98_mixture_resample" ->
+      """WITH t AS (SELECT * FROM (VALUES ('en', 200), ('de', 100), ('es', 100),
+                     ('fr', 50), ('zh', 140)) AS t(lang, tgt)),
+         c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM documents),
+         r AS (SELECT c.lang, n_docs,
+                 least(1000, (tgt * n_total) // n_docs) AS rate_milli
+               FROM c JOIN t ON t.lang = c.lang, n),
+         k AS (SELECT d.lang, COUNT(*) AS n_kept
+               FROM documents d JOIN r ON r.lang = d.lang
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < rate_milli
+               GROUP BY 1)
+         SELECT r.lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rate_milli AS BIGINT) AS rate_milli,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+         FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""",
+    "q100_gram_docfreq" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+                FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+                WHERE len(tk) >= 3),
+         dfq AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df, MIN(doc_id) AS first_doc
+                 FROM sh GROUP BY 1 HAVING COUNT(*) >= 2)
+         SELECT sh, df, first_doc FROM dfq ORDER BY df DESC, sh LIMIT 50""")
+}

@@ -87,6 +87,21 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // cluster-balanced diversity subsample: IVF cells as coverage
+    // strata, at most 16 docs kept per cell by content-addressed
+    // priority — the cheap k-center stand-in that guarantees every
+    // region of embedding space survives a corpus downsample (dense
+    // clusters are thinned, sparse ones kept whole)
+    "q99_diversity_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val assigned = graft.ops.Ivf.assignQuantized(e, model)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      graft.ops.Sampling.capPerGroup(assigned, "cell", "vec_id", k = 16)
+        .select("cell", "rn", "vec_id")
+        .orderBy("cell", "rn")
+    }),
+
     // embedding near-dup pairs over a 10% sample (quadratic stage is
     // sampled; the scale path for full-corpus near-dup is LSH, q49)
     "q50_embed_neardup" -> ((s, dir) => {
@@ -276,6 +291,18 @@ object VectorQueries {
          SELECT vec_id, MIN(cand_id) AS keeper_id
          FROM sims WHERE sim_micro >= 300000
          GROUP BY vec_id ORDER BY vec_id""",
+    // same IVF replay up to `assigned`, then the q95 priority-rank
+    // idiom per cell
+    "q99_diversity_sample" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         p AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS pri
+               FROM assigned),
+         r AS (SELECT cell, vec_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY pri, vec_id) AS BIGINT) AS rn
+               FROM p)
+         SELECT cell, rn, vec_id FROM r WHERE rn <= 16 ORDER BY cell, rn""",
     "q79_label_centroids" ->
       """WITH e AS (SELECT vec_id, label,
            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ei

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.{Contamination, IncrementalDedup}
+import org.apache.spark.sql.functions._
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("incremental dedup equals the plain anti-join at ANY bloom sizing") {
+    val hist = docs.where(col("doc_id") % 3 === 0)
+      .select(IncrementalDedup.fp60(col("text")).as("fp"))
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), IncrementalDedup.fp60(col("text")).as("fp"))
+      .unionAll(docs.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          IncrementalDedup.fp60(col("text")).as("fp")))
+    val plain = batch.join(hist, Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // well-sized bloom, deliberately undersized bloom (dense => many
+    // false positives), and absurd fpp: the routing changes, the
+    // result must not
+    for ((items, fpp) <- Seq((10000L, 0.01), (10L, 0.5), (1000L, 0.9))) {
+      val got = IncrementalDedup.dedupAgainst(batch, hist, "fp", items, fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == plain, s"items=$items fpp=$fpp")
+    }
+
+    // the plants (re-crawls of history docs) all dropped; fresh docs all kept
+    assert(!plain.exists(_ >= 2000000L))
+    assert(plain.size == batch.count() - docs.where(col("doc_id") % 6 === 0).count())
+  }
+
+  test("gram doc-frequency counts documents, not occurrences") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // repeats "a b c" 3x in one doc
+      (2L, "a b c d e f"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Contamination.gramDocFrequency(d, "doc_id", "text", n = 3, minDf = 2L)
+      .as[(String, Long, Long)].collect()
+      .map { case (sh, df, fd) => sh -> ((df, fd)) }.toMap
+    assert(got("a b c") == (2L, 1L)) // docs 1 and 2, NOT 4 occurrences
+    assert(!got.contains("x y z"))   // df 1 pruned by minDf
+    assert(!got.contains("b c a"))   // only in doc 1 (in-doc repeats collapse)
+  }
+}

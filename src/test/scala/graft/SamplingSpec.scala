@@ -26,6 +26,43 @@ class SamplingSpec extends SparkSpec {
     assert(joinThenSample == sampleThenJoin)
   }
 
+  test("mixture reweighting: integer rates match the closed form; kept set is content-addressed") {
+    val targets = Map("en" -> 200, "de" -> 100, "es" -> 100, "fr" -> 50, "zh" -> 140)
+    val rates = Sampling.mixtureRatesMilli(docs, "lang", targets)
+      .select("lang", "n_domain", "n_total", "rate_milli")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    targets.foreach { case (lang, tgt) =>
+      val expect = math.min(1000L, tgt.toLong * total / counts(lang))
+      assert(rates(lang)._4 == expect, s"$lang rate")
+    }
+    // applying the rates: kept == rows whose hash clears the domain rate
+    val kept = Sampling.mixtureResample(docs, "doc_id", "lang", targets)
+    val keptRep = Sampling.mixtureResample(docs.repartition(11), "doc_id", "lang", targets)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      keptRep.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a domain at rate 1000 survives intact
+    val keptByLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    rates.foreach { case (lang, (_, n, _, rate)) =>
+      if (rate == 1000L) assert(keptByLang(lang) == n, s"$lang should be whole")
+      else assert(keptByLang.getOrElse(lang, 0L) < n, s"$lang should be thinned")
+    }
+  }
+
+  test("capPerGroup: at most k per group, small groups whole, stable under repartition") {
+    val capped = Sampling.capPerGroup(docs.select("doc_id", "lang"), "lang", "doc_id", 20)
+    val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, n) =>
+      assert(n == math.min(20L, total(lang)), s"$lang cap")
+    }
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.capPerGroup(docs.repartition(13).select("doc_id", "lang"),
+      "lang", "doc_id", 20).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("stratified rates are honored per stratum") {
     val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 300, "de" -> 1000), defaultMilli = 0)
