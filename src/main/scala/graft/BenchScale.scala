@@ -168,6 +168,35 @@ object BenchScale {
             && col("p_ts") <= col("c_ts") + lit(3600000000000L))
           .count()
       },
+      time("incremental_dedup_plain") {
+        // daily-ingest shape: history = the whole corpus's fingerprints,
+        // batch = 10% fresh (rewritten text) + 2% re-crawled duplicates
+        val hist = docsBig.select(
+          graft.ops.IncrementalDedup.fp60(col("text")).as("fp"))
+        val batch = docsBig.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh"), col("doc_id")).as("text"))
+          .unionAll(docsBig.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
+          .withColumn("fp", graft.ops.IncrementalDedup.fp60(col("text")))
+        batch.join(hist, Seq("fp"), "left_anti").count()
+      },
+      time("incremental_dedup_bloom") {
+        val hist = docsBig.select(
+          graft.ops.IncrementalDedup.fp60(col("text")).as("fp"))
+        val batch = docsBig.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh"), col("doc_id")).as("text"))
+          .unionAll(docsBig.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
+          .withColumn("fp", graft.ops.IncrementalDedup.fp60(col("text")))
+        graft.ops.IncrementalDedup.dedupAgainst(batch, hist, "fp",
+          expectedItems = docRows, fpp = 0.01).count()
+      },
+      time("gram_docfreq") {
+        graft.ops.Contamination.gramDocFrequency(docsBig, "doc_id", "text",
+          n = 3, minDf = 2L).count()
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,

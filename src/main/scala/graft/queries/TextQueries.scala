@@ -212,6 +212,50 @@ object TextQueries {
         .orderBy("user_id", "sess")
     }),
 
+    // top session paths: q53's sessionization, then the ordered
+    // event-type sequence per session, then path frequencies — the
+    // "common user journeys" report. Path assembly is the q55/q90
+    // sorted-struct idiom (deterministic under any shuffle order);
+    // the final top-20 lowers to TakeOrderedAndProject.
+    "q101_session_paths" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val flagged = ev
+        .withColumn("prev", lag("us", 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_s").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy("user_id", "sess")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    }),
+
+    // retention cohorts: users bucketed by first-seen day, activity
+    // counted per day-offset — two partial-aggregating shuffles on
+    // user_id (the second reuses the first's partitioning) and a tiny
+    // (cohort, offset) rollup
+    "q102_retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort"))
+      e.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).cast(LongType).as("offset_days"))
+        .distinct()
+        .groupBy("cohort", "offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offset_days")
+    }),
+
     "q55_array_agg" -> ((s, dir) => {
       // deterministic list aggregation: sorted array, string-joined
       // (string form keeps the comparator engine-agnostic)
@@ -545,6 +589,29 @@ object TextQueries {
          SELECT user_id, sess, COUNT(*) AS n_events,
            MAX(us) - MIN(us) AS dur_us
          FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q101_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN LAG(us) OVER w IS NULL
+                        OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (SELECT user_id, event_id, event_type, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+               FROM f),
+         p AS (SELECT user_id, sess,
+                 string_agg(event_type, '>' ORDER BY us, event_id) AS path
+               FROM g GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
+    "q102_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, cohort,
+                 CAST(day - cohort AS BIGINT) AS offset_days
+               FROM e JOIN f USING (user_id))
+         SELECT cohort, offset_days, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     "q55_array_agg" ->
       """SELECT o_custkey,
          array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,

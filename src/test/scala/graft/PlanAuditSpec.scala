@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q50_embed_neardup",       // sampled quadratic stage (by design)
     "q78_tfidf_topk",          // single-row n_docs scalar cross join
     "q91_unigram_nll",         // single-row n_total scalar cross join
-    "q96_quality_gate")        // single-row n_total scalar cross join (q91 shape)
+    "q96_quality_gate",        // single-row n_total scalar cross join (q91 shape)
+    "q98_mixture_resample")    // single-row n_total scalar cross join (q91 shape)
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
