@@ -132,11 +132,17 @@ object TextQueries {
     }),
 
     // tf-weighted MinHash/LSH near-dup pairs over the dup corpus —
-    // multiset Jaccard (repeated phrases count), same banding
+    // multiset Jaccard (repeated phrases count). STRICTER banding than
+    // the shingle queries (2 bands x 4 rows, candidate threshold
+    // ~0.5^(1/4)=0.84): token-multiset signatures are far less
+    // discriminative than 3-token shingles, and 2-row bands degenerate
+    // into thousand-member buckets (2.2M candidate pairs from 6k docs
+    // at sf0.1) — exactly the bucket blowup maxBucketSize guards
+    // against at 100 TB, fixed here at the config level instead
     "q80_weighted_minhash_pairs" -> ((s, dir) => {
       val sig = Dedup.weightedMinhashSignatures(dupCorpus(s, dir), "doc_id",
         "text", k = 8)
-      Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      Dedup.lshCandidatePairs(sig, "doc_id", bands = 2, rowsPerBand = 4)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -458,7 +464,7 @@ object TextQueries {
                 FROM reps),
          mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
                 FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
-         sig AS (SELECT doc_id, seed // 2 AS band,
+         sig AS (SELECT doc_id, seed // 4 AS band,
                    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
                  FROM mh GROUP BY 1, 2),
          ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
