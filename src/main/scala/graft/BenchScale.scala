@@ -218,5 +218,12 @@ object BenchScale {
     val total = results.map(_._2).sum
     println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
     spark.stop()
+    // scaled inputs are gigabytes; leaving them accumulates dirty
+    // page-cache + disk across runs and skews later write-heavy ops
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
   }
 }
