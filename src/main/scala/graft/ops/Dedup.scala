@@ -233,6 +233,35 @@ object Dedup {
       (0 until k).map(j => element_at(col("wmh"), j + 1).as(s"h$j")): _*)
   }
 
+  /** Verification join for LSH candidates: exact shingle-set Jaccard
+    * computed ONLY for the candidate pairs — the precision half of
+    * the LSH recipe (banding recalls candidates cheaply; this
+    * confirms them exactly before any destructive dedup decision).
+    *
+    * Scale shape: the pair set is tiny relative to the corpus, so
+    * both joins are broadcast-size on the pair side and the corpus's
+    * distinct-shingle arrays move only for docs that actually appear
+    * in a pair. Per-pair cost is one in-row array_intersect — no
+    * shuffle of shingle rows, no quadratic stage anywhere.
+    */
+  def verifyCandidatePairs(corpus: DataFrame, idCol: String, textCol: String,
+                           pairs: DataFrame, shingleWidth: Int,
+                           minJaccardMilli: Long): DataFrame = {
+    val sh = corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= shingleWidth)
+      .select(col(idCol),
+        expr(s"array_distinct(${shingleExpr(shingleWidth)})").as("shs"))
+    pairs
+      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_milli",
+        expr("n_common * 1000 DIV (size(sa) + size(sb) - n_common)"))
+      .where(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_milli"))
+  }
+
   /** Resolve near-dup candidate pairs into duplicate CLUSTERS:
     * connected components over the pair graph, each node labeled with
     * the minimum doc id of its component (the deterministic keeper).

@@ -154,6 +154,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3)._4 == -1000000L)           // opposite
   }
 
+  test("verification join: exact Jaccard on candidates only, known values") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 vs doc 2: shingle sets {a b c, b c d, c d e} vs
+    // {a b c, b c d, c d x} -> |inter|=2, |union|=4, J=500
+    // doc 3 shares nothing with either
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.verifyCandidatePairs(corpus, "doc_id", "text", pairs,
+        shingleWidth = 3, minJaccardMilli = 0L)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 500L), (1L, 3L, 0L, 0L)))
+
+    // verified set is a subset of the candidate set, and thresholding
+    // only removes rows
+    val thresholded = Dedup.verifyCandidatePairs(corpus, "doc_id", "text",
+      pairs, shingleWidth = 3, minJaccardMilli = 300L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(thresholded == Seq((1L, 2L)))
+  }
+
   test("LSH buckets: identical-direction vectors share a bucket") {
     val planes = Similarity.planeWeights(6, 3)
     assert(planes.length == 6 && planes.forall(_.length == 3))
