@@ -368,6 +368,59 @@ object Dedup {
     agged.select(col(idCol), hash.as("simhash"))
   }
 
+  /** 60-bit SimHash (md5-derived per-token hashes, bit-majority
+    * aggregation — same construction as [[simhash32]], wider so the
+    * banded near-dup join below gets discriminative 15-bit bands).
+    * 60 bits = 15 md5 hex chars, exactly replicable in any engine
+    * with 64-bit signed integers.
+    */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val h = tok.withColumn("hv",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+    val sums = (0 until 60).map(j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(1)).as(s"s$j"))
+    val agged = h.groupBy(idCol).agg(count(lit(1)).as("n"), sums: _*)
+    val hash = (0 until 60).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs, banded (the Manku/Google shape): 4
+    * 15-bit bands as bucket keys, exact Hamming distance verified per
+    * candidate (`bit_count(xor)` — one codegen'd instruction pair).
+    *
+    * Recall contract: a pair within Hamming `maxHamming` <= 3 shares
+    * at least one band by pigeonhole — GUARANTEED candidate; above 3
+    * the band match is probabilistic (~each band survives with
+    * p=(1-h/60)^15). Expected bucket size is n/2^15 per band, so the
+    * candidate volume is ~4n²/32768 against the corpus's n² — for
+    * deeper recall at higher Hamming radii, add permuted band tables
+    * rather than widening buckets.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 8): DataFrame = {
+    val sh = simhash60(df, idCol, textCol)
+    val bandExprs = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(col("simhash"), b * 15).bitwiseAND(32767).as("bandval")))
+    val keys = sh
+      .select(col(idCol), col("simhash"), explode(array(bandExprs: _*)).as("bs"))
+      .select(col(idCol), col("simhash"),
+        col("bs.band").as("band"), col("bs.bandval").as("bandval"))
+    val a = keys.select(col(idCol).as("doc_a"), col("simhash").as("ha"),
+      col("band"), col("bandval"))
+    val b = keys.select(col(idCol).as("doc_b"), col("simhash").as("hb"),
+      col("band"), col("bandval"))
+    a.join(b, Seq("band", "bandval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within blocks: distinct
     * `shingleWidth`-word shingles per doc, self-join on (block,
     * shingle) to count the intersection, Jaccard = |A∩B|/|A|+|B|-|A∩B|

@@ -180,6 +180,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash banded near-dup pairs (Manku shape): 60-bit simhash, 4
+    // 15-bit band buckets, exact bit_count(xor) Hamming verify —
+    // guaranteed recall at Hamming <= 3, probabilistic above;
+    // threshold 8 separates the planted 80%-overlap near-dups
+    // (Hamming 1-15, median ~7) from unrelated docs (median ~19)
+    "q104_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(dupCorpus(s, dir), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q51_multimodal_features" -> ((s, dir) => {
       val ds = Multimodal.fromBinaryFrame(s, t(s, dir, "documents"),
         "doc_id", "text", "doc")
@@ -597,6 +608,27 @@ object TextQueries {
          b AS (SELECT doc_id, COUNT(*) AS n, $simhashSums FROM h GROUP BY 1)
          SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
          FROM b ORDER BY doc_id""",
+    // 60-bit simhash via a bit-position lateral range (no 60-term
+    // macro), banded join, exact bit_count(xor) verify
+    "q104_simhash_neardup" ->
+      s"""WITH $corpusCte,
+         toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                  FROM corpus),
+         hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+         bs AS (SELECT doc_id, j, SUM((hv >> j) & 1) AS s, COUNT(*) AS n
+                FROM hv, (SELECT unnest(range(0, 60)) AS j) jj GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+                  SUM(CASE WHEN 2 * s > n THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                FROM bs GROUP BY 1),
+         keys AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bandval
+                  FROM sh, (SELECT unnest(range(0, 4)) AS b) bb),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS ha, b.simhash AS hb
+                  FROM keys a JOIN keys b ON a.b = b.b AND a.bandval = b.bandval
+                    AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+         ORDER BY doc_a, doc_b""",
     "q51_multimodal_features" ->
       """SELECT doc_id AS id, 'doc' AS kind, 'opaque' AS codec,
          CAST(strlen(text) AS BIGINT) AS size_bytes,

@@ -154,6 +154,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3)._4 == -1000000L)           // opposite
   }
 
+  test("simhash banded near-dup: exact copies at Hamming 0, small edits close, disjoint apart") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),                                  // exact copy
+      (3L, base.replace("kappa", "KAPPAX")),       // one token changed
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 0L)                    // identical -> Hamming 0
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 8L)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("verification join: exact Jaccard on candidates only, known values") {
     import org.apache.spark.sql.functions.col
     // doc 1 vs doc 2: shingle sets {a b c, b c d, c d e} vs
