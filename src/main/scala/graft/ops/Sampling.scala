@@ -88,6 +88,20 @@ object Sampling {
       .where(hashMilli(col(keyCol)) < col("rate_milli"))
   }
 
+  /** Deterministic train/val/test assignment: the split is a pure
+    * function of the row's KEY, so a document keeps its split across
+    * re-ingests, engine changes, and corpus growth — new data never
+    * migrates existing rows between splits (the content-addressed
+    * guarantee that prevents silent test-set leakage in a pipeline
+    * that reprocesses its corpus). Narrow map, no shuffle.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  trainMilli: Int = 900, valMilli: Int = 50): DataFrame =
+    df.withColumn("split",
+      when(hashMilli(col(keyCol)) < trainMilli, "train")
+        .when(hashMilli(col(keyCol)) < trainMilli + valMilli, "val")
+        .otherwise("test"))
+
   /** At-most-`k`-per-group cap by content-addressed priority: the
     * deterministic reservoir. Used for cluster-balanced diversity
     * subsampling (cap each embedding cluster), boilerplate caps per

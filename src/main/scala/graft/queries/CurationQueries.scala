@@ -54,6 +54,17 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // deterministic train/val/test split: content-addressed per-doc
+    // assignment (stable under re-ingest/growth — no test leakage) +
+    // the per-split audit counts
+    "q105_split_assign" -> ((s, dir) => {
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          trainMilli = 900, valMilli = 50)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .orderBy("lang", "split")
+    }),
+
     // corpus n-gram doc-frequency: the 50 most document-frequent
     // 3-grams (boilerplate/template detector); deterministic top-k on
     // (df desc, gram)
@@ -95,6 +106,17 @@ object CurationQueries {
            CAST(rate_milli AS BIGINT) AS rate_milli,
            CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
          FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""",
+    "q105_split_assign" ->
+      """WITH s AS (SELECT lang, doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
+                  THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents)
+         SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc
+         FROM s GROUP BY 1, 2 ORDER BY lang, split""",
     "q100_gram_docfreq" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
                      FROM documents),

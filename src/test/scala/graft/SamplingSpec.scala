@@ -50,6 +50,21 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("split assignment: exhaustive, disjoint, and immune to corpus growth") {
+    val full = Sampling.assignSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full.values.toSet == Set("train", "val", "test"))
+    // a row's split is a function of its key alone: assigning over
+    // HALF the corpus gives every shared doc the same split (new data
+    // can never migrate old rows between splits)
+    val half = Sampling.assignSplit(docs.where(col("doc_id") % 2 === 0), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+    // proportions roughly honor the 900/50/50 milli budget
+    val counts = full.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts("train") > 400 && counts("test") < 60 && counts("val") < 60)
+  }
+
   test("capPerGroup: at most k per group, small groups whole, stable under repartition") {
     val capped = Sampling.capPerGroup(docs.select("doc_id", "lang"), "lang", "doc_id", 20)
     val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
