@@ -55,7 +55,12 @@ object IncrementalDedup {
     */
   def buildBloom(history: DataFrame, fpCol: String, expectedItems: Long,
                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    history.stat.bloomFilter(fpCol, expectedItems, fpp)
+    // first-ingest state: stat.bloomFilter NPEs on an empty frame
+    // (null aggregate buffer); an empty filter (answers "no" for
+    // everything) is the correct value — the whole batch is new
+    if (history.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    else history.stat.bloomFilter(fpCol, expectedItems, fpp)
 
   /** Fold an accepted batch's fingerprints into the standing bloom
     * (mergeInPlace of a batch-sized bloom built with the same sizing,

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{AsOf, Dedup}
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, lit}
 
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
@@ -44,5 +45,27 @@ class EdgeCaseSpec extends SparkSpec {
   test("normalizeNames leaves already-canonical frames untouched") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     assert(graft.ops.SchemaOps.normalizeNames(li).columns.toSeq == li.columns.toSeq)
+  }
+
+  test("incremental dedup against an EMPTY history keeps the whole batch") {
+    import graft.ops.IncrementalDedup
+    val batch = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "fp")
+    val emptyHist = batch.select("fp").where(lit(false))
+    val out = IncrementalDedup.dedupAgainst(batch, emptyHist, "fp",
+      expectedItems = 100L)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mixture resample: unlisted domain honors defaultMilli") {
+    import graft.ops.Sampling
+    val d = Seq((1L, "aa"), (2L, "aa"), (3L, "zz"), (4L, "zz"))
+      .toDF("doc_id", "lang")
+    // zz unlisted: default 1000 keeps all; default 0 drops all
+    val keepAll = Sampling.mixtureResample(d, "doc_id", "lang",
+      Map("aa" -> 1000), defaultMilli = 1000)
+    assert(keepAll.where(col("lang") === "zz").count() == 2L)
+    val dropAll = Sampling.mixtureResample(d, "doc_id", "lang",
+      Map("aa" -> 1000), defaultMilli = 0)
+    assert(dropAll.where(col("lang") === "zz").count() == 0L)
   }
 }
