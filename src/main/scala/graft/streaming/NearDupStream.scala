@@ -7,9 +7,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming near-duplicate filtering: each micro-batch of documents
   * is MinHash-signed (narrow), probed against the persisted
-  * [[LshIndex]], and split — docs colliding with the indexed corpus
-  * are quarantined to `dupPath` with their collision evidence, clean
-  * docs land in `outPath` and their band keys join the index. The
+  * [[LshIndex]] AND against itself (in-batch collisions, lowest id
+  * kept), and split — colliding docs are quarantined to `dupPath`
+  * with their collision evidence, clean docs land in `outPath` and
+  * their band keys join the index. The
   * cross-batch memory lives in the table tier (same stance as
   * [[SegmentDedupStream]]): index size tracks the CLEAN corpus, and
   * per-batch cost tracks the batch.
@@ -46,20 +47,28 @@ object NearDupStream {
       try { spark.read.parquet(indexPath).schema; true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
 
-    // collision evidence per flagged doc: how many corpus docs it
-    // collided with, smallest corpus id as the deterministic exemplar.
-    // Snapshot before the index append below mutates the source.
-    val flagged = (
+    // collision evidence per flagged doc, from two sources: the
+    // persisted index (cross-batch) and the batch against itself
+    // (in-batch, conservative first-keeper: any doc colliding with a
+    // lower-id batch doc is quarantined — pairs come ordered
+    // doc_a < doc_b, so dropping every doc_b keeps exactly the
+    // lowest id of each collision chain's head). Evidence = collision
+    // count + smallest colliding id. Snapshot before the index append
+    // below mutates the source.
+    val crossBatch =
       if (indexExists)
         LshIndex.probe(spark, indexPath, sig, idCol, bands, rowsPerBand)
-          .groupBy("batch_id")
-          .agg(count(lit(1)).as("n_collisions"),
-            min("corpus_id").as("first_corpus_id"))
-          .withColumnRenamed("batch_id", idCol)
+          .select(col("batch_id").as(idCol), col("corpus_id"))
       else
-        sig.select(col(idCol), lit(0L).as("n_collisions"),
-          lit(null).cast("long").as("first_corpus_id")).where(lit(false))
-    ).localCheckpoint(true)
+        sig.select(col(idCol), col(idCol).as("corpus_id")).where(lit(false))
+    val inBatch = Dedup
+      .lshCandidatePairs(sig, idCol, bands, rowsPerBand)
+      .select(col("doc_b").as(idCol), col("doc_a").as("corpus_id"))
+    val flagged = crossBatch.unionByName(inBatch)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_collisions"),
+        min("corpus_id").as("first_corpus_id"))
+      .localCheckpoint(true)
 
     val cleanSig = sig.join(flagged.select(idCol), Seq(idCol), "left_anti")
       .localCheckpoint(true)

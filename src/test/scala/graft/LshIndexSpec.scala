@@ -59,13 +59,17 @@ class LshIndexSpec extends SparkSpec {
     assert(kept == Set(3L)) // the duplicate pair's buckets (size 2) dropped
   }
 
-  test("streaming near-dup loop: plants quarantined, clean docs indexed") {
+  test("streaming near-dup loop: cross-batch AND in-batch plants quarantined, clean docs indexed") {
     val base = java.nio.file.Files.createTempDirectory("graft_ndstream").toString
     val (idx, out, dup) = (s"$base/idx", s"$base/out", s"$base/dup")
     val b1 = docs.where(col("doc_id") < 250)
+    // batch 2 carries plants of batch-1 docs (cross-batch dups) AND
+    // plants of its own docs (+2M ids — in-batch dups, higher id loses)
     val b2 = docs.where(col("doc_id") >= 250)
       .unionAll(b1.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), truncText.as("text")))
+      .unionAll(docs.where(col("doc_id") >= 250 && col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), truncText.as("text")))
 
     NearDupStream.applyBatch(b1, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
     NearDupStream.applyBatch(b2, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
@@ -74,7 +78,17 @@ class LshIndexSpec extends SparkSpec {
     val outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     val plantIds = b2.where(col("doc_id") >= 1000000L)
       .select("doc_id").as[Long].collect().toSet
-    assert(plantIds.subsetOf(dupIds), "plants quarantined")
+    assert(plantIds.subsetOf(dupIds), "cross-batch AND in-batch plants quarantined")
+    // keeper ordering is sound: every quarantined doc lost to a
+    // strictly lower id (its collision evidence), so the lowest id of
+    // any collision chain always survives
+    val evidence = spark.read.parquet(dup)
+      .select("doc_id", "first_corpus_id").as[(Long, Long)].collect()
+    assert(evidence.forall { case (id, ev) => ev < id }, "evidence < doc_id")
+    // each in-batch plant's evidence is at most its own original
+    evidence.filter(_._1 >= 2000000L).foreach { case (id, ev) =>
+      assert(ev <= id - 2000000L, s"plant $id evidence $ev")
+    }
     assert((dupIds & outIds).isEmpty, "no doc in both outputs")
     assert((dupIds | outIds) == (b1.select("doc_id").as[Long].collect().toSet | b2.select("doc_id").as[Long].collect().toSet))
     // index holds keys only for clean docs
