@@ -58,10 +58,29 @@ object LshIndex {
 
   /** Append a batch's band keys (call after [[probe]] has accepted
     * the batch — typically only for the docs that were NOT flagged,
-    * so the index stays a clean-corpus index).
+    * so the index stays a clean-corpus index). Appends do NOT
+    * re-apply the bucket cap — boilerplate arriving over many batches
+    * can regrow degenerate buckets; run [[compact]] periodically
+    * (alongside file compaction) to re-enforce it.
     */
   def append(batchSig: DataFrame, idCol: String, bands: Int,
              rowsPerBand: Int, path: String): Unit =
     Dedup.bandKeys(batchSig, idCol, bands, rowsPerBand)
       .write.mode("append").partitionBy("band").parquet(path)
+
+  /** Re-enforce the bucket cap over the whole index (drop buckets
+    * that grew past `maxBucketSize` through appends) and rewrite it.
+    * One shuffle of the index keys; run at maintenance cadence, like
+    * [[graft.sources.PartitionedSink.compact]].
+    */
+  def compact(spark: SparkSession, path: String,
+              maxBucketSize: Int = 1000): Unit = {
+    val w = Window.partitionBy("band", "bandsig")
+    val kept = spark.read.parquet(path)
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= maxBucketSize)
+      .drop("_n")
+      .localCheckpoint(true) // snapshot before overwriting the source
+    kept.write.mode("overwrite").partitionBy("band").parquet(path)
+  }
 }

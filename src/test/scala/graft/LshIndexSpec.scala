@@ -59,6 +59,25 @@ class LshIndexSpec extends SparkSpec {
     assert(kept == Set(3L)) // the duplicate pair's buckets (size 2) dropped
   }
 
+  test("compact re-enforces the bucket cap after appends regrow a bucket") {
+    val dup = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val more = Seq((2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lshcompact")
+      .toString + "/idx"
+    LshIndex.write(Dedup.minhashSignaturesFast(dup, "doc_id", "text", 8, 3),
+      "doc_id", 4, 2, path, maxBucketSize = 1)
+    // append regrows the duplicate bucket past the cap
+    LshIndex.append(Dedup.minhashSignaturesFast(more, "doc_id", "text", 8, 3),
+      "doc_id", 4, 2, path)
+    assert(spark.read.parquet(path).select("doc_id").distinct().count() == 3L)
+    LshIndex.compact(spark, path, maxBucketSize = 1)
+    val kept = spark.read.parquet(path).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(kept == Set(3L)) // the regrown size-2 buckets dropped
+  }
+
   test("streaming near-dup loop: cross-batch AND in-batch plants quarantined, clean docs indexed") {
     val base = java.nio.file.Files.createTempDirectory("graft_ndstream").toString
     val (idx, out, dup) = (s"$base/idx", s"$base/out", s"$base/dup")
