@@ -64,4 +64,38 @@ class PropertySpec extends SparkSpec {
       .map(r => BigDecimal(r.getDecimal(0)))
     assert(back.toSeq == cents.map(c => BigDecimal(c) / 100))
   }
+
+  test("mixture rates: closed form holds for arbitrary domain counts and targets") {
+    import graft.ops.Sampling
+    val caseGen = for {
+      nDomains <- Gen.chooseNum(1, 5)
+      counts <- Gen.listOfN(nDomains, Gen.chooseNum(1L, 10000L))
+      targets <- Gen.listOfN(nDomains, Gen.chooseNum(0, 1000))
+    } yield (counts, targets)
+    samples(caseGen, 20).foreach { case (counts, targets) =>
+      val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+        (0L until n).map(i => (d.toLong * 100000 + i, s"d$d"))
+      }
+      val df = rows.toDF("id", "dom")
+      val targetMap = targets.zipWithIndex.map { case (t, d) => s"d$d" -> t }.toMap
+      val total = counts.sum
+      val got = Sampling.mixtureRatesMilli(df, "dom", targetMap)
+        .select("dom", "rate_milli").as[(String, Long)].collect().toMap
+      targetMap.foreach { case (dom, t) =>
+        val n = counts(dom.drop(1).toInt)
+        assert(got(dom) == math.min(1000L, t.toLong * total / n),
+          s"$dom t=$t n=$n total=$total")
+      }
+    }
+  }
+
+  test("fp60 is non-negative, 60-bit, and injective over distinct test keys") {
+    import graft.ops.IncrementalDedup
+    val keys = samples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 100).distinct
+    val fps = keys.toDF("k")
+      .select(IncrementalDedup.fp60(col("k")).as("fp"))
+      .as[Long].collect()
+    assert(fps.forall(f => f >= 0L && f < (1L << 60)))
+    assert(fps.distinct.length == fps.length) // no collisions in sample
+  }
 }

@@ -78,6 +78,30 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("deterministic sampling is stream-safe: same membership through readStream") {
+    // content-addressed membership is a stateless narrow filter, so
+    // the SAME operator runs unchanged on a stream — and selects the
+    // SAME rows (an RNG sampler cannot promise either)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sample_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = Sampling.deterministicSample(src, "doc_id", 200)
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sample_stream_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_stream_out")
+        .as[Long].collect().sorted.toSeq
+      val batch = Sampling.deterministicSample(docs, "doc_id", 200)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stratified rates are honored per stratum") {
     val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 300, "de" -> 1000), defaultMilli = 0)
