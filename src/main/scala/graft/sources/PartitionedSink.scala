@@ -93,4 +93,44 @@ object PartitionedSink {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order (Morton) clustered write: interleave the bits of TWO
+    * quantized numeric columns into one sort key, so row-group
+    * min/max stats become selective on BOTH dimensions at once — the
+    * multi-column generalization of [[clusteredWrite]] (which makes
+    * the first sort column selective and leaves the second useless).
+    * The Delta/Iceberg OPTIMIZE ZORDER shape, on plain parquet.
+    *
+    * Quantization is equi-width over the observed min/max (ONE tiny
+    * aggregate, four numbers to the driver — same stance as Ivf's
+    * broadcast centroids); skewed columns deserve equi-depth
+    * boundaries (approx_percentile) — same interleave, different
+    * bucketing. The z-value is a pure per-row expression: the write
+    * costs one range shuffle, identical to any clustered write.
+    */
+  def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int, bits: Int = 10): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val buckets = (1 << bits) - 1
+    def q(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column =
+      if (hi > lo)
+        least(lit(buckets.toLong),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets))
+          .cast("long")
+      else lit(0L)
+    val (ra, rb) = (q(colA, loA, hiA), q(colB, loB, hiB))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(ra, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(rb, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

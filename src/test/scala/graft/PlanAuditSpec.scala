@@ -37,4 +37,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"plan audit failures:\n${offenders.mkString("\n")}")
     spark.catalog.clearCache() // q60's corpus-clean persists its stages
   }
+
+  test("driver contract: every query has an oracle and vice versa") {
+    // a query without an oracle silently downgrades to a rows-only
+    // check in the driver's gate; this pins the 1:1 contract forever
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles missing queries: ${(o -- q).toSeq.sorted}")
+  }
 }

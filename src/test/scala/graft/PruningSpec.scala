@@ -61,6 +61,42 @@ class PruningSpec extends SparkSpec {
       s"clustered scan decoded $clusteredRead vs unsorted $unsortedRead")
   }
 
+  test("z-ordered write: a two-dimensional box filter skips more than single-column clustering") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+    PartitionedSink.clusteredWrite(li, s"$base/by_partkey",
+      Seq("l_partkey"), nFiles = 16)
+    PartitionedSink.zOrderedWrite(li, s"$base/zorder",
+      "l_partkey", "l_suppkey", nFiles = 16)
+
+    // ~25% box on each dimension => ~6% of rows match
+    val (pMax, sMax) = (500L, 25L)
+    def pred(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("l_partkey") < pMax && col("l_suppkey") < sMax)
+    def scanRows(path: String): Long = {
+      val q = pred(spark.read.parquet(path))
+      q.collect() // execute THIS plan so its scan metrics populate
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    // identical answers across layouts
+    val expect = pred(li).count()
+    assert(expect > 0)
+    assert(pred(spark.read.parquet(s"$base/zorder")).count() == expect)
+
+    val byPartkey = scanRows(s"$base/by_partkey")
+    val zRead = scanRows(s"$base/zorder")
+    // single-column clustering decodes every file in the partkey
+    // range regardless of suppkey; the z-layout's files are spatial
+    // tiles, selective on both dimensions at once
+    assert(zRead < byPartkey,
+      s"z-order decoded $zRead vs single-column $byPartkey")
+    assert(zRead < li.count() / 4, s"z-order decoded $zRead of ${li.count()}")
+  }
+
   test("compaction merges small files without changing the data") {
     val out = Files.createTempDirectory("graft_compact").toString + "/t"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
