@@ -75,7 +75,10 @@ object NearDupStream {
 
     batch.join(flagged, Seq(idCol), "inner")
       .write.mode("append").parquet(dupPath)
-    batch.join(cleanSig.select(idCol), Seq(idCol), "left_semi")
+    // clean = batch minus flagged — NOT batch ∩ signed: documents too
+    // short to shingle have no signature, cannot be near-dup-checked,
+    // and must pass through rather than vanish from both outputs
+    batch.join(flagged.select(idCol), Seq(idCol), "left_anti")
       .write.mode("append").parquet(outPath)
     LshIndex.append(cleanSig, idCol, bands, rowsPerBand, indexPath)
   }

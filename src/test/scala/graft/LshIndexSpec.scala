@@ -89,13 +89,15 @@ class LshIndexSpec extends SparkSpec {
         .select((col("doc_id") + 1000000L).as("doc_id"), truncText.as("text")))
       .unionAll(docs.where(col("doc_id") >= 250 && col("doc_id") % 10 === 3)
         .select((col("doc_id") + 2000000L).as("doc_id"), truncText.as("text")))
+      // one doc too short to shingle: must pass through, not vanish
+      .unionAll(Seq((3000000L, "tiny")).toDF("doc_id", "text"))
 
     NearDupStream.applyBatch(b1, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
     NearDupStream.applyBatch(b2, "doc_id", "text", 8, 3, 4, 2, idx, out, dup)
 
     val dupIds = spark.read.parquet(dup).select("doc_id").as[Long].collect().toSet
     val outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
-    val plantIds = b2.where(col("doc_id") >= 1000000L)
+    val plantIds = b2.where(col("doc_id") >= 1000000L && col("doc_id") < 3000000L)
       .select("doc_id").as[Long].collect().toSet
     assert(plantIds.subsetOf(dupIds), "cross-batch AND in-batch plants quarantined")
     // keeper ordering is sound: every quarantined doc lost to a
@@ -110,8 +112,10 @@ class LshIndexSpec extends SparkSpec {
     }
     assert((dupIds & outIds).isEmpty, "no doc in both outputs")
     assert((dupIds | outIds) == (b1.select("doc_id").as[Long].collect().toSet | b2.select("doc_id").as[Long].collect().toSet))
-    // index holds keys only for clean docs
+    // the unshingleable doc passed through to out but was not indexed
+    assert(outIds.contains(3000000L) && !dupIds.contains(3000000L))
+    // index holds keys only for clean SIGNED docs
     val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSet
-    assert(idxIds == outIds)
+    assert(idxIds == outIds - 3000000L)
   }
 }
