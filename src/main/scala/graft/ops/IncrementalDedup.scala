@@ -112,8 +112,13 @@ object IncrementalDedup {
     // one-call-per-row deterministic UDF on a primitive long is the
     // narrowest bridge (the hot path stays the prefiltered join).
     val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
-    val definitelyNew = batch.where(!mightContain(col(fpCol)))
-    val maybeDup = batch.where(mightContain(col(fpCol)))
+    // null fingerprints: the anti-join keeps them (null keys never
+    // match), so the bloom route must too — a null predicate would
+    // silently drop them from BOTH branches
+    val definitelyNew = batch.where(col(fpCol).isNull ||
+      !mightContain(col(fpCol)))
+    val maybeDup = batch.where(col(fpCol).isNotNull &&
+      mightContain(col(fpCol)))
     val probeFps = maybeDup.select(fpCol).distinct()
     val resolved =
       if (probeFps.count() <= maxBroadcastProbe) {

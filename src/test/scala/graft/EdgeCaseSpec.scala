@@ -56,6 +56,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("incremental dedup keeps null-fingerprint rows, matching the anti-join") {
+    import graft.ops.IncrementalDedup
+    val batch = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("doc_id", "fp")
+    val hist = Seq(Tuple1(10L)).toDF("fp")
+    val plain = batch.join(hist, Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == Seq(2L, 3L)) // null fp survives the anti-join
+    val got = IncrementalDedup.dedupAgainst(batch, hist, "fp", 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == plain)
+  }
+
   test("mixture resample: unlisted domain honors defaultMilli") {
     import graft.ops.Sampling
     val d = Seq((1L, "aa"), (2L, "aa"), (3L, "zz"), (4L, "zz"))
