@@ -22,6 +22,10 @@ object Sampling {
 
   /** md5-derived uniform in [0, 1000) milli-units, exact in any
     * engine: ('0x' || substr(md5(key), 1, 8))::BIGINT % 1000.
+    * NULL keys hash to NULL, so every `hashMilli < rate` membership
+    * test EXCLUDES them — a row without a content address has no
+    * stable sampling fate (assign surrogate keys upstream if null
+    * keys must participate).
     */
   def hashMilli(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
