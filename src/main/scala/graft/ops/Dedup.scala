@@ -399,23 +399,38 @@ object Dedup {
     * candidate volume is ~4n²/32768 against the corpus's n² — for
     * deeper recall at higher Hamming radii, add permuted band tables
     * rather than widening buckets.
+    *
+    * Pairs are generated bucket-locally, same as
+    * [[lshCandidatePairs]]: groupBy (band, bandval) -> sorted
+    * (id, simhash) list -> in-row HOF pair expansion. A self-join on
+    * the band key would re-derive the 61-aggregate simhash lineage for
+    * both sides and pay two band-key shuffles; here the signature
+    * frame is computed once and shuffled once. `maxBucketSize` bounds
+    * the per-bucket quadratic blowup, mirroring the MinHash cap.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 8): DataFrame = {
+                          maxHamming: Int = 8,
+                          maxBucketSize: Int = 1000): DataFrame = {
     val sh = simhash60(df, idCol, textCol)
     val bandExprs = (0 until 4).map(b => struct(lit(b).as("band"),
       shiftright(col("simhash"), b * 15).bitwiseAND(32767).as("bandval")))
     val keys = sh
       .select(col(idCol), col("simhash"), explode(array(bandExprs: _*)).as("bs"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol).as("id"), col("simhash").as("h"),
         col("bs.band").as("band"), col("bs.bandval").as("bandval"))
-    val a = keys.select(col(idCol).as("doc_a"), col("simhash").as("ha"),
-      col("band"), col("bandval"))
-    val b = keys.select(col(idCol).as("doc_b"), col("simhash").as("hb"),
-      col("band"), col("bandval"))
-    a.join(b, Seq("band", "bandval"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    // array_sort over (id, h) structs orders by id (unique), so pair
+    // expansion emits doc_a < doc_b with both signatures in-row
+    keys.groupBy("band", "bandval")
+      .agg(array_sort(collect_list(struct(col("id"), col("h")))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(xs) - 1),
+          |  i -> transform(slice(xs, i + 1, size(xs) - i),
+          |    y -> struct(element_at(xs, i).id AS a, y.id AS b,
+          |                element_at(xs, i).h AS ha, y.h AS hb))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.ha").as("ha"), col("p.hb").as("hb"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

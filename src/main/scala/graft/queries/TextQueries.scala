@@ -622,10 +622,13 @@ object TextQueries {
                 FROM bs GROUP BY 1),
          keys AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bandval
                   FROM sh, (SELECT unnest(range(0, 4)) AS b) bb),
+         bkt AS (SELECT b, bandval FROM keys GROUP BY 1, 2
+                 HAVING COUNT(*) BETWEEN 2 AND 1000),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.simhash AS ha, b.simhash AS hb
                   FROM keys a JOIN keys b ON a.b = b.b AND a.bandval = b.bandval
-                    AND a.doc_id < b.doc_id)
+                    AND a.doc_id < b.doc_id
+                  JOIN bkt ON bkt.b = a.b AND bkt.bandval = a.bandval)
          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ha, hb)) <= 8
          ORDER BY doc_a, doc_b""",
