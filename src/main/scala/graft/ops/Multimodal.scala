@@ -44,16 +44,31 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(data).map("%02x".format(_)).mkString
 
-  /** Codec dispatch on magic bytes. */
-  def decode(r: MediaRecord): MediaFeatures = {
-    val d = r.data
-    if (d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F'
-        && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E') decodeWav(r)
-    else if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') decodeBmp(r)
-    else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N'
-        && d(3) == 'G') decodePng(r)
-    else decodeOpaque(r)
-  }
+  /** Largest raster the PNG path will materialize (64M px ≈ a 8192²
+    * RGBA image, ~256 MB unfiltered). Beyond that a crafted IHDR could
+    * allocate unbounded executor memory, so such images decode header
+    * metadata only.
+    */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  /** Codec dispatch on magic bytes. A malformed payload of a
+    * recognized format (truncated chunk walk, lying length fields,
+    * overflowing dims) must never kill or hang the task: every format
+    * branch is wrapped, and a decode failure falls back to the opaque
+    * features with codec = "corrupt" so bad records stay observable.
+    */
+  def decode(r: MediaRecord): MediaFeatures =
+    try {
+      val d = r.data
+      if (d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F'
+          && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E') decodeWav(r)
+      else if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') decodeBmp(r)
+      else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N'
+          && d(3) == 'G') decodePng(r)
+      else decodeOpaque(r)
+    } catch {
+      case scala.util.control.NonFatal(_) => decodeOpaque(r).copy(codec = "corrupt")
+    }
 
   /** WAV/PCM: walk RIFF chunks for "fmt " and "data"; all features are
     * exact integer byte arithmetic except one final RMS sqrt.
@@ -63,15 +78,26 @@ object Multimodal {
     var pos = 12
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (pos + 8 <= r.data.length) {
+    var walking = true
+    while (walking && pos + 8 <= r.data.length) {
       val id = new String(r.data, pos, 4, "US-ASCII")
       val len = buf.getInt(pos + 4)
-      if (id == "fmt ") {
-        channels = buf.getShort(pos + 10).toInt
-        rate = buf.getInt(pos + 12)
-        bits = buf.getShort(pos + 22).toInt
-      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-      pos += 8 + len + (len & 1) // chunks are word-aligned
+      if (len < 0) walking = false // lying length field: stop, don't loop/underflow
+      else {
+        if (id == "fmt " && pos + 24 <= r.data.length) {
+          channels = buf.getShort(pos + 10).toInt
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+        } else if (id == "data") {
+          dataOff = pos + 8
+          // clamp to the bytes actually present: a header may overstate
+          dataLen = math.max(0, math.min(len, r.data.length - dataOff))
+        }
+        // chunks are word-aligned; long arithmetic so a huge len can't
+        // overflow into a negative pos and restart the walk
+        val next = pos.toLong + 8L + len + (len & 1)
+        if (next > r.data.length) walking = false else pos = next.toInt
+      }
     }
     val bytesPerFrame = math.max(channels * (bits / 8), 1)
     val frames = if (dataOff < 0) 0 else dataLen / bytesPerFrame
@@ -135,34 +161,49 @@ object Multimodal {
 
   /** Unfiltered PNG pixel array: (width, height, bytesPerPixel,
     * colorChannels, pixels). None for palette/interlaced/non-8-bit
-    * layouts.
+    * layouts, for rasters over [[MaxPixels]], and for any payload
+    * whose chunk structure is malformed (negative or overflowing
+    * length fields) — decode never throws or loops on hostile bytes.
     */
-  private def pngPixels(d: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
+  private def pngPixels(d: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] =
+    try pngPixelsUnsafe(d)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pngPixelsUnsafe(d: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte])] = {
     val buf = ByteBuffer.wrap(d).order(ByteOrder.BIG_ENDIAN)
     var pos = 8
     var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
     var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
-    while (pos + 8 <= d.length) {
+    var walking = true
+    while (walking && pos + 8 <= d.length) {
       val len = buf.getInt(pos)
-      val typ = new String(d, pos + 4, 4, "US-ASCII")
-      if (typ == "IHDR" && pos + 21 <= d.length) {
-        width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
-        bitDepth = d(pos + 16) & 0xff; colorType = d(pos + 17) & 0xff
-        interlace = d(pos + 20) & 0xff
-      } else if (typ == "IDAT" && pos + 8 + len <= d.length) {
-        idat.write(d, pos + 8, len)
+      if (len < 0) { walking = false } // lying length: stop the walk
+      else {
+        val typ = new String(d, pos + 4, 4, "US-ASCII")
+        if (typ == "IHDR" && pos + 21 <= d.length) {
+          width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
+          bitDepth = d(pos + 16) & 0xff; colorType = d(pos + 17) & 0xff
+          interlace = d(pos + 20) & 0xff
+        } else if (typ == "IDAT" && pos + 8 + len <= d.length) {
+          idat.write(d, pos + 8, len)
+        }
+        // len + type + data + crc; long arithmetic so pos stays monotone
+        val next = pos.toLong + 12L + len
+        if (next > d.length) walking = false else pos = next.toInt
       }
-      pos += 12 + len // len + type + data + crc
     }
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
     }
     if (bitDepth != 8 || interlace != 0 || channels == 0
-        || width <= 0 || height <= 0) return None
+        || width <= 0 || height <= 0
+        || width.toLong * height > MaxPixels) return None
     val bpp = channels
     val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    val rawLen = (stride.toLong + 1L) * height
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -236,7 +277,8 @@ object Multimodal {
     val rawH = buf.getInt(22)
     val height = math.abs(rawH)
     val bits = buf.getShort(28).toInt
-    if (bits != 24 || width <= 0 || height <= 0) return None
+    if (bits != 24 || width <= 0 || height <= 0 || dataOff < 0
+        || width.toLong * height > MaxPixels) return None
     val stride = ((width * 3 + 3) / 4) * 4 // rows pad to 4 bytes
     if (dataOff + stride.toLong * height > d.length) return None
     val g = new Array[Int](width * height)
@@ -327,18 +369,28 @@ object Multimodal {
       val isWav = d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
         d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
       if (!isWav) FrameSample(r.id, 0, Array.empty)
-      else {
+      else try {
         val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
         var pos = 12
         var channels = 1; var bits = 16; var dataOff = -1; var dataLen = 0
-        while (pos + 8 <= d.length) {
+        var walking = true
+        while (walking && pos + 8 <= d.length) {
           val id = new String(d, pos, 4, "US-ASCII")
           val len = buf.getInt(pos + 4)
-          if (id == "fmt ") {
-            channels = math.max(buf.getShort(pos + 10).toInt, 1)
-            bits = buf.getShort(pos + 22).toInt
-          } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-          pos += 8 + len + (len & 1)
+          if (len < 0) walking = false
+          else {
+            if (id == "fmt " && pos + 24 <= d.length) {
+              channels = math.max(buf.getShort(pos + 10).toInt, 1)
+              bits = buf.getShort(pos + 22).toInt
+            } else if (id == "data") {
+              dataOff = pos + 8
+              // frame offsets are computed from this, so it must reflect
+              // the bytes actually present, not the header's claim
+              dataLen = math.max(0, math.min(len, d.length - dataOff))
+            }
+            val next = pos.toLong + 8L + len + (len & 1)
+            if (next > d.length) walking = false else pos = next.toInt
+          }
         }
         val bytesPerFrame = math.max(channels * (bits / 8), 1)
         val frames = if (dataOff < 0) 0 else dataLen / bytesPerFrame
@@ -347,6 +399,8 @@ object Multimodal {
           buf.getShort(dataOff + (i.toLong * frames / math.min(k, frames)).toInt
             * bytesPerFrame).toInt
         })
+      } catch {
+        case scala.util.control.NonFatal(_) => FrameSample(r.id, 0, Array.empty)
       }
     })
   }

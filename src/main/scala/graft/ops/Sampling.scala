@@ -98,11 +98,17 @@ object Sampling {
     * migrates existing rows between splits (the content-addressed
     * guarantee that prevents silent test-set leakage in a pipeline
     * that reprocesses its corpus). Narrow map, no shuffle.
+    *
+    * NULL keys get a NULL split (same exclusion contract as
+    * [[hashMilli]]): without the leading isNull branch they would fall
+    * through both `when`s into `.otherwise("test")` and silently
+    * pollute the test split.
     */
   def assignSplit(df: DataFrame, keyCol: String,
                   trainMilli: Int = 900, valMilli: Int = 50): DataFrame =
     df.withColumn("split",
-      when(hashMilli(col(keyCol)) < trainMilli, "train")
+      when(col(keyCol).isNull, lit(null).cast("string"))
+        .when(hashMilli(col(keyCol)) < trainMilli, "train")
         .when(hashMilli(col(keyCol)) < trainMilli + valMilli, "val")
         .otherwise("test"))
 

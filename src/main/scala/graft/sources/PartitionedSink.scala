@@ -111,10 +111,18 @@ object PartitionedSink {
   def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
                     nFiles: Int, bits: Int = 10): Unit = {
     import org.apache.spark.sql.functions._
-    val Array(loA, hiA, loB, hiB) = df
+    val bounds = df
       .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
         min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      .head()
+    if (bounds.anyNull) {
+      // empty frame or an all-null z-order column: no quantization range
+      // exists, so fall back to a plain clustered write (nulls sort first)
+      clusteredWrite(df, path, Seq(colA, colB), nFiles)
+      return
+    }
+    val Array(loA, hiA, loB, hiB) =
+      bounds.toSeq.map(_.asInstanceOf[Double]).toArray
     val buckets = (1 << bits) - 1
     def q(c: String, lo: Double, hi: Double): org.apache.spark.sql.Column =
       if (hi > lo)

@@ -280,4 +280,60 @@ class MultimodalSpec extends SparkSpec {
       Seq(MediaRecord(6L, "doc", "plain text".getBytes)).toDS(), k = 4).head()
     assert(none.n_frames == 0 && none.samples.isEmpty)
   }
+
+  test("malformed WAV: negative chunk length terminates the walk, no hang") {
+    import spark.implicits._
+    // "RIFF....WAVE" then a chunk whose length field is -8: the old walk
+    // computed pos += 8 + (-8) = 0 and spun forever
+    val buf = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(16); buf.put("WAVE".getBytes)
+    buf.put("junk".getBytes); buf.putInt(-8); buf.putInt(0)
+    val ds = Seq(MediaRecord(7L, "audio", buf.array())).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.codec == "wav/pcm" && f.n_frames == 0)
+    val fs = Multimodal.sampleFrames(ds, k = 4).head()
+    assert(fs.n_frames == 0 && fs.samples.isEmpty)
+  }
+
+  test("truncated WAV: header overstates data length, frames clamp to payload") {
+    import spark.implicits._
+    // 4000 samples declared, payload truncated to 1000 samples' worth:
+    // frame offsets must come from bytes present, not the header claim
+    val wav = wavBytes((0 until 4000).map(_.toShort), rate = 8000).take(44 + 2000)
+    val ds = Seq(MediaRecord(8L, "audio", wav)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.codec == "wav/pcm" && f.n_frames == 1000)
+    val fs = Multimodal.sampleFrames(ds, k = 4).head()
+    assert(fs.n_frames == 1000)
+    assert(fs.samples.toSeq == Seq(0, 250, 500, 750))
+  }
+
+  test("malformed PNG: negative chunk length and overflow dims decode safely") {
+    import spark.implicits._
+    // negative chunk length: the old walk looped forever on pos += 12 + len
+    val neg = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.BIG_ENDIAN)
+    neg.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    neg.putInt(-12); neg.put("IHDR".getBytes)
+    val f1 = Multimodal.extractFeatures(
+      Seq(MediaRecord(9L, "image", neg.array())).toDS()).head()
+    assert(f1.codec == "png" || f1.codec == "corrupt")
+    assert(f1.level_milli == 0L)
+
+    // crafted IHDR dims: 65536x65536 overflowed (stride+1)*height into a
+    // NegativeArraySizeException; now capped at MaxPixels -> header-only
+    val big = java.nio.ByteBuffer.allocate(8 + 25).order(java.nio.ByteOrder.BIG_ENDIAN)
+    big.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    big.putInt(13); big.put("IHDR".getBytes)
+    big.putInt(65536); big.putInt(65536)
+    big.put(8.toByte); big.put(2.toByte) // 8-bit RGB
+    big.put(0.toByte); big.put(0.toByte); big.put(0.toByte)
+    val f2 = Multimodal.extractFeatures(
+      Seq(MediaRecord(10L, "image", big.array())).toDS()).head()
+    assert(f2.codec == "png" && f2.width == 65536 && f2.height == 65536)
+    assert(f2.level_milli == 0L)
+    // and the raster/hash path must also survive it
+    assert(Multimodal.imageHashes(
+      Seq(MediaRecord(11L, "image", big.array())).toDS()).head().codec == "opaque")
+  }
 }

@@ -97,6 +97,23 @@ class PruningSpec extends SparkSpec {
     assert(zRead < li.count() / 4, s"z-order decoded $zRead of ${li.count()}")
   }
 
+  test("z-ordered write survives empty frames and all-null z columns") {
+    val base = Files.createTempDirectory("graft_zorder_edge").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+
+    // empty frame: min/max are null -> plain clustered fallback, no NPE
+    PartitionedSink.zOrderedWrite(li.where(col("l_orderkey") < 0),
+      s"$base/empty", "l_partkey", "l_suppkey", nFiles = 4)
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+
+    // all-null z-order column: same fallback, data intact
+    val nulled = li.withColumn("l_suppkey", lit(null).cast("long"))
+    PartitionedSink.zOrderedWrite(nulled, s"$base/nullcol",
+      "l_partkey", "l_suppkey", nFiles = 4)
+    assert(spark.read.parquet(s"$base/nullcol").count() == li.count())
+  }
+
   test("compaction merges small files without changing the data") {
     val out = Files.createTempDirectory("graft_compact").toString + "/t"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

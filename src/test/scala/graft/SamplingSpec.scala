@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > 400 && counts("test") < 60 && counts("val") < 60)
   }
 
+  test("split assignment: null keys get a null split, never 'test'") {
+    // hashMilli's null-key exclusion contract: a row without a content
+    // address has no stable split; silently landing in 'test' would
+    // pollute the held-out set with every keyless row
+    val withNulls = docs.withColumn("k",
+      when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    val split = Sampling.assignSplit(withNulls, "k")
+      .select("doc_id", "k", "split").as[(Long, Option[Long], Option[String])]
+      .collect()
+    split.foreach { case (id, k, s) =>
+      if (k.isEmpty) assert(s.isEmpty, s"doc $id: null key must get null split")
+      else assert(s.exists(Set("train", "val", "test")), s"doc $id")
+    }
+    assert(split.count(_._2.isEmpty) > 0)
+  }
+
   test("capPerGroup: at most k per group, small groups whole, stable under repartition") {
     val capped = Sampling.capPerGroup(docs.select("doc_id", "lang"), "lang", "doc_id", 20)
     val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
