@@ -79,23 +79,33 @@ object BenchScale {
       name -> runs.min
     }
 
-    // daily-ingest dedup shape: history = one fingerprint per lineitem
-    // row (12M at x20 — far past auto-broadcast, the realistic
-    // regime), batch = history/20 keys of which 2% are re-crawls.
-    // Plain anti-join shuffles the full history fp set every ingest;
-    // the bloom path broadcasts the (bloom-bounded) probe set instead,
-    // so history is scanned in place and never crosses the network.
-    // The standing bloom is built once per corpus epoch and extended
-    // per accepted batch (IncrementalDedup.admit) — build timed
-    // separately (BLOOMBUILD line), probes are the recurring cost.
-    val incHist = spark.range(liRows).select(
-      graft.ops.IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
-    def incBatch = spark.range(liRows / 20).select(
-      when(col("id") % 50 === 0,
-          concat(lit("h"), col("id") * 17 % liRows))
-        .otherwise(concat(lit("b"), col("id"))).as("key"))
-      .select(col("key"),
-        graft.ops.IncrementalDedup.fp60(col("key")).as("fp"))
+    // daily-ingest dedup, STEADY STATE: history = one fingerprint per
+    // lineitem row (12M at x20 — far past auto-broadcast, the
+    // realistic regime), then FOUR successive mostly-novel batches
+    // (history/20 keys each, 2% re-crawls), all materialized as
+    // parquet in setup — a real ingest reads its batch from storage,
+    // it does not recompute an md5 lineage per scan. Plain re-shuffles
+    // the full history fp set on EVERY ingest; the standing bloom is
+    // built once per corpus epoch (BLOOMBUILD line, timed separately —
+    // it amortizes across every batch until the next epoch), each
+    // batch is routed through it, and accepted fingerprints fold in
+    // via admit() so later batches probe the grown corpus.
+    val nIncBatches = 4
+    spark.range(liRows)
+      .select(graft.ops.IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/inc_hist.parquet")
+    val incHist = spark.read.parquet(s"$tmp/inc_hist.parquet")
+    (0 until nIncBatches).foreach { b =>
+      spark.range(liRows / 20).select(
+        when(col("id") % 50 === 0,
+            concat(lit("h"), (col("id") * 17 + b) % liRows))
+          .otherwise(concat(lit(s"b${b}_"), col("id"))).as("key"))
+        .select(col("key"),
+          graft.ops.IncrementalDedup.fp60(col("key")).as("fp"))
+        .write.mode("overwrite").parquet(s"$tmp/inc_batch_$b.parquet")
+    }
+    def incBatch(b: Int) = spark.read.parquet(s"$tmp/inc_batch_$b.parquet")
     val incBloom = {
       val t0 = System.nanoTime()
       val b = graft.ops.IncrementalDedup.buildBloom(incHist, "fp",
@@ -194,11 +204,28 @@ object BenchScale {
           .count()
       },
       time("incremental_dedup_plain") {
-        incBatch.join(incHist, Seq("fp"), "left_anti").count()
+        // the anti-join alone has no cross-batch memory: every ingest
+        // re-shuffles history, and new batches cannot be checked
+        // against previously ACCEPTED batches without rewriting the
+        // history table each time (not timed here — plain gets the
+        // cheaper job of checking against the static epoch only)
+        (0 until nIncBatches).foreach { b =>
+          incBatch(b).join(incHist, Seq("fp"), "left_anti").count()
+        }
       },
       time("incremental_dedup_bloom") {
-        graft.ops.IncrementalDedup.dedupAgainstBloom(incBatch, incHist, "fp",
-          incBloom).count()
+        // per-run copy of the epoch bloom: admit() mutates, and the
+        // best-of-2 second run must start from the same standing state
+        val standing = org.apache.spark.util.sketch.BloomFilter
+          .create(liRows, 0.01)
+        standing.mergeInPlace(incBloom)
+        (0 until nIncBatches).foreach { b =>
+          val kept = graft.ops.IncrementalDedup.dedupAgainstBloom(
+            incBatch(b), incHist, "fp", standing)
+          kept.count()
+          graft.ops.IncrementalDedup.admit(standing, kept.select("fp"),
+            "fp", expectedItems = liRows, fpp = 0.01)
+        }
       },
       time("gram_docfreq") {
         graft.ops.Contamination.gramDocFrequency(docsBig, "doc_id", "text",

@@ -172,6 +172,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Star edges for the buckets [[lshCandidatePairs]] DROPS (size >
+    * `maxBucketSize`): min id -> every other member, n-1 edges. The
+    * pair expansion caps oversized buckets because C(n,2) pairs from a
+    * boilerplate flood are quadratic — but silently admitting the
+    * flood is worse (every member enters the clean corpus and collides
+    * with every later batch). Stars keep the cost linear in the bucket
+    * while still surfacing every member for downstream verification /
+    * quarantine against the bucket's keeper.
+    */
+  def lshOversizedBucketEdges(sig: DataFrame, idCol: String,
+                              bands: Int, rowsPerBand: Int,
+                              maxBucketSize: Int): DataFrame = {
+    val exploded = bandKeys(sig, idCol, bands, rowsPerBand)
+    exploded.groupBy("band", "bandsig")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > maxBucketSize)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), y -> struct(element_at(ids, 1) AS a, y AS b))"))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** WEIGHTED MinHash: Jaccard over token MULTISETS (tf-weighted),
     * via exact repetition expansion — token t with frequency w
     * contributes elements t#1..t#w, and MinHash over that expanded
@@ -261,6 +284,27 @@ object Dedup {
       .where(col("jaccard_milli") >= minJaccardMilli)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_milli"))
   }
+
+  /** Per-document quarantine verdict over verified candidates: the
+    * decision [[graft.streaming.NearDupStream]] makes per micro-batch,
+    * factored out so the batch oracle (q106) checks the SAME logic the
+    * stream executes. A candidate doc (`doc_b` side — in-batch pairs
+    * come ordered a < b, cross-batch pairs put the incumbent corpus
+    * doc on the a side) is quarantined iff at least one of its
+    * candidate pairs passes exact-Jaccard verification at
+    * `minJaccardMilli`. Evidence per verdict: how many verified
+    * collisions, the smallest colliding id (the keeper it lost to),
+    * and the strongest Jaccard.
+    */
+  def verifiedQuarantine(corpus: DataFrame, idCol: String, textCol: String,
+                         candidates: DataFrame, shingleWidth: Int,
+                         minJaccardMilli: Long): DataFrame =
+    verifyCandidatePairs(corpus, idCol, textCol, candidates,
+      shingleWidth, minJaccardMilli)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(count(lit(1)).as("n_collisions"),
+        min("doc_a").as("first_corpus_id"),
+        max("jaccard_milli").as("best_jaccard_milli"))
 
   /** Resolve near-dup candidate pairs into duplicate CLUSTERS:
     * connected components over the pair graph, each node labeled with

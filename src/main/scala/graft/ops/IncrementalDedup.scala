@@ -108,10 +108,11 @@ object IncrementalDedup {
                         bloom: org.apache.spark.util.sketch.BloomFilter,
                         maxBroadcastProbe: Long = 10000000L): DataFrame = {
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
-    // No built-in Column function exposes BloomFilter membership; a
-    // one-call-per-row deterministic UDF on a primitive long is the
-    // narrowest bridge (the hot path stays the prefiltered join).
-    val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
+    // native codegen'd probe (graft.functions.BloomMightContainLong):
+    // the routing filter stays inside whole-stage codegen — a UDF here
+    // broke the stage's codegen and boxed every fingerprint
+    def mightContain(c: Column): Column =
+      graft.functions.BloomMightContainLong.mightContain(c, bc)
     // null fingerprints: the anti-join keeps them (null keys never
     // match), so the bloom route must too — a null predicate would
     // silently drop them from BOTH branches

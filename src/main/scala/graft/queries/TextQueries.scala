@@ -160,6 +160,21 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the stream's destructive decision, batch-checked: per-doc
+    // quarantine verdicts over VERIFIED candidates — the exact logic
+    // NearDupStream runs per micro-batch (Dedup.verifiedQuarantine is
+    // shared), so the oracle pins that band collisions below the
+    // Jaccard threshold are NOT quarantined
+    "q106_neardup_quarantine" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val sig = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        k = 8, shingleWidth = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      Dedup.verifiedQuarantine(corpus, "doc_id", "text", pairs,
+          shingleWidth = 3, minJaccardMilli = 500L)
+        .orderBy("doc_id")
+    }),
+
     // LSH pairs -> transitive duplicate clusters: connected components
     // with min-id labels (the deterministic keeper per cluster)
     "q77_neardup_clusters" -> ((s, dir) => {
@@ -585,6 +600,43 @@ object TextQueries {
                  JOIN sizes sb ON sb.doc_id = i.doc_b)
          SELECT doc_a, doc_b, n_common, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
          FROM j WHERE jaccard_milli >= 300 ORDER BY doc_a, doc_b""",
+    // q103's chain at threshold 500, folded to the per-doc quarantine
+    // verdict (doc_b side): the streaming decision, batch-checked
+    "q106_neardup_quarantine" ->
+      s"""WITH $corpusCte,
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                     AND a.doc_id < b.doc_id
+                   JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig),
+         dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM dsh GROUP BY 1),
+         inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+                   FROM pairs p
+                   JOIN dsh a ON a.doc_id = p.doc_a
+                   JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+                   GROUP BY 1, 2),
+         j AS (SELECT i.doc_a, i.doc_b, n_common,
+                 n_common * 1000 // (sa.nsh + sb.nsh - n_common) AS jaccard_milli
+               FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b)
+         SELECT doc_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_collisions,
+           MIN(doc_a) AS first_corpus_id,
+           CAST(MAX(jaccard_milli) AS BIGINT) AS best_jaccard_milli
+         FROM j WHERE jaccard_milli >= 500 GROUP BY doc_b ORDER BY doc_id""",
     "q46_ngram_jaccard" ->
       s"""WITH $sampledCorpusCte,
          toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk

@@ -118,4 +118,69 @@ class LshIndexSpec extends SparkSpec {
     val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().toSet
     assert(idxIds == outIds - 3000000L)
   }
+
+  test("boilerplate band collisions below the Jaccard threshold are NOT quarantined") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndverify").toString
+    val (idx, out, dup) = (s"$base/idx", s"$base/out", s"$base/dup")
+    // every doc shares an 8-token boilerplate header but is otherwise
+    // unique: true Jaccard ~ 6/22 = 272 milli — well under 500. With
+    // 1-row bands the shared header makes band collisions near-certain
+    // (any of the 8 min-hashes landing in the shared shingles collides).
+    val header = "terms of service apply to this document copyright"
+    def doc(i: Long) = (i, s"$header u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    val b1 = Seq(doc(1L)).toDF("doc_id", "text")
+    // batch 2: boilerplate-only docs + one REAL near-dup of doc 1
+    // (header + doc 1's filler minus the last token -> Jaccard ~ 12/14)
+    val realDup = (100L, s"$header u1a u1b u1c u1d u1e u1f u1g")
+    val b2 = ((2L to 20L).map(doc) :+ realDup).toDF("doc_id", "text")
+
+    NearDupStream.applyBatch(b1, "doc_id", "text", 8, 3, 8, 1, idx, out, dup,
+      minJaccardMilli = 500L)
+    NearDupStream.applyBatch(b2, "doc_id", "text", 8, 3, 8, 1, idx, out, dup,
+      minJaccardMilli = 500L)
+
+    val outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val dupIds = spark.read.parquet(dup).select("doc_id").as[Long].collect().toSet
+    // the real near-dup was caught; NO boilerplate-only doc was misfiled
+    assert(dupIds == Set(100L), s"quarantined $dupIds")
+    assert(outIds == (1L to 20L).toSet)
+    // the rejected-candidate evidence is observable, and it is what
+    // kept the boilerplate docs out of quarantine: band collisions
+    // happened (candidates exist) but failed exact-Jaccard verification
+    val rejected = spark.read.parquet(dup + "_rejected")
+      .as[(Long, Long)].collect().toSeq
+    assert(rejected.nonEmpty, "boilerplate must band-collide somewhere")
+    assert(!rejected.contains((1L, 100L)), "the real dup pair must verify, not reject")
+    // quarantine evidence names the keeper and the verified strength
+    val ev = spark.read.parquet(dup)
+      .select("doc_id", "first_corpus_id", "best_jaccard_milli")
+      .as[(Long, Long, Long)].head()
+    assert(ev == ((100L, 1L, ev._3)) && ev._3 >= 500L)
+  }
+
+  test("a bucket flood past maxBucketSize is verified via star edges, not admitted") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndflood").toString
+    val (idx, out, dup) = (s"$base/idx", s"$base/out", s"$base/dup")
+    // 20 identical docs in ONE micro-batch, cap 5: the pair expansion
+    // drops the size-20 buckets; without the star-edge path the whole
+    // flood would be admitted as clean and seed a degenerate bucket
+    val flood = (1L to 20L)
+      .map(i => (i, "identical boilerplate flood text repeated verbatim everywhere"))
+      .toDF("doc_id", "text")
+    NearDupStream.applyBatch(flood, "doc_id", "text", 8, 3, 4, 2, idx, out, dup,
+      minJaccardMilli = 500L, maxBucketSize = 5)
+
+    val outIds = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val dupIds = spark.read.parquet(dup).select("doc_id").as[Long].collect().toSet
+    assert(outIds == Set(1L), s"only the keeper survives, got $outIds")
+    assert(dupIds == (2L to 20L).toSet)
+    // evidence: everyone lost to the keeper at Jaccard 1000
+    val ev = spark.read.parquet(dup)
+      .select("first_corpus_id", "best_jaccard_milli")
+      .as[(Long, Long)].collect()
+    assert(ev.forall(_ == ((1L, 1000L))))
+    // and the index holds only the keeper's band keys
+    assert(spark.read.parquet(idx).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L))
+  }
 }
