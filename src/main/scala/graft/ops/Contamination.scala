@@ -53,18 +53,49 @@ object Contamination {
     * a gram appearing in thousands of documents is navigation chrome,
     * not content.
     *
-    * Scale shape: grams are deduplicated inside the row before the
-    * explode, and the groupBy partial-aggregates map-side (count and
-    * min both combine), so the shuffle carries one record per distinct
-    * (gram, partition) — not per occurrence. `minDf` prunes the long
-    * singleton tail BEFORE any downstream consumer sees it.
+    * Scale shape (two-pass): a web-scale gram df distribution is
+    * Zipf — the overwhelming majority of grams are singletons that
+    * `minDf` discards, yet a single-pass groupBy ships every one of
+    * them through the shuffle as a ~25-byte STRING. Pass 1 counts
+    * 8-byte `xxhash64` gram keys instead (same map-side combine, a
+    * fraction of the shuffle bytes) and folds the surviving hashes
+    * into a Bloom filter (built distributed — no driver-side set);
+    * pass 2 re-derives the grams and exact-counts strings ONLY for
+    * rows whose hash may have survived. Exact by construction: the
+    * bloom has no false negatives (a hash-df >= string-df, so every
+    * true survivor passes), and false positives die at the final
+    * `df >= minDf` on exact string counts. With `twoPass = false`
+    * (or `minDf <= 1`, where nothing prunes) the classic single-pass
+    * string aggregation runs instead — the right call for corpora
+    * KNOWN to be survivor-dominated, where a prefilter pass cannot
+    * prune anything.
     */
   def gramDocFrequency(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, minDf: Long = 2L): DataFrame =
-    distinctShingles(docs, idCol, textCol, n)
+                       n: Int, minDf: Long = 2L,
+                       twoPass: Boolean = true): DataFrame = {
+    val grams = distinctShingles(docs, idCol, textCol, n)
+    def exact(g: DataFrame): DataFrame = g
       .groupBy("sh")
       .agg(count(lit(1)).as("df"), min(col(idCol)).as("first_doc"))
       .where(col("df") >= minDf)
+    if (!twoPass || minDf <= 1L) return exact(grams)
+
+    val spark = docs.sparkSession
+    val survivors = grams.select(xxhash64(col("sh")).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurv = survivors.count()
+    val bloom =
+      if (nSurv == 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(1L, 0.001)
+      else survivors.stat.bloomFilter("gh", nSurv, 0.001)
+    survivors.unpersist()
+    val bc = spark.sparkContext.broadcast(bloom)
+    exact(grams.where(graft.functions.BloomMightContainLong.mightContain(
+      xxhash64(col("sh")), bc)))
+  }
 
   /** The removal composite: corpus minus every contaminated document
     * (left anti-join against [[check]]'s hit set — hits are tiny, so

@@ -238,6 +238,41 @@ object Ivf {
     assign(corpus, model.centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental append for a materialized index: assign ONLY the
+    * arriving batch against the existing model (narrow map, O(batch))
+    * and append its rows under their cell directories — the corpus is
+    * never re-assigned or re-shuffled per refresh, mirroring
+    * [[graft.ops.LshIndex.append]] for the LSH index. Append +
+    * [[searchIndex]] is EXACTLY a full [[writeIndex]] rebuild under
+    * the same model (assignment is a pure function of the model), so
+    * correctness never depends on when maintenance runs.
+    *
+    * What appends cannot do is move the centroids: as the corpus
+    * drifts, cells skew. [[cellImbalance]] is the maintenance probe —
+    * refit + rebuild when it degrades (the [[LshIndex.compact]]
+    * analogue, at re-cluster cadence).
+    */
+  def appendIndex(batch: DataFrame, model: Model, path: String): Unit =
+    assign(batch, model.centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Cell-balance health of a materialized index: max cell size over
+    * mean cell size (1.0 = perfectly balanced). One aggregation over
+    * the index's (pruned-scan-friendly) cell column; a probe of a
+    * cell at ratio r costs ~r times the balanced read, so schedule a
+    * refit + [[writeIndex]] rebuild when this passes the deployment's
+    * tolerance (3-5 is a common threshold).
+    */
+  def cellImbalance(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Double = {
+    val sizes = spark.read.parquet(path).groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .agg(max("n").cast("double").as("mx"), avg("n").as("mean"))
+      .head()
+    if (sizes.isNullAt(0) || sizes.getDouble(1) == 0.0) 1.0
+    else sizes.getDouble(0) / sizes.getDouble(1)
+  }
+
   /** Probe a materialized index: identical semantics to [[search]],
     * but the corpus side is a pruned read of the probed cell
     * directories. The probed cell set is computed first (one tiny job

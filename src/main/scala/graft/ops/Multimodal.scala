@@ -9,15 +9,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * mapPartitions (the Scala analogue of mapInPandas batch UDFs).
   *
   * The codec layer is a real dispatcher over the payload's magic
-  * bytes. Formats that are pure byte arithmetic are FULLY decoded in
-  * stdlib code — WAV/PCM audio (RIFF chunk walk: sample rate,
-  * channels, frame count, duration, RMS level) and BMP images (DIB
-  * header: dimensions, bit depth, mean luminance). Compressed formats
-  * (JPEG/PNG/MP4...) need codec libraries this container doesn't
-  * ship, so unrecognized payloads take the documented fallback branch:
-  * deterministic pseudo-features (md5 fingerprint + length-derived
-  * dims). A production build adds JNI/codec calls as new `case`s in
-  * `decode` without touching any distributed plumbing.
+  * bytes, with REAL pure-JDK decoders for the formats a web corpus is
+  * made of: WAV/PCM audio (RIFF chunk walk: sample rate, channels,
+  * frame count, duration, RMS level), BMP (DIB header + pixel array),
+  * PNG (zlib inflate + per-spec scanline unfiltering), and baseline
+  * JPEG ([[Jpeg]]: Huffman entropy decode + dequant + IDCT of the
+  * luma plane). Formats still needing external codecs (MP4/webp...)
+  * take the documented fallback branch: deterministic pseudo-features
+  * (md5 fingerprint + length-derived dims). A production build adds
+  * JNI/codec calls as new `case`s in `decode` without touching any
+  * distributed plumbing.
   *
   * Scale notes: mapPartitions keeps per-record overhead amortized over
   * a whole partition (one codec context per partition, not per row);
@@ -65,6 +66,7 @@ object Multimodal {
       else if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') decodeBmp(r)
       else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N'
           && d(3) == 'G') decodePng(r)
+      else if (isJpeg(d)) decodeJpeg(r)
       else decodeOpaque(r)
     } catch {
       case scala.util.control.NonFatal(_) => decodeOpaque(r).copy(codec = "corrupt")
@@ -247,6 +249,35 @@ object Multimodal {
     Some((width, height, bpp, colorCh, px))
   }
 
+  private def isJpeg(d: Array[Byte]): Boolean =
+    d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8 &&
+      (d(2) & 0xff) == 0xff
+
+  /** JPEG: real baseline decode in pure JDK code ([[Jpeg]] — marker
+    * parse, Huffman entropy decode, dequant + IDCT of the luma plane).
+    * `level_milli` is the mean LUMA (the BT.601 Y the encoder wrote),
+    * not the mean of RGB channels like the BMP/PNG paths — identical
+    * for grayscale content, the standard brightness feature for color.
+    * Non-baseline layouts (progressive, 12-bit, arithmetic) decode
+    * header dimensions only, mirroring the PNG palette/interlace
+    * stance.
+    */
+  private def decodeJpeg(r: MediaRecord): MediaFeatures = {
+    val d = r.data
+    Jpeg.decodeLuma(d) match {
+      case Some(l) =>
+        var sum = 0L; var i = 0
+        while (i < l.y.length) { sum += l.y(i); i += 1 }
+        val level = if (l.y.length == 0) 0L else sum * 1000L / (255L * l.y.length)
+        MediaFeatures(r.id, r.kind, "jpeg", d.length.toLong, l.width, l.height,
+          1, 0, 0, 0L, level, md5Hex(d))
+      case None =>
+        val (w, h) = Jpeg.header(d).getOrElse((0, 0))
+        MediaFeatures(r.id, r.kind, "jpeg", d.length.toLong, w, h,
+          1, 0, 0, 0L, 0L, md5Hex(d))
+    }
+  }
+
   /** Fallback for formats needing external codec libraries:
     * deterministic pseudo-features (documented stub branch).
     */
@@ -267,6 +298,10 @@ object Multimodal {
     if (d.length >= 30 && d(0) == 'B' && d(1) == 'M') bmpGray(d)
     else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P'
         && d(2) == 'N' && d(3) == 'G') pngGray(d)
+    else if (isJpeg(d))
+      // luma plane as the gray raster (== gray for grayscale content,
+      // perceptual luma for color — exactly what a perceptual hash wants)
+      Jpeg.decodeLuma(d).map(l => (l.yW, l.yH, l.y))
     else None
   }
 

@@ -32,4 +32,19 @@ object Profile {
     wide.selectExpr(
       s"stack(${cols.length}, $stackArgs) AS (column, n, n_nulls, n_distinct, min_d, max_d)")
   }
+
+  /** Per-column-group variant of [[profileNumeric]]: identical output,
+    * but the profile runs as ⌈cols/groupSize⌉ separate scans whose
+    * Expand factor is only groupSize+1 each, instead of one scan
+    * expanded ncols+1-fold. Total expanded row volume is HIGHER
+    * (n·(cols + cols/groupSize) vs n·(cols+1)) — the variant exists to
+    * measure whether smaller per-pass hash tables ever beat the extra
+    * scans at high column counts (BenchScale's profile_onepass /
+    * profile_grouped rows hold the verdict; one-pass is the default).
+    */
+  def profileNumericGrouped(df: DataFrame, cols: Seq[String],
+                            groupSize: Int = 2): DataFrame =
+    cols.grouped(math.max(groupSize, 1))
+      .map(g => profileNumeric(df, g))
+      .reduce(_ unionAll _)
 }

@@ -49,6 +49,11 @@ class CurationOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!bplan.contains("SortMergeJoin") && !bplan.contains("ShuffledHashJoin"),
       s"history-side shuffle join in:\n$bplan")
+    // the routing probe is the native codegen'd expression, not a UDF
+    // that would break the stage's whole-stage codegen
+    assert(!bplan.contains("UDF"), s"UDF in routing plan:\n$bplan")
+    assert(bplan.contains("bloommightcontainlong") || bplan.contains("BloomMightContainLong"),
+      s"native bloom probe missing from:\n$bplan")
   }
 
   test("admit extends the standing bloom: admitted fps route to the exact join") {
@@ -88,5 +93,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("a b c") == (2L, 1L)) // docs 1 and 2, NOT 4 occurrences
     assert(!got.contains("x y z"))   // df 1 pruned by minDf
     assert(!got.contains("b c a"))   // only in doc 1 (in-doc repeats collapse)
+  }
+
+  test("gramDocFrequency: two-pass equals single-pass exactly") {
+    // the two-pass hash prefilter is a pure shuffle optimization — on
+    // any corpus, at any minDf, the result must be bit-identical
+    for (minDf <- Seq(1L, 2L, 5L)) {
+      val two = Contamination.gramDocFrequency(docs, "doc_id", "text",
+        n = 3, minDf = minDf).orderBy("sh").collect().toSeq
+      val one = Contamination.gramDocFrequency(docs, "doc_id", "text",
+        n = 3, minDf = minDf, twoPass = false).orderBy("sh").collect().toSeq
+      assert(two == one, s"minDf=$minDf")
+    }
+  }
+
+  test("profileNumeric: grouped variant is output-identical to the one-pass") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_discount", "l_tax")
+    val one = graft.ops.Profile.profileNumeric(li, cols)
+      .orderBy("column").collect().toSeq
+    val grouped = graft.ops.Profile.profileNumericGrouped(li, cols, groupSize = 2)
+      .orderBy("column").collect().toSeq
+    assert(one == grouped)
   }
 }

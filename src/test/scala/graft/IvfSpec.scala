@@ -74,6 +74,38 @@ class IvfSpec extends SparkSpec {
       s"expected static cell pruning in scan:\n$scanLine")
   }
 
+  test("appendIndex: incremental append + search equals a full rebuild") {
+    // fit on the first half only — the model is the epoch's quantizer,
+    // appends must not depend on refitting
+    val first = clustered.where($"vec_id" % 2 === 0)
+    val rest = clustered.where($"vec_id" % 2 =!= 0)
+    val model = Ivf.fit(first, "vec_id", nLists = 4, iterations = 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val queries = clustered.where($"vec_id" % 50 === 0)
+
+    Ivf.writeIndex(first, model, s"$base/inc")
+    Ivf.appendIndex(rest, model, s"$base/inc")
+    Ivf.writeIndex(clustered, model, s"$base/full")
+
+    val viaAppend = Ivf.searchIndex(spark, s"$base/inc", queries, "vec_id",
+      model, k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    val viaRebuild = Ivf.searchIndex(spark, s"$base/full", queries, "vec_id",
+      model, k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    assert(viaAppend == viaRebuild)
+
+    // maintenance probe: balanced synthetic cells sit near 1.0; a
+    // drifted corpus (everything appended into one cluster's space)
+    // degrades measurably and signals the refit
+    val balanced = Ivf.cellImbalance(spark, s"$base/inc")
+    assert(balanced < 2.0, s"imbalance $balanced")
+    val drift = clustered.select(col("vec_id") + 1000L,
+      expr("transform(embedding, (x, i) -> IF(i = 0, x + 10f, x))").as("embedding"))
+      .toDF("vec_id", "embedding")
+    Ivf.appendIndex(drift, model, s"$base/inc")
+    val skewed = Ivf.cellImbalance(spark, s"$base/inc")
+    assert(skewed > balanced, s"drift must raise imbalance: $balanced -> $skewed")
+  }
+
   test("IVF search recall@5 is 1.0 on clustered data with nProbe=1") {
     val corpus = clustered
     val queries = corpus.where($"vec_id" % 50 === 0) // one per cluster

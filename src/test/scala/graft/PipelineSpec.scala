@@ -309,6 +309,88 @@ class MultimodalSpec extends SparkSpec {
     assert(fs.samples.toSeq == Seq(0, 250, 500, 750))
   }
 
+  /** JPEG-encode a BufferedImage via the JDK's own writer. */
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  test("real JPEG decode: grayscale luma matches the encoder input") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // flat gray 102: the DC-only image — IDCT must reproduce it almost
+    // exactly (quantized DC rounds within ±1)
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, 102)
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(20L, "image", jpegBytes(img))).toDS()).head()
+    assert(f.codec == "jpeg")
+    assert(f.width == 16 && f.height == 16 && f.n_frames == 1)
+    assert(math.abs(f.level_milli - 400L) <= 8L, s"luma was ${f.level_milli}")
+  }
+
+  test("real JPEG decode: color 4:2:0 layout, luma mean within lossy tolerance") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // gray-content color image (r=g=b): BT.601 luma == pixel value, so
+    // the expected mean is exact up to quantization loss. 3-channel
+    // BGR makes the JDK encoder emit subsampled YCbCr — the MCU
+    // interleave path (odd dims exercise the partial-MCU crop too)
+    val (w, h) = (37, 21)
+    var sum = 0L
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 3) % 200 + 20
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      sum += v
+    }
+    val expected = sum * 1000L / (255L * w * h)
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(21L, "image", jpegBytes(img))).toDS()).head()
+    assert(f.codec == "jpeg" && f.width == w && f.height == h)
+    assert(math.abs(f.level_milli - expected) <= 15L,
+      s"luma ${f.level_milli} != $expected ±15")
+  }
+
+  test("perceptual hash parity: same pixels hash identically from JPEG and BMP") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // the BMP==PNG pattern, now through the lossy codec: high contrast
+    // (20 vs 200) so ±2 quantization noise cannot flip a bit vs the mean
+    def gray(x: Int): Int = if (x < 4) 20 else 200
+    val bmp = bmpBytes(8, 8, Array.tabulate(8 * 8 * 3)(i => gray((i / 3) % 8).toByte))
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = gray(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val hashes = Multimodal.imageHashes(Seq(
+      MediaRecord(1L, "image", bmp),
+      MediaRecord(2L, "image", jpegBytes(img))).toDS())
+      .collect().sortBy(_.id)
+    assert(hashes(0).codec == "bmp" && hashes(1).codec == "jpeg")
+    assert(hashes(0).thumb_hash == hashes(1).thumb_hash,
+      f"bmp ${hashes(0).thumb_hash}%016x != jpeg ${hashes(1).thumb_hash}%016x")
+  }
+
+  test("malformed JPEG: truncated scans and lying lengths decode safely") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, x * 16)
+    val good = jpegBytes(img)
+    // truncate mid-scan, and corrupt a segment length
+    val cut = good.take(good.length / 2)
+    val lied = good.clone(); lied(4) = 0x7f.toByte // APP0 length hi-byte
+    val feats = Multimodal.extractFeatures(Seq(
+      MediaRecord(30L, "image", cut),
+      MediaRecord(31L, "image", lied)).toDS()).collect().sortBy(_.id)
+    // no crash, no hang; dims still recovered from the intact header
+    assert(feats(0).codec == "jpeg" && feats(0).width == 16)
+    assert(feats(1).codec == "jpeg" || feats(1).codec == "corrupt")
+    assert(feats.forall(_.level_milli == 0L))
+  }
+
   test("malformed PNG: negative chunk length and overflow dims decode safely") {
     import spark.implicits._
     // negative chunk length: the old walk looped forever on pos += 12 + len
