@@ -246,13 +246,20 @@ object BenchScale {
         }
       },
       time("gram_docfreq") {
-        // two-pass (hash-count -> bloom -> exact strings for
+        // two-pass (native hash-count -> bloom -> exact strings for
         // survivors) on the web-like corpus. NOTE: input changed in
         // r4 from exact replicas to the perturbed corpus above — the
         // r03 number (8.86 s) is continued by gram_docfreq_replica.
         graft.ops.Contamination.gramDocFrequency(
           spark.read.parquet(s"$tmp/docs_gram.parquet"),
           "doc_id", "text", n = 3, minDf = 2L).count()
+      },
+      time("gram_docfreq_onepass") {
+        // the same web-like input through the single-pass string
+        // aggregation: what the two-pass is being measured against
+        graft.ops.Contamination.gramDocFrequency(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"),
+          "doc_id", "text", n = 3, minDf = 2L, twoPass = false).count()
       },
       time("gram_docfreq_replica") {
         // r03's input: exact replicas, every gram survives minDf — a
@@ -263,12 +270,13 @@ object BenchScale {
       },
       time("profile_onepass") {
         // q84's shape at 2x the column count: one scan, Expand x9
-        graft.ops.Profile.profileNumeric(liBig,
+        graft.ops.Profile.profileNumericOnePass(liBig,
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
             "l_quantity", "l_extendedprice", "l_discount", "l_tax")).count()
       },
       time("profile_grouped") {
-        // the candidate alternative: 4 scans, Expand x3 each
+        // the measured winner past 4 columns (profileNumeric's default
+        // there): 4 scans, Expand x3 each, small per-pass hash state
         graft.ops.Profile.profileNumericGrouped(liBig,
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
             "l_quantity", "l_extendedprice", "l_discount", "l_tax"),

@@ -55,33 +55,41 @@ object Contamination {
     *
     * Scale shape (two-pass): a web-scale gram df distribution is
     * Zipf — the overwhelming majority of grams are singletons that
-    * `minDf` discards, yet a single-pass groupBy ships every one of
-    * them through the shuffle as a ~25-byte STRING. Pass 1 counts
-    * 8-byte `xxhash64` gram keys instead (same map-side combine, a
-    * fraction of the shuffle bytes) and folds the surviving hashes
-    * into a Bloom filter (built distributed — no driver-side set);
-    * pass 2 re-derives the grams and exact-counts strings ONLY for
-    * rows whose hash may have survived. Exact by construction: the
-    * bloom has no false negatives (a hash-df >= string-df, so every
+    * `minDf` discards, yet a single-pass groupBy both MATERIALIZES
+    * every shingle as a string (an interpreted concat_ws HOF,
+    * measured as the dominant cost of the whole operator) and ships
+    * it through the shuffle at ~25 bytes. Pass 1 counts the native
+    * [[graft.functions.GramHashes]] 64-bit shingle hashes instead —
+    * primitive longs end to end, no gram strings anywhere — and folds
+    * the surviving hashes into a Bloom filter (built distributed, no
+    * driver-side set); pass 2 ([[graft.functions.SurvivingGrams]])
+    * probes every window's hash against the broadcast bloom IN-ROW
+    * and builds gram strings ONLY for survivors — a pruned window
+    * costs one 64-bit probe, never a string. Exact by construction:
+    * the bloom has no false negatives (hash-df >= string-df, so every
     * true survivor passes), and false positives die at the final
     * `df >= minDf` on exact string counts. With `twoPass = false`
     * (or `minDf <= 1`, where nothing prunes) the classic single-pass
     * string aggregation runs instead — the right call for corpora
-    * KNOWN to be survivor-dominated, where a prefilter pass cannot
-    * prune anything.
+    * KNOWN to be survivor-dominated, where a prefilter cannot prune.
     */
   def gramDocFrequency(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDf: Long = 2L,
                        twoPass: Boolean = true): DataFrame = {
-    val grams = distinctShingles(docs, idCol, textCol, n)
     def exact(g: DataFrame): DataFrame = g
       .groupBy("sh")
       .agg(count(lit(1)).as("df"), min(col(idCol)).as("first_doc"))
       .where(col("df") >= minDf)
-    if (!twoPass || minDf <= 1L) return exact(grams)
+    if (!twoPass || minDf <= 1L)
+      return exact(distinctShingles(docs, idCol, textCol, n))
 
     val spark = docs.sparkSession
-    val survivors = grams.select(xxhash64(col("sh")).as("gh"))
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= n)
+    // pass 1: per-doc distinct gram hashes, no strings in the plan
+    val survivors = toks
+      .select(explode(array_distinct(
+        graft.functions.GramHashes.gramHashArray(col("tk"), n))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("gh")
@@ -93,8 +101,11 @@ object Contamination {
       else survivors.stat.bloomFilter("gh", nSurv, 0.001)
     survivors.unpersist()
     val bc = spark.sparkContext.broadcast(bloom)
-    exact(grams.where(graft.functions.BloomMightContainLong.mightContain(
-      xxhash64(col("sh")), bc)))
+    // pass 2: per-doc distinct SURVIVING gram strings, built in-row —
+    // strings exist only for windows whose hash passed the bloom
+    exact(toks.select(col(idCol),
+      explode(graft.functions.SurvivingGrams.survivingGrams(col("tk"), n, bc))
+        .as("sh")))
   }
 
   /** The removal composite: corpus minus every contaminated document

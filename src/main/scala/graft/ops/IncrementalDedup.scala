@@ -62,16 +62,31 @@ object IncrementalDedup {
       org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
     else history.stat.bloomFilter(fpCol, expectedItems, fpp)
 
-  /** Fold an accepted batch's fingerprints into the standing bloom
-    * (mergeInPlace of a batch-sized bloom built with the same sizing,
-    * so the hash family matches).
+  /** Fold an accepted batch's fingerprints into the standing bloom.
+    *
+    * A batch is O(batch)-small by this operator's contract, so the
+    * fold streams the fingerprints to the driver (`toLocalIterator`,
+    * one partition in memory at a time) and `putLong`s them — a few
+    * MB of longs. The previous distributed form (build a SECOND
+    * standing-size bloom over the batch, mergeInPlace) allocated an
+    * expectedItems-sized bitset per partition and merged them on the
+    * driver for EVERY small batch — measured as the dominant cost of
+    * the whole steady-state loop. Past `driverFoldMax` rows the
+    * distributed merge still runs (corpus-sized folds belong there);
+    * its `expectedItems`/`fpp` MUST match the standing bloom's build
+    * sizing or mergeInPlace rejects the bit arrays.
     */
   def admit(bloom: org.apache.spark.util.sketch.BloomFilter,
             accepted: DataFrame, fpCol: String, expectedItems: Long,
-            fpp: Double = 0.01): Unit = {
-    bloom.mergeInPlace(
-      accepted.stat.bloomFilter(fpCol, expectedItems, fpp))
-    ()
+            fpp: Double = 0.01, driverFoldMax: Long = 20000000L): Unit = {
+    val fps = accepted.select(col(fpCol).cast(LongType).as(fpCol)).na.drop()
+    if (fps.count() <= driverFoldMax) {
+      val it = fps.toLocalIterator()
+      while (it.hasNext) bloom.putLong(it.next().getLong(0))
+    } else {
+      bloom.mergeInPlace(fps.stat.bloomFilter(fpCol, expectedItems, fpp))
+      ()
+    }
   }
 
   /** Rows of `batch` whose `fpCol` (a long fingerprint) does NOT occur

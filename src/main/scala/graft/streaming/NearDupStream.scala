@@ -100,20 +100,30 @@ object NearDupStream {
       else batch.select(col(idCol), col(textCol))
 
     // snapshot every decision BEFORE any write mutates its sources
-    // (candidates reads indexPath, corpusText reads outPath)
-    val verified = Dedup.verifyCandidatePairs(corpusText, idCol, textCol,
-      candidates, shingleWidth, minJaccardMilli)
+    // (candidates reads indexPath, corpusText reads outPath). Scoring
+    // runs ONCE at threshold 0 so the rejected pairs keep their actual
+    // Jaccard as evidence; the quarantine threshold splits afterwards.
+    val scored = Dedup.verifyCandidatePairs(corpusText, idCol, textCol,
+      candidates, shingleWidth, minJaccardMilli = 0L)
       .localCheckpoint(true)
-    val flagged = verified
+    val flagged = scored
+      .where(col("jaccard_milli") >= minJaccardMilli)
       .groupBy(col("doc_b").as(idCol))
       .agg(count(lit(1)).as("n_collisions"),
         min("doc_a").as("first_corpus_id"),
         max("jaccard_milli").as("best_jaccard_milli"))
       .localCheckpoint(true)
     // candidate pairs that did NOT verify: the docs pass through as
-    // clean, the pair evidence stays observable beside the quarantine
-    val rejected = candidates
-      .join(verified.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+    // clean, the pair evidence stays observable beside the quarantine.
+    // Pairs whose corpus side could not be scored (unshingleable) keep
+    // null scores rather than vanishing.
+    val rejected = scored
+      .where(col("jaccard_milli") < minJaccardMilli)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_milli"))
+      .unionByName(candidates
+        .join(scored.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+        .withColumn("n_common", lit(null).cast("long"))
+        .withColumn("jaccard_milli", lit(null).cast("long")))
       .localCheckpoint(true)
     val cleanSig = sig.join(flagged.select(idCol), Seq(idCol), "left_anti")
       .localCheckpoint(true)

@@ -148,9 +148,13 @@ class LshIndexSpec extends SparkSpec {
     // kept the boilerplate docs out of quarantine: band collisions
     // happened (candidates exist) but failed exact-Jaccard verification
     val rejected = spark.read.parquet(dup + "_rejected")
-      .as[(Long, Long)].collect().toSeq
+      .select("doc_a", "doc_b", "jaccard_milli")
+      .as[(Long, Long, Option[Long])].collect().toSeq
     assert(rejected.nonEmpty, "boilerplate must band-collide somewhere")
-    assert(!rejected.contains((1L, 100L)), "the real dup pair must verify, not reject")
+    assert(!rejected.exists(r => r._1 == 1L && r._2 == 100L),
+      "the real dup pair must verify, not reject")
+    // rejection evidence carries the measured similarity that failed
+    assert(rejected.forall(_._3.forall(_ < 500L)), s"rejected jaccards: $rejected")
     // quarantine evidence names the keeper and the verified strength
     val ev = spark.read.parquet(dup)
       .select("doc_id", "first_corpus_id", "best_jaccard_milli")
