@@ -72,6 +72,13 @@ object Contamination {
     * (or `minDf <= 1`, where nothing prunes) the classic single-pass
     * string aggregation runs instead — the right call for corpora
     * KNOWN to be survivor-dominated, where a prefilter cannot prune.
+    *
+    * Sizing note for the survivor bloom: survivors are the corpus's
+    * repeated grams (boilerplate), ~1.8 bytes each at fpp 0.001. That
+    * broadcasts comfortably to ~100M survivors; a corpus whose
+    * survivor set is larger should raise `minDf` (df >= 2 at web
+    * scale keeps half of everything), partition the df job by hash
+    * range, or take the single-pass path.
     */
   def gramDocFrequency(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minDf: Long = 2L,

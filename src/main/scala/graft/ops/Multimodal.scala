@@ -67,6 +67,7 @@ object Multimodal {
       else if (d.length >= 33 && (d(0) & 0xff) == 0x89 && d(1) == 'P' && d(2) == 'N'
           && d(3) == 'G') decodePng(r)
       else if (isJpeg(d)) decodeJpeg(r)
+      else if (isWebp(d)) decodeWebp(r)
       else decodeOpaque(r)
     } catch {
       case scala.util.control.NonFatal(_) => decodeOpaque(r).copy(codec = "corrupt")
@@ -252,6 +253,36 @@ object Multimodal {
   private def isJpeg(d: Array[Byte]): Boolean =
     d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8 &&
       (d(2) & 0xff) == 0xff
+
+  private def isWebp(d: Array[Byte]): Boolean =
+    d.length >= 16 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F' &&
+      d(8) == 'W' && d(9) == 'E' && d(10) == 'B' && d(11) == 'P'
+
+  /** WebP: dimensions from the VP8/VP8L/VP8X headers (pure byte
+    * arithmetic — the entropy-coded payload needs a real codec, so
+    * pixels stay undecoded; codec name records which flavor).
+    */
+  private def decodeWebp(r: MediaRecord): MediaFeatures = {
+    val d = r.data
+    val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    val tag = new String(d, 12, 4, "US-ASCII")
+    val (w, h) = tag match {
+      case "VP8 " if d.length >= 30 =>
+        // lossy: 3-byte frame tag + 3-byte start code, then 16-bit dims
+        ((buf.getShort(26) & 0x3fff).toInt, (buf.getShort(28) & 0x3fff).toInt)
+      case "VP8L" if d.length >= 25 =>
+        // lossless: 14-bit fields packed after the 0x2f signature
+        val b = buf.getInt(21)
+        ((b & 0x3fff) + 1, ((b >> 14) & 0x3fff) + 1)
+      case "VP8X" if d.length >= 30 =>
+        // extended: 24-bit canvas dims minus one
+        (((buf.getInt(24) << 8) >>> 8) + 1,
+          ((d(27) & 0xff) | ((d(28) & 0xff) << 8) | ((d(29) & 0xff) << 16)) + 1)
+      case _ => (0, 0)
+    }
+    MediaFeatures(r.id, r.kind, s"webp/${tag.trim.toLowerCase}", d.length.toLong,
+      w, h, 1, 0, 0, 0L, 0L, md5Hex(d))
+  }
 
   /** JPEG: real baseline decode in pure JDK code ([[Jpeg]] — marker
     * parse, Huffman entropy decode, dequant + IDCT of the luma plane).

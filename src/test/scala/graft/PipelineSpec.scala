@@ -373,6 +373,31 @@ class MultimodalSpec extends SparkSpec {
       f"bmp ${hashes(0).thumb_hash}%016x != jpeg ${hashes(1).thumb_hash}%016x")
   }
 
+  test("WebP header decode: dims from VP8 / VP8L / VP8X without a codec") {
+    import spark.implicits._
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(12 + payload.length)
+      buf.put("WEBP".getBytes); buf.put(tag.getBytes); buf.putInt(payload.length)
+      buf.put(payload)
+      buf.array()
+    }
+    // lossy VP8: 3-byte frame tag, start code, 14-bit dims 320x240
+    val vp8 = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vp8.put(Array[Byte](0, 0, 0)); vp8.put(0x9d.toByte); vp8.put(0x01.toByte)
+    vp8.put(0x2a.toByte); vp8.putShort(320.toShort); vp8.putShort(240.toShort)
+    // lossless VP8L: 0x2f then packed (w-1, h-1) = (99, 49)
+    val vp8l = java.nio.ByteBuffer.allocate(5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vp8l.put(0x2f.toByte); vp8l.putInt(99 | (49 << 14))
+    val feats = Multimodal.extractFeatures(Seq(
+      MediaRecord(40L, "image", riff("VP8 ", vp8.array())),
+      MediaRecord(41L, "image", riff("VP8L", vp8l.array()))).toDS())
+      .collect().sortBy(_.id)
+    assert(feats(0).codec == "webp/vp8" && feats(0).width == 320 && feats(0).height == 240)
+    assert(feats(1).codec == "webp/vp8l" && feats(1).width == 100 && feats(1).height == 50)
+  }
+
   test("malformed JPEG: truncated scans and lying lengths decode safely") {
     import spark.implicits._
     import java.awt.image.BufferedImage
