@@ -46,12 +46,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // calibrated per-query overhead floor: the median wall of a
-    // trivial two-stage 32-task job — plan analysis + DAG scheduling
-    // + task dispatch, none of it engine work. Reported so per-query
+    // trivial narrow 32-task job — plan analysis + DAG scheduling +
+    // task dispatch, none of it engine work. Reported so per-query
     // numbers can be read net of harness cost.
     val floorRuns = (1 to 11).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(1000).repartition(32).selectExpr("sum(id)").collect()
+      spark.range(0L, 1000000L, 1L, 32).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }.sorted
     val floor = floorRuns(floorRuns.length / 2)

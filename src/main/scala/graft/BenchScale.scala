@@ -275,8 +275,8 @@ object BenchScale {
             "l_quantity", "l_extendedprice", "l_discount", "l_tax")).count()
       },
       time("profile_grouped") {
-        // the measured winner past 4 columns (profileNumeric's default
-        // there): 4 scans, Expand x3 each, small per-pass hash state
+        // the memory-pressure escape hatch: 4 scans, Expand x3 each,
+        // small per-pass hash state (loses to one-pass when healthy)
         graft.ops.Profile.profileNumericGrouped(liBig,
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
             "l_quantity", "l_extendedprice", "l_discount", "l_tax"),

@@ -80,10 +80,16 @@ object IncrementalDedup {
             accepted: DataFrame, fpCol: String, expectedItems: Long,
             fpp: Double = 0.01, driverFoldMax: Long = 20000000L): Unit = {
     val fps = accepted.select(col(fpCol).cast(LongType).as(fpCol)).na.drop()
-    if (fps.count() <= driverFoldMax) {
-      val it = fps.toLocalIterator()
-      while (it.hasNext) bloom.putLong(it.next().getLong(0))
-    } else {
+    // stream without a pre-count (one action, partitions arrive one at
+    // a time); if the "batch" turns out corpus-sized, bail to the
+    // distributed merge — the fps already put are a harmless subset
+    val it = fps.toLocalIterator()
+    var n = 0L
+    while (it.hasNext && n <= driverFoldMax) {
+      bloom.putLong(it.next().getLong(0))
+      n += 1
+    }
+    if (it.hasNext) {
       bloom.mergeInPlace(fps.stat.bloomFilter(fpCol, expectedItems, fpp))
       ()
     }

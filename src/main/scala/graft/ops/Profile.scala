@@ -7,30 +7,26 @@ import org.apache.spark.sql.functions._
   * distinct count, min and max — the data-quality gate an ingest
   * pipeline runs before trusting a source drop.
   *
-  * Narrow profiles (<= [[Profile.OnePassMaxCols]] columns) run as ONE
-  * pass: every column's aggregates in a single Aggregate (the
-  * multi-count-distinct lowers to one Expand + HashAggregate), the
-  * wide row reshaped to one row per column with `stack` — no
-  * per-column scans, no driver loops. WIDE profiles delegate to
-  * [[profileNumericGrouped]]: the single Expand multiplies the scan
-  * ncols+1-fold into ONE aggregate whose per-group state covers every
-  * distinct-count at once, and past a handful of columns the smaller
-  * per-pass hash state wins decisively over the saved scans
-  * (BenchScale x20, 8 lineitem columns: grouped 7.6 s vs one-pass
-  * 35 s). min/max surface as double (exact for the numeric/date
-  * profile set and render-stable across engines, unlike
-  * decimal/float strings).
+  * ONE pass over the data: every column's aggregates run in a single
+  * Aggregate (the multi-count-distinct lowers to one Expand +
+  * HashAggregate), then the single wide row is reshaped to one row
+  * per column with `stack` — no per-column scans, no driver loops.
+  * Measured either way at 8 columns x 12M rows (BenchScale
+  * profile_onepass / profile_grouped): one-pass 4.2 s vs grouped
+  * 11.8 s with healthy executor memory — the Expand's extra rows are
+  * cheaper than re-scanning — but the ranking INVERTS under memory
+  * pressure (grouped 7.6 s vs one-pass 35 s on a page-cache-starved
+  * host), because the one-pass aggregate's hash state covers every
+  * distinct-count at once. One-pass is the default;
+  * [[profileNumericGrouped]] is the explicit escape hatch for
+  * memory-constrained or very wide profiles. min/max surface as
+  * double (exact for the numeric/date profile set and render-stable
+  * across engines, unlike decimal/float strings).
   */
 object Profile {
 
-  /** Measured crossover: up to 4 columns the one-pass Expand is the
-    * right plan; beyond it the grouped passes win (see scaladoc).
-    */
-  val OnePassMaxCols = 4
-
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
-    if (cols.length <= OnePassMaxCols) profileNumericOnePass(df, cols)
-    else profileNumericGrouped(df, cols, groupSize = 2)
+    profileNumericOnePass(df, cols)
 
   def profileNumericOnePass(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
@@ -52,11 +48,10 @@ object Profile {
     * as ⌈cols/groupSize⌉ separate scans whose Expand factor is only
     * groupSize+1 each, instead of one scan expanded ncols+1-fold.
     * Total expanded row volume is HIGHER (n·(cols + cols/groupSize)
-    * vs n·(cols+1)), but each aggregate's hash state is a fraction of
-    * the one-pass giant — measured 4.6x faster at 8 columns x 12M
-    * rows (BenchScale profile_onepass / profile_grouped rows), which
-    * is why [[profileNumeric]] delegates here above
-    * [[OnePassMaxCols]] columns.
+    * vs n·(cols+1)) and one-pass wins with healthy memory, but each
+    * grouped aggregate's hash state is a fraction of the one-pass
+    * giant — the measured winner only under memory pressure (see
+    * object scaladoc; BenchScale carries both rows).
     */
   def profileNumericGrouped(df: DataFrame, cols: Seq[String],
                             groupSize: Int = 2): DataFrame =
