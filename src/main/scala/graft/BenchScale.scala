@@ -127,6 +127,22 @@ object BenchScale {
       println(f"""BLOOMBUILD ${(System.nanoTime() - t0) / 1e9}%.3f""")
       b
     }
+    // XL history (10x): where the regimes separate even on local[32] —
+    // the plain anti-join's O(history) exchange stops being a free
+    // memcpy, the bloom's in-place history scan stays flat
+    val xlRows = liRows * 10
+    spark.range(xlRows)
+      .select(graft.ops.IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$tmp/inc_hist_xl.parquet")
+    val incHistXl = spark.read.parquet(s"$tmp/inc_hist_xl.parquet")
+    val incBloomXl = {
+      val t0 = System.nanoTime()
+      val b = graft.ops.IncrementalDedup.buildBloom(incHistXl, "fp",
+        expectedItems = xlRows, fpp = 0.01)
+      println(f"""BLOOMBUILD_XL ${(System.nanoTime() - t0) / 1e9}%.3f""")
+      b
+    }
 
     val results = Seq(
       time("agg_decimal") {
@@ -243,6 +259,27 @@ object BenchScale {
           kept.count()
           graft.ops.IncrementalDedup.admit(standing, kept.select("fp"),
             "fp", expectedItems = liRows, fpp = 0.01)
+        }
+      },
+      time("incremental_dedup_plain_xl") {
+        // 120M-fp history: every ingest re-shuffles all of it
+        (0 until nIncBatches).foreach { b =>
+          incBatch(b).join(incHistXl, Seq("fp"), "left_anti").count()
+        }
+      },
+      time("incremental_dedup_bloom_xl") {
+        // same ingests against the same 120M-fp history, standing
+        // bloom + broadcast probe: history is scanned in place
+        val bos = new java.io.ByteArrayOutputStream()
+        incBloomXl.writeTo(bos)
+        val standing = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
+        (0 until nIncBatches).foreach { b =>
+          val kept = graft.ops.IncrementalDedup.dedupAgainstBloom(
+            incBatch(b), incHistXl, "fp", standing)
+          kept.count()
+          graft.ops.IncrementalDedup.admit(standing, kept.select("fp"),
+            "fp", expectedItems = xlRows, fpp = 0.01)
         }
       },
       time("gram_docfreq") {
