@@ -8,8 +8,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries run in sorted name order after a session warmup action so
   * per-query numbers measure the query, not JVM/session init.
+  *
+  * == Load robustness ==
+  * A single timed run is not a measurement on a shared host: a
+  * transient page-cache or CPU squeeze lands directly in the artifact
+  * of record and reads as a phantom 10-50x regression (BENCH_r04
+  * recorded 70 s for a 0.9 s query on a fixed 500-row table while a
+  * concurrent experiment churned the box). Defense in depth:
+  *   1. every query is timed TWICE and the minimum kept — the min of
+  *      two runs is robust to any squeeze shorter than one run;
+  *   2. if the min still exceeds 5x that query's sf0.001 warmup wall
+  *      (scaled queries legitimately exceed it; fixed-table queries
+  *      cannot) AND exceeds 2 s absolute, a third run is taken —
+  *      sustained-load insurance for exactly the implausible tail;
+  *   3. the 1-minute load average is sampled before and after and
+  *      reported (`load_avg_start`/`load_avg_end`), so a reader can
+  *      audit whether the host was contended during the run.
   */
 object Bench {
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,24 +43,39 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val load0 = loadAvg()
 
     // warmup: executor threads once, then each query once at the
     // smallest scale factor so the timed run measures steady-state
     // execution, not one-time codegen/JIT compilation (which is noise
-    // at any real scale)
+    // at any real scale). Warmup walls double as per-query plausibility
+    // anchors for the timed run (see scaladoc).
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      sorted.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      }
+    val warmWalls: Map[String, Double] =
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        sorted.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      } else Map.empty
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
 
+    var rerunCount = 0
     val results = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best2 = math.min(timeOnce(fn), timeOnce(fn))
+      val anchor = warmWalls.get(name).map(_ * 5.0).getOrElse(Double.MaxValue)
+      val best =
+        if (best2 > anchor && best2 > 2.0) { rerunCount += 1; math.min(best2, timeOnce(fn)) }
+        else best2
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -55,7 +90,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     val floor = floorRuns(floorRuns.length / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor_sec":$floor,"sf":"$sfDir"}""")
+    val load1 = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

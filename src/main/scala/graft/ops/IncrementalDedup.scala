@@ -71,27 +71,50 @@ object IncrementalDedup {
     * standing-size bloom over the batch, mergeInPlace) allocated an
     * expectedItems-sized bitset per partition and merged them on the
     * driver for EVERY small batch — measured as the dominant cost of
-    * the whole steady-state loop. Past `driverFoldMax` rows the
-    * distributed merge still runs (corpus-sized folds belong there);
-    * its `expectedItems`/`fpp` MUST match the standing bloom's build
-    * sizing or mergeInPlace rejects the bit arrays.
+    * the whole steady-state loop.
+    *
+    * `driverFoldMax` < 0 (the default) self-sizes from the standing
+    * bloom: fold up to `bitSize/64` fingerprints — i.e. stream at most
+    * one bitset's worth of long-words through the driver. That is the
+    * break-even shape: the distributed merge's driver cost is ORing
+    * per-partition bitsets of exactly that many words, so folding
+    * fewer longs than ONE bitset copy is always cheaper than shipping
+    * and merging several. (At 1% fpp this yields ~0.15·expectedItems —
+    * 20M for a 134M-item bloom, matching the previously hand-tuned
+    * static threshold — and scales with the deployment instead of
+    * silently serializing fat batches through the driver.)
+    *
+    * Past the threshold the distributed merge runs (corpus-sized folds
+    * belong there). Spark 4's `stat.bloomFilter` builds a
+    * differently-sized bitset than `BloomFilter.create` even at
+    * identical (expectedItems, fpp), and `mergeInPlace` rejects
+    * mismatched bit arrays — so on IncompatibleMergeException the fold
+    * falls back to draining the already-open iterator: slower for a
+    * corpus-sized fold, but always correct. (mergeInPlace checks
+    * compatibility before mutating, so the standing bloom is intact
+    * when it throws.)
     */
   def admit(bloom: org.apache.spark.util.sketch.BloomFilter,
             accepted: DataFrame, fpCol: String, expectedItems: Long,
-            fpp: Double = 0.01, driverFoldMax: Long = 20000000L): Unit = {
+            fpp: Double = 0.01, driverFoldMax: Long = -1L): Unit = {
+    val foldMax =
+      if (driverFoldMax >= 0L) driverFoldMax
+      else math.max(bloom.bitSize() / 64L, 1000000L)
     val fps = accepted.select(col(fpCol).cast(LongType).as(fpCol)).na.drop()
     // stream without a pre-count (one action, partitions arrive one at
     // a time); if the "batch" turns out corpus-sized, bail to the
     // distributed merge — the fps already put are a harmless subset
     val it = fps.toLocalIterator()
     var n = 0L
-    while (it.hasNext && n <= driverFoldMax) {
+    while (it.hasNext && n <= foldMax) {
       bloom.putLong(it.next().getLong(0))
       n += 1
     }
     if (it.hasNext) {
-      bloom.mergeInPlace(fps.stat.bloomFilter(fpCol, expectedItems, fpp))
-      ()
+      try { bloom.mergeInPlace(fps.stat.bloomFilter(fpCol, expectedItems, fpp)); () }
+      catch { case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+        while (it.hasNext) { bloom.putLong(it.next().getLong(0)) }
+      }
     }
   }
 

@@ -90,14 +90,24 @@ object NearDupStream {
       maxBucketSize)
     val candidates = crossBatch.unionByName(inBatch).unionByName(flood)
       .distinct()
+      .localCheckpoint(true) // consumed 3x below (ids, scoring, rejected)
 
-    // verification corpus = this batch + everything previously accepted;
-    // only docs that actually appear in a candidate pair get shingled
-    val corpusText =
+    // verification corpus = this batch + everything previously
+    // accepted, semi-joined down to the docs that actually appear in a
+    // candidate pair BEFORE any tokenize/shingle work happens. The
+    // candidate id set is tiny (it tracks the flagged pairs, not the
+    // corpus) and broadcasts, so each batch re-shingles only the
+    // handful of corpus docs it collided with — per-batch cost tracks
+    // the batch, never the accepted-corpus lifetime.
+    val candidateIds = candidates.select(col("doc_a").as(idCol))
+      .unionByName(candidates.select(col("doc_b").as(idCol)))
+      .distinct()
+    val corpusAll =
       if (tableExists(spark, outPath))
         batch.select(col(idCol), col(textCol))
           .unionByName(spark.read.parquet(outPath).select(col(idCol), col(textCol)))
       else batch.select(col(idCol), col(textCol))
+    val corpusText = corpusAll.join(broadcast(candidateIds), Seq(idCol), "left_semi")
 
     // snapshot every decision BEFORE any write mutates its sources
     // (candidates reads indexPath, corpusText reads outPath). Scoring
