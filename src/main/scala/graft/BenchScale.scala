@@ -143,6 +143,26 @@ object BenchScale {
       println(f"""BLOOMBUILD_XL ${(System.nanoTime() - t0) / 1e9}%.3f""")
       b
     }
+    // sharded family over the same XL history: shard-local build (each
+    // task allocates 1/N of the bitset instead of the full size that
+    // stat.bloomFilter's aggregate pays per partition)
+    val incShardedXl = {
+      val t0 = System.nanoTime()
+      val f = graft.ops.ShardedBloom.build(incHistXl, "fp",
+        expectedItems = xlRows, fpp = 0.01, numShards = 8)
+      println(f"""SHARDEDBUILD_XL ${(System.nanoTime() - t0) / 1e9}%.3f""")
+      f
+    }
+    // file-backed epoch of the same family: built task-to-disk, never
+    // assembled in any JVM — the 10^10-fp shape
+    val shardedDirXl = {
+      val t0 = System.nanoTime()
+      val d = s"$tmp/sharded_xl/epoch1"
+      graft.ops.ShardedBloom.buildToPath(incHistXl, "fp",
+        expectedItems = xlRows, dir = d, fpp = 0.01, numShards = 8)
+      println(f"""SHARDEDPATHBUILD_XL ${(System.nanoTime() - t0) / 1e9}%.3f""")
+      d
+    }
 
     val results = Seq(
       time("agg_decimal") {
@@ -281,6 +301,38 @@ object BenchScale {
           graft.ops.IncrementalDedup.admit(standing, kept.select("fp"),
             "fp", expectedItems = xlRows, fpp = 0.01)
         }
+      },
+      time("incremental_dedup_sharded_xl") {
+        // the sharded family on the same XL ingests: must match or beat
+        // the monolithic bloom row (identical routing semantics; the
+        // family's win is build/admit shape, not probe speed)
+        val standing = incShardedXl.copy()
+        (0 until nIncBatches).foreach { b =>
+          val kept = graft.ops.IncrementalDedup.dedupAgainstSharded(
+            incBatch(b), incHistXl, "fp", standing)
+          kept.count()
+          graft.ops.IncrementalDedup.admitSharded(standing,
+            kept.select("fp"), "fp")
+        }
+      },
+      time("incremental_dedup_shardedpath_xl") {
+        // file-backed epoch probe: no broadcast, shards lazy-load into
+        // the executor-wide cache. Epoch-static (no admit — a file
+        // family is rebuilt per corpus epoch), so compare against
+        // incremental_dedup_plain_xl, which also probes the static
+        // epoch only
+        (0 until nIncBatches).foreach { b =>
+          graft.ops.IncrementalDedup.dedupAgainstShardedPath(
+            incBatch(b), incHistXl, "fp", shardedDirXl, numShards = 8)
+            .count()
+        }
+      },
+      time("gram_docfreq_sharded") {
+        // two-pass with the survivor filter as an 8-shard family —
+        // same probe semantics as gram_docfreq, shard-local build
+        graft.ops.Contamination.gramDocFrequency(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"),
+          "doc_id", "text", n = 3, minDf = 2L, survivorShards = 8).count()
       },
       time("gram_docfreq") {
         // two-pass (native hash-count -> bloom -> exact strings for

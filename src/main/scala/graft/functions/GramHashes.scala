@@ -124,16 +124,19 @@ case class SurvivingGrams(child: Expression, width: Int,
   // null when the document has fewer than `width` tokens (no shingle)
   override def nullable: Boolean = true
 
-  @transient private lazy val filter: BloomFilter = bloom.value
+  @transient private lazy val filter: graft.ops.LongMembership =
+    graft.ops.BloomMembership.wrap(bloom.value)
 
   override def nullSafeEval(input: Any): Any =
     SurvivingGrams.compute(input.asInstanceOf[ArrayData], width, filter)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bfClass = classOf[BloomFilter].getName
+    val lmClass = classOf[graft.ops.LongMembership].getName
     val ref = ctx.addReferenceObj("survBloomBc", bloom, classOf[Broadcast[_]].getName)
-    val local = ctx.addMutableState(bfClass, "survBloom",
-      v => s"$v = ($bfClass) $ref.value();")
+    // wrapped ONCE into the membership adapter per task, not per row
+    val local = ctx.addMutableState(lmClass, "survBloom",
+      v => s"$v = graft.ops.BloomMembership.wrap(($bfClass) $ref.value());")
     val result = ctx.freshName("sg")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
@@ -147,13 +150,57 @@ case class SurvivingGrams(child: Expression, width: Int,
     copy(child = newChild)
 }
 
+/** [[SurvivingGrams]] with a sharded survivor filter
+  * ([[graft.ops.ShardedBloom]]): same single-pass hash-probe-build, but
+  * the filter was built shard-locally (no full-size bitset per
+  * partition during the build) — the path that lifts the documented
+  * ~100M-survivor comfort ceiling of the monolithic broadcast.
+  */
+case class SurvivingGramsSharded(child: Expression, width: Int,
+                                 family: Broadcast[graft.ops.ShardedBloom])
+    extends UnaryExpression {
+
+  require(width > 0, "width must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val filter: graft.ops.ShardedBloom = family.value
+
+  override def nullSafeEval(input: Any): Any =
+    SurvivingGrams.compute(input.asInstanceOf[ArrayData], width, filter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sbClass = classOf[graft.ops.ShardedBloom].getName
+    val ref = ctx.addReferenceObj("survShardedBc", family,
+      classOf[Broadcast[_]].getName)
+    val local = ctx.addMutableState(sbClass, "survSharded",
+      v => s"$v = ($sbClass) $ref.value();")
+    val result = ctx.freshName("sg")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $result =
+         |  graft.functions.SurvivingGrams.compute($c, $width, $local);
+         |if ($result == null) { ${ev.isNull} = true; } else { ${ev.value} = $result; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SurvivingGramsSharded =
+    copy(child = newChild)
+}
+
 object SurvivingGrams {
 
   /** Same hashing as [[GramHashes.compute]]; a window that passes the
-    * bloom gets its gram string built (UTF8String concat, no JVM
-    * String round-trip) and deduplicated in encounter order.
+    * membership probe (monolithic bloom via [[graft.ops.BloomMembership]]
+    * or a [[graft.ops.ShardedBloom]] family — one resolved handle, one
+    * bimorphic call per window) gets its gram string built (UTF8String
+    * concat, no JVM String round-trip) and deduplicated in encounter
+    * order.
     */
-  def compute(tokens: ArrayData, width: Int, bloom: BloomFilter): ArrayData = {
+  def compute(tokens: ArrayData, width: Int,
+              bloom: graft.ops.LongMembership): ArrayData = {
     val n = tokens.numElements()
     if (n < width) return null
 
@@ -203,4 +250,10 @@ object SurvivingGrams {
   def survivingGrams(tokens: Column, width: Int,
                      bloom: Broadcast[BloomFilter]): Column =
     ColumnBridge.column(SurvivingGrams(ColumnBridge.expression(tokens), width, bloom))
+
+  /** Column API over a sharded survivor family. */
+  def survivingGramsSharded(tokens: Column, width: Int,
+                            family: Broadcast[graft.ops.ShardedBloom]): Column =
+    ColumnBridge.column(
+      SurvivingGramsSharded(ColumnBridge.expression(tokens), width, family))
 }

@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Minimal membership interface shared by the monolithic
+  * [[org.apache.spark.util.sketch.BloomFilter]] (via [[BloomMembership]])
+  * and the sharded family, so probe expressions hold one resolved
+  * handle and dispatch a single bimorphic call per row.
+  */
+abstract class LongMembership extends Serializable {
+  def mightContainLong(v: Long): Boolean
+}
+
+/** Adapter: a monolithic bloom as a [[LongMembership]]. Allocated once
+  * per task (expression mutable state), never per row.
+  */
+final class BloomMembership(val bloom: BloomFilter) extends LongMembership {
+  override def mightContainLong(v: Long): Boolean = bloom.mightContainLong(v)
+}
+
+object BloomMembership {
+  /** Codegen entry (a `new` in generated Java needs an exact class). */
+  def wrap(bloom: BloomFilter): BloomMembership = new BloomMembership(bloom)
+}
+
+/** A Bloom filter partitioned by fingerprint into `numShards`
+  * independent filters: shard `floorMod(fp, numShards)` owns `fp`.
+  *
+  * Why sharding, when N shards of m/N bits have exactly the fpp of one
+  * m-bit filter? Because every cost that scales with the BITSET —
+  * not the fpp math — stops being monolithic:
+  *
+  *   - '''build''': `stat.bloomFilter` allocates a FULL-size bitset per
+  *     partition and merges them on the driver — at 10^10 fps that is a
+  *     ~12 GB allocation in every task and a ~12 GB driver merge.
+  *     [[ShardedBloom.build]] shuffles fingerprints to their shard
+  *     first, so each task allocates only its shard's bitset (1/N),
+  *     and each shard is built by exactly one task;
+  *   - '''storage/transport''': [[ShardedBloom.buildToPath]] writes each
+  *     shard from its OWN task — the family never exists assembled in
+  *     any single JVM, driver included;
+  *   - '''probe''': the file-backed probe
+  *     ([[graft.functions.ShardedBloomPathProbe]]) routes each row to
+  *     its shard and lazily loads ONLY the shards a task actually
+  *     touches (executor-wide cache, one load per shard per JVM). A
+  *     batch repartitioned by `pmod(fp, N)` touches one shard per task —
+  *     no broadcast of the family at all, at any size.
+  *
+  * Correctness is unchanged from the monolithic filter: same
+  * no-false-negative guarantee (a fingerprint is always probed against
+  * the shard that [[putLong]] routed it to), same fpp per probe, and
+  * the exact-resolution contract of [[IncrementalDedup]] never depended
+  * on the filter anyway.
+  *
+  * All shards are built via `BloomFilter.create(perShardItems, fpp)`,
+  * so same-family merges are compatible by construction (Spark 4's
+  * `stat.bloomFilter` builds differently-sized bitsets that
+  * `mergeInPlace` rejects — this family never mixes implementations).
+  */
+final class ShardedBloom(val perShardItems: Long, val fpp: Double,
+                         val shards: Array[BloomFilter]) extends LongMembership {
+
+  def numShards: Int = shards.length
+
+  @inline def shardOf(fp: Long): Int =
+    java.lang.Math.floorMod(fp, numShards.toLong).toInt
+
+  override def mightContainLong(fp: Long): Boolean =
+    shards(shardOf(fp)).mightContainLong(fp)
+
+  def putLong(fp: Long): Unit = { shards(shardOf(fp)).putLong(fp); () }
+
+  /** Total bits across shards — same scale as the monolithic filter's
+    * `bitSize`, used by [[IncrementalDedup.admit]]-style fold sizing.
+    */
+  def bitSize: Long = shards.map(_.bitSize()).sum
+
+  def mergeInPlace(other: ShardedBloom): ShardedBloom = {
+    require(other.numShards == numShards,
+      s"shard count mismatch: $numShards vs ${other.numShards}")
+    var i = 0
+    while (i < numShards) { shards(i).mergeInPlace(other.shards(i)); i += 1 }
+    this
+  }
+
+  /** Deep copy via the sketch's own serialization (the only
+    * implementation-safe clone — see the mergeInPlace sizing note).
+    */
+  def copy(): ShardedBloom =
+    new ShardedBloom(perShardItems, fpp, shards.map { s =>
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos)
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bos.toByteArray))
+    })
+
+  /** Persist as one file per shard plus a `_meta` line. Shard files
+    * written here are IMMUTABLE by contract — the executor-side probe
+    * cache ([[ShardedBloomFiles]]) caches loads per (dir, shard); write
+    * a new epoch to a new directory, never in place.
+    */
+  def save(dir: String): Unit = {
+    val conf = new Configuration()
+    val fs = FileSystem.get(new java.net.URI(dir).normalize() match {
+      case u if u.getScheme == null => new java.io.File(dir).toURI
+      case u => u
+    }, conf)
+    fs.mkdirs(new Path(dir))
+    shards.zipWithIndex.foreach { case (s, i) =>
+      val out = fs.create(ShardedBloom.shardPath(dir, i), true)
+      try s.writeTo(out) finally out.close()
+    }
+    val meta = fs.create(new Path(dir, "_meta"), true)
+    try meta.write(s"$numShards $perShardItems $fpp\n".getBytes("UTF-8"))
+    finally meta.close()
+  }
+}
+
+object ShardedBloom {
+
+  private[ops] def shardPath(dir: String, shard: Int): Path =
+    new Path(dir, f"shard-$shard%05d.bloom")
+
+  private def fsFor(dir: String): FileSystem = {
+    val conf = new Configuration()
+    val uri = new java.net.URI(dir).normalize() match {
+      case u if u.getScheme == null => new java.io.File(dir).toURI
+      case u => u
+    }
+    FileSystem.get(uri, conf)
+  }
+
+  def perShard(expectedItems: Long, numShards: Int): Long =
+    math.max(expectedItems / numShards, 1L)
+
+  /** Empty family sized for `expectedItems` total across `numShards`. */
+  def create(expectedItems: Long, fpp: Double = 0.01,
+             numShards: Int = 8): ShardedBloom = {
+    require(numShards > 0, "numShards must be positive")
+    val per = perShard(expectedItems, numShards)
+    new ShardedBloom(per, fpp,
+      Array.fill(numShards)(BloomFilter.create(per, fpp)))
+  }
+
+  /** Distributed shard-local build: fingerprints shuffle to their
+    * shard's partition, each task builds only the (1/N-size) bitsets of
+    * the shards it owns, and the driver merges per-shard — it never
+    * allocates more than the family itself. Fingerprint columns are
+    * hashes (uniform), so `floorMod(fp, N)` balances shards.
+    */
+  def build(history: DataFrame, fpCol: String, expectedItems: Long,
+            fpp: Double = 0.01, numShards: Int = 8): ShardedBloom = {
+    val family = create(expectedItems, fpp, numShards)
+    shardPairs(history, fpCol, family.perShardItems, fpp, numShards)
+      .collect()
+      .foreach { case (s, b) => family.shards(s).mergeInPlace(b) }
+    family
+  }
+
+  /** The no-driver-object build: each task writes its shard files
+    * straight to `dir`; the driver only fills in empty shards and the
+    * `_meta` line. At 10^10 fps the family exists only as N files of
+    * bitSize/N each — no single JVM ever holds it assembled. Pair with
+    * [[graft.functions.ShardedBloomPathProbe]] for a probe that loads
+    * per-shard on demand. `dir` must be fresh (epoch semantics); tasks
+    * are deterministic so a speculative re-write is byte-identical.
+    */
+  def buildToPath(history: DataFrame, fpCol: String, expectedItems: Long,
+                  dir: String, fpp: Double = 0.01,
+                  numShards: Int = 8): Unit = {
+    val per = perShard(expectedItems, numShards)
+    val written = shardPairs(history, fpCol, per, fpp, numShards)
+      .map { case (s, b) =>
+        val fs = fsFor(dir)
+        val out = fs.create(shardPath(dir, s), true)
+        try b.writeTo(out) finally out.close()
+        s
+      }
+      .collect().toSet
+    val fs = fsFor(dir)
+    fs.mkdirs(new Path(dir))
+    (0 until numShards).filterNot(written).foreach { s =>
+      val out = fs.create(shardPath(dir, s), true)
+      try BloomFilter.create(per, fpp).writeTo(out) finally out.close()
+    }
+    val meta = fs.create(new Path(dir, "_meta"), true)
+    try meta.write(s"$numShards $per $fpp\n".getBytes("UTF-8"))
+    finally meta.close()
+  }
+
+  /** (shard, shard-local bloom) pairs, one pair per shard per task; a
+    * shard's rows all land in one task (shuffle by shard id), so each
+    * shard yields exactly one pair and `mergeInPlace` per shard is a
+    * no-op union with an empty peer.
+    */
+  private def shardPairs(history: DataFrame, fpCol: String, per: Long,
+                         fpp: Double, numShards: Int) = {
+    val fps = history.select(col(fpCol).cast(LongType).as("fp")).na.drop()
+      .repartition(numShards, pmod(col("fp"), lit(numShards.toLong)))
+    fps.queryExecution.toRdd.mapPartitions { rows =>
+      val local = new java.util.HashMap[Integer, BloomFilter]()
+      while (rows.hasNext) {
+        val fp = rows.next().getLong(0)
+        val s = java.lang.Math.floorMod(fp, numShards.toLong).toInt
+        var b = local.get(s)
+        if (b == null) { b = BloomFilter.create(per, fpp); local.put(s, b) }
+        b.putLong(fp)
+        ()
+      }
+      scala.jdk.CollectionConverters.MapHasAsScala(local).asScala
+        .iterator.map { case (k, v) => (k.intValue, v) }
+    }
+  }
+
+  def load(dir: String): ShardedBloom = {
+    val fs = fsFor(dir)
+    val metaIn = fs.open(new Path(dir, "_meta"))
+    val meta = try scala.io.Source.fromInputStream(metaIn).mkString.trim
+               finally metaIn.close()
+    val Array(n, per, fpp) = meta.split(" ")
+    new ShardedBloom(per.toLong, fpp.toDouble,
+      Array.tabulate(n.toInt)(loadShard(dir, _)))
+  }
+
+  def loadShard(dir: String, shard: Int): BloomFilter = {
+    val fs = fsFor(dir)
+    val in = fs.open(shardPath(dir, shard))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+}
+
+/** Executor-wide cache for file-backed shard probes: one load per
+  * (dir, shard) per JVM, shared across tasks and queries. Keyed on the
+  * immutable-epoch contract of [[ShardedBloom.save]]/`buildToPath` —
+  * rewriting a shard dir in place would serve stale bits; write new
+  * epochs to new dirs (and [[invalidate]] exists for tests).
+  */
+object ShardedBloomFiles {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), BloomFilter]()
+
+  def shard(dir: String, s: Int): BloomFilter =
+    cache.computeIfAbsent((dir, s),
+      key => ShardedBloom.loadShard(key._1, key._2))
+
+  def invalidate(dir: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
+}
+
+/** Per-task probe handle over a file-backed family: resolves each
+  * touched shard once from [[ShardedBloomFiles]] into a local array,
+  * so the per-row cost is floorMod + array load + one probe. A batch
+  * pre-partitioned by `pmod(fp, N)` resolves exactly one shard per
+  * task; an unpartitioned batch at worst resolves all N (still loaded
+  * once per JVM, not per task).
+  */
+final class ShardedBloomPathHandle(dir: String, numShards: Int) {
+  private val local = new Array[BloomFilter](numShards)
+
+  def mightContain(fp: Long): Boolean = {
+    val s = java.lang.Math.floorMod(fp, numShards.toLong).toInt
+    var b = local(s)
+    if (b == null) { b = ShardedBloomFiles.shard(dir, s); local(s) = b }
+    b.mightContainLong(fp)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Contamination, IncrementalDedup, ShardedBloom, ShardedBloomFiles}
+import org.apache.spark.sql.functions._
+
+/** The sharded standing-bloom family: equivalence with the monolithic
+  * filter at any shard count, across every probe path (in-memory,
+  * broadcast expression, file-backed), plus the admit fold and the
+  * sharded survivor filter in gramDocFrequency.
+  */
+class ShardedBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist = spark.range(5000)
+    .select(IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
+
+  private def batch = spark.range(1000)
+    .select(
+      when(col("id") % 10 === 0, concat(lit("h"), col("id") * 3))
+        .otherwise(concat(lit("new"), col("id"))).as("key"))
+    .select(col("key"), IncrementalDedup.fp60(col("key")).as("fp"))
+
+  test("sharded family has no false negatives at any shard count") {
+    val fps = hist.as[Long].collect()
+    for (n <- Seq(1, 3, 8)) {
+      val family = ShardedBloom.build(hist, "fp", fps.length.toLong,
+        0.01, n)
+      assert(fps.forall(family.mightContainLong),
+        s"numShards=$n missed a built fingerprint")
+    }
+  }
+
+  test("dedupAgainstSharded equals the plain anti-join at any shard count") {
+    val expected = batch.join(hist, Seq("fp"), "left_anti")
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    for (n <- Seq(1, 3, 8)) {
+      val family = ShardedBloom.build(hist, "fp", 5000L, 0.01, n)
+      val got = IncrementalDedup.dedupAgainstSharded(batch, hist, "fp", family)
+        .select("key", "fp").orderBy("fp").collect().toSeq
+      assert(got == expected, s"numShards=$n")
+    }
+  }
+
+  test("file-backed family: buildToPath + path probe equal the anti-join") {
+    val dir = Files.createTempDirectory("sharded_bloom").toString + "/epoch1"
+    ShardedBloom.buildToPath(hist, "fp", 5000L, dir, 0.01, numShards = 4)
+    val expected = batch.join(hist, Seq("fp"), "left_anti")
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    val got = IncrementalDedup.dedupAgainstShardedPath(batch, hist, "fp",
+      dir, numShards = 4).select("key", "fp").orderBy("fp").collect().toSeq
+    assert(got == expected)
+    ShardedBloomFiles.invalidate(dir)
+  }
+
+  test("save/load round-trips probe decisions exactly") {
+    val dir = Files.createTempDirectory("sharded_bloom").toString + "/epoch1"
+    val family = ShardedBloom.build(hist, "fp", 5000L, 0.01, numShards = 4)
+    family.save(dir)
+    val loaded = ShardedBloom.load(dir)
+    assert(loaded.numShards == 4 && loaded.perShardItems == family.perShardItems)
+    val probes = (hist.as[Long].collect() ++ (1L to 2000L))
+    assert(probes.forall(fp =>
+      family.mightContainLong(fp) == loaded.mightContainLong(fp)))
+  }
+
+  test("admitSharded: driver fold and distributed fallback both make re-ingest empty") {
+    // driverFoldMax=0 forces the distributed per-shard merge (compatible
+    // by construction); the default takes the driver fold — both must
+    // leave the family answering 'maybe' for every admitted fp
+    for (foldMax <- Seq(-1L, 0L)) {
+      val family = ShardedBloom.build(hist, "fp", 5000L, 0.01, numShards = 4)
+      val kept = IncrementalDedup.dedupAgainstSharded(batch, hist, "fp", family)
+      IncrementalDedup.admitSharded(family, kept.select("fp"), "fp",
+        driverFoldMax = foldMax)
+      val keptFps = kept.select("fp").as[Long].collect()
+      assert(keptFps.forall(family.mightContainLong), s"foldMax=$foldMax")
+      // the grown history (epoch + admitted batch) now rejects a re-sent
+      // copy of the same batch entirely
+      val grownHist = hist.select("fp").unionByName(kept.select("fp"))
+      assert(IncrementalDedup.dedupAgainstSharded(batch, grownHist, "fp", family)
+        .count() == 0L, s"foldMax=$foldMax")
+    }
+  }
+
+  test("copy() is a deep clone: mutating the copy leaves the original intact") {
+    val family = ShardedBloom.create(1000L, 0.01, numShards = 3)
+    val clone = family.copy()
+    (1L to 500L).foreach(clone.putLong)
+    assert((1L to 500L).forall(clone.mightContainLong))
+    assert(!(1L to 500L).forall(family.mightContainLong))
+  }
+
+  test("gramDocFrequency: sharded survivor filter equals monolithic and single-pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sits under the lazy dog"),
+      (3L, "a completely different document with no shared grams"),
+      (4L, "the quick brown fox runs past the lazy dog")
+    ).toDF("doc_id", "text")
+    for (minDf <- Seq(1L, 2L)) {
+      val mono = Contamination.gramDocFrequency(docs, "doc_id", "text",
+        n = 3, minDf = minDf).orderBy("sh").collect().toSeq
+      val sharded = Contamination.gramDocFrequency(docs, "doc_id", "text",
+        n = 3, minDf = minDf, survivorShards = 4).orderBy("sh").collect().toSeq
+      val one = Contamination.gramDocFrequency(docs, "doc_id", "text",
+        n = 3, minDf = minDf, twoPass = false).orderBy("sh").collect().toSeq
+      assert(sharded == mono, s"minDf=$minDf sharded vs mono")
+      assert(sharded == one, s"minDf=$minDf sharded vs single-pass")
+    }
+  }
+}
