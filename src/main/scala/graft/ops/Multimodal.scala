@@ -12,13 +12,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * bytes, with REAL pure-JDK decoders for the formats a web corpus is
   * made of: WAV/PCM audio (RIFF chunk walk: sample rate, channels,
   * frame count, duration, RMS level), BMP (DIB header + pixel array),
-  * PNG (zlib inflate + per-spec scanline unfiltering), and baseline
-  * JPEG ([[Jpeg]]: Huffman entropy decode + dequant + IDCT of the
-  * luma plane). Formats still needing external codecs (MP4/webp...)
-  * take the documented fallback branch: deterministic pseudo-features
-  * (md5 fingerprint + length-derived dims). A production build adds
-  * JNI/codec calls as new `case`s in `decode` without touching any
-  * distributed plumbing.
+  * PNG (zlib inflate + per-spec scanline unfiltering), baseline JPEG
+  * ([[Jpeg]]: Huffman entropy decode + dequant + IDCT of the luma
+  * plane), WebP header dims, and MP4 ([[Mp4]]: ISO BMFF box walk —
+  * dims, duration, codec fourcc, and per-keyframe byte ranges from
+  * the stss/stsc/stsz/stco tables). Only the entropy-coded VIDEO
+  * sample payloads still need an external codec: every distributed
+  * step before it (schema, partitioning, keyframe location/slicing,
+  * batch shape) is real. A production build adds JNI/codec calls as
+  * new `case`s in `decode` without touching any distributed plumbing.
   *
   * Scale notes: mapPartitions keeps per-record overhead amortized over
   * a whole partition (one codec context per partition, not per row);
@@ -68,6 +70,7 @@ object Multimodal {
           && d(3) == 'G') decodePng(r)
       else if (isJpeg(d)) decodeJpeg(r)
       else if (isWebp(d)) decodeWebp(r)
+      else if (Mp4.isMp4(d)) decodeMp4(r)
       else decodeOpaque(r)
     } catch {
       case scala.util.control.NonFatal(_) => decodeOpaque(r).copy(codec = "corrupt")
@@ -309,6 +312,22 @@ object Multimodal {
     }
   }
 
+  /** MP4: [[Mp4]] box-tree walk — canvas dims (tkhd 16.16 fixed),
+    * movie duration (mvhd), sample count (stsz), and codec fourcc.
+    * `n_frames` is the media sample count; keyframe byte ranges are
+    * exposed through [[sampleKeyframes]].
+    */
+  private def decodeMp4(r: MediaRecord): MediaFeatures =
+    Mp4.parse(r.data) match {
+      case Some(info) =>
+        val codec = ("mp4/" + (if (info.videoCodec.trim.nonEmpty)
+          info.videoCodec.trim else info.majorBrand.trim)).toLowerCase
+        MediaFeatures(r.id, r.kind, codec, r.data.length.toLong,
+          info.width, info.height, info.nSamples, 0, 0, info.durationMs,
+          0L, md5Hex(r.data))
+      case None => decodeOpaque(r).copy(codec = "corrupt")
+    }
+
   /** Fallback for formats needing external codec libraries:
     * deterministic pseudo-features (documented stub branch).
     */
@@ -467,6 +486,42 @@ object Multimodal {
         })
       } catch {
         case scala.util.control.NonFatal(_) => FrameSample(r.id, 0, Array.empty)
+      }
+    })
+  }
+
+  /** `k` evenly spaced KEYFRAMES from an MP4 payload: 1-based sample
+    * number, byte offset, byte size, and the md5 of the keyframe's
+    * bytes (the deterministic stand-in for handing that slice to a
+    * codec) — the video analogue of [[sampleFrames]]. The selection,
+    * slicing, and batch shape are the real pipeline; only the
+    * per-slice pixel decode awaits a codec. Empty for non-MP4 payloads
+    * and for headers without resolvable sample tables.
+    */
+  case class KeyframeSample(id: Long, n_samples: Int, n_keyframes: Int,
+                            samples: Array[Int], offsets: Array[Long],
+                            sizes: Array[Int], slice_md5: Array[String])
+  def sampleKeyframes(ds: Dataset[MediaRecord], k: Int): Dataset[KeyframeSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      Mp4.parse(r.data).filter(_.keyframeOffsets.nonEmpty) match {
+        case Some(info) =>
+          val nk = info.keyframeOffsets.length
+          val take = math.min(k, nk)
+          val picked = Array.tabulate(take)(i => i * nk / take)
+          val md5s = picked.map { i =>
+            val off = info.keyframeOffsets(i); val sz = info.keyframeSizes(i)
+            if (off >= 0 && sz > 0 && off + sz <= r.data.length)
+              md5Hex(java.util.Arrays.copyOfRange(r.data, off.toInt, (off + sz).toInt))
+            else "" // header points outside the payload: observable, not fatal
+          }
+          KeyframeSample(r.id, info.nSamples, nk,
+            picked.map(info.keyframeSamples(_)),
+            picked.map(info.keyframeOffsets(_)),
+            picked.map(info.keyframeSizes(_)), md5s)
+        case None =>
+          KeyframeSample(r.id, 0, 0, Array.empty, Array.empty, Array.empty,
+            Array.empty)
       }
     })
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, Mp4, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,6 +210,35 @@ object TextQueries {
       val ds = Multimodal.fromBinaryFrame(s, t(s, dir, "documents"),
         "doc_id", "text", "doc")
       Multimodal.extractFeatures(ds).toDF().orderBy("id")
+    }),
+
+    // MP4 demux end-to-end: mux a deterministic single-track MP4 per
+    // document (dims/duration/sample table derived from text length),
+    // then demux it back with [[Mp4.parse]] — header facts via
+    // extractFeatures, per-keyframe byte ranges via sampleKeyframes.
+    // The oracle predicts every field arithmetically from the muxer's
+    // documented layout (chunk base = 412 + 4n + 4k), so a demuxer
+    // that misreads any sample table hash-mismatches.
+    "q107_mp4_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val media = docs.map { case (id, txt) =>
+        val L = txt.length
+        val n = L % 6 + 2
+        val base = L % 50 + 10
+        Multimodal.MediaRecord(id, "video",
+          Mp4.build(L % 640 + 16, L % 480 + 16, 1000L, L.toLong * 10,
+            "avc1", Array.tabulate(n)(base + _), Array.range(1, n + 1, 2)))
+      }
+      val feats = Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("codec"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"))
+      val kf = Multimodal.sampleKeyframes(media, k = 8).toDF()
+        .select(col("id"), col("n_keyframes"),
+          element_at(col("offsets"), 1).as("first_kf_off"),
+          expr("aggregate(sizes, 0L, (a, x) -> a + x)").as("kf_bytes"))
+      feats.join(kf, "id").orderBy("id")
     }),
 
     // TF-IDF top-5 terms per document: exact integer tf/df, one
@@ -684,6 +713,19 @@ object TextQueries {
          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ha, hb)) <= 8
          ORDER BY doc_a, doc_b""",
+    "q107_mp4_keyframes" ->
+      """WITH p AS (SELECT doc_id, strlen(text) AS L FROM documents),
+         q AS (SELECT doc_id, L, L % 6 + 2 AS n, (L % 6 + 3) // 2 AS nk,
+                 L % 50 + 10 AS base FROM p)
+         SELECT doc_id AS id, 'mp4/avc1' AS codec,
+           CAST(L % 640 + 16 AS INTEGER) AS width,
+           CAST(L % 480 + 16 AS INTEGER) AS height,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(L * 10 AS BIGINT) AS duration_ms,
+           CAST(nk AS INTEGER) AS n_keyframes,
+           CAST(412 + 4 * n + 4 * nk AS BIGINT) AS first_kf_off,
+           CAST(nk * base + nk * (nk - 1) AS BIGINT) AS kf_bytes
+         FROM q ORDER BY id""",
     "q51_multimodal_features" ->
       """SELECT doc_id AS id, 'doc' AS kind, 'opaque' AS codec,
          CAST(strlen(text) AS BIGINT) AS size_bytes,

@@ -1,0 +1,160 @@
+package graft
+
+import graft.ops.{Mp4, Multimodal}
+import Multimodal.MediaRecord
+
+/** [[Mp4]] demuxer contract: `parse(build(...))` round-trips the
+  * header facts, the stsc/stco expansion yields the exact byte range
+  * of every keyframe (single- and multi-chunk layouts), and hostile
+  * headers (truncation, lying sizes, inflated table counts) degrade to
+  * None / prefixes without throwing or allocating unbounded memory.
+  */
+class Mp4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sizes = Array(10, 20, 30, 40, 50, 60)
+  private val keys = Array(1, 3, 5)
+
+  test("parse(build) round-trips dims, duration, codec, sample count") {
+    val d = Mp4.build(640, 360, timescale = 1000L, durationTicks = 5000L,
+      codec = "avc1", sampleSizes = sizes, keyframes = keys)
+    assert(Mp4.isMp4(d))
+    val info = Mp4.parse(d).get
+    assert(info.majorBrand == "isom" && info.videoCodec == "avc1")
+    assert(info.width == 640 && info.height == 360)
+    assert(info.timescale == 1000L && info.durationMs == 5000L)
+    assert(info.nSamples == 6 && !info.allKeyframes)
+    assert(info.keyframeSamples.toSeq == Seq(1, 3, 5))
+  }
+
+  test("keyframe byte ranges: single chunk at the documented offset") {
+    val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys)
+    val info = Mp4.parse(d).get
+    val base = 412L + 4 * sizes.length + 4 * keys.length
+    // sample k's offset = chunk base + sizes of samples before it
+    assert(info.keyframeOffsets.toSeq ==
+      Seq(base, base + 10 + 20, base + 10 + 20 + 30 + 40))
+    assert(info.keyframeSizes.toSeq == Seq(10, 30, 50))
+    // the ranges land on real payload bytes inside the file
+    info.keyframeOffsets.zip(info.keyframeSizes).foreach { case (off, sz) =>
+      assert(off >= 0 && off + sz <= d.length)
+    }
+  }
+
+  test("multi-chunk stsc run expansion matches the single-chunk ranges' sizes") {
+    // 6 samples split 4+2: chunk 2 starts fresh, so samples 5,6 sit at
+    // the second stco entry; sample 5's offset = chunk2 base + 0
+    val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys,
+      samplesPerChunk = 4)
+    val info = Mp4.parse(d).get
+    assert(info.keyframeSamples.toSeq == Seq(1, 3, 5))
+    assert(info.keyframeSizes.toSeq == Seq(10, 30, 50))
+    val o = info.keyframeOffsets
+    // within chunk 1: s1 at base, s3 at base+10+20
+    assert(o(1) - o(0) == 30L)
+    // s5 opens chunk 2, which follows chunk 1's 100 payload bytes
+    assert(o(2) - o(0) == 100L)
+    // an even split (3+3) collapses to ONE stsc run covering both chunks
+    val even = Mp4.parse(Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys,
+      samplesPerChunk = 3)).get
+    assert(even.keyframeSizes.toSeq == Seq(10, 30, 50))
+    assert(even.keyframeOffsets(2) - even.keyframeOffsets(0) == 100L)
+  }
+
+  test("absent stss means every sample is a keyframe") {
+    val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, Array.empty[Int])
+    // build writes an stss with 0 entries -> 0 keyframes, NOT allKey;
+    // strip the stss box to exercise the absent-box branch
+    val noStss = stripBox(d, "stss")
+    val info = Mp4.parse(noStss).get
+    assert(info.allKeyframes && info.nSamples == 6)
+    assert(info.keyframeSamples.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    assert(info.keyframeSizes.toSeq == sizes.toSeq)
+  }
+
+  test("hostile inputs never throw: truncation, lying size, inflated counts") {
+    val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys)
+    // truncate at every byte boundary of the header region
+    (0 until math.min(d.length, 600)).foreach { cut =>
+      Mp4.parse(java.util.Arrays.copyOfRange(d, 0, cut)) // must not throw
+    }
+    // lying moov size: claim 0x7fffffff
+    val lying = d.clone()
+    val moovPos = indexOfBox(d, "moov")
+    lying(moovPos) = 0x7f.toByte; lying(moovPos + 1) = 0xff.toByte
+    lying(moovPos + 2) = 0xff.toByte; lying(moovPos + 3) = 0xff.toByte
+    Mp4.parse(lying) // walk stops at the lying box, no throw
+    // inflated stss count: claim 0x00ffffff entries in a 3-entry box —
+    // capped + prefix-read, bounded allocation, no throw
+    val inflated = d.clone()
+    val stssPos = indexOfBox(d, "stss")
+    inflated(stssPos + 8) = 0x00; inflated(stssPos + 9) = 0xff.toByte
+    inflated(stssPos + 10) = 0xff.toByte; inflated(stssPos + 11) = 0xff.toByte
+    val res = Mp4.parse(inflated)
+    assert(res.forall(_.keyframeSamples.length <= 4096))
+  }
+
+  test("extractFeatures dispatches mp4 and sampleKeyframes slices real bytes") {
+    val d = Mp4.build(320, 240, 1000L, 2000L, "avc1", sizes, keys)
+    val ds = Seq(MediaRecord(7L, "video", d)).toDS()
+    val f = Multimodal.extractFeatures(ds).head()
+    assert(f.codec == "mp4/avc1" && f.width == 320 && f.height == 240)
+    assert(f.n_frames == 6 && f.duration_ms == 2000L)
+    val kf = Multimodal.sampleKeyframes(ds, k = 8).head()
+    assert(kf.n_keyframes == 3 && kf.samples.toSeq == Seq(1, 3, 5))
+    assert(kf.slice_md5.forall(_.nonEmpty)) // every slice inside payload
+    // k smaller than the keyframe count picks an evenly spaced subset
+    val kf1 = Multimodal.sampleKeyframes(ds, k = 1).head()
+    assert(kf1.samples.length == 1)
+    // a non-MP4 payload yields the empty sample
+    val none = Multimodal.sampleKeyframes(
+      Seq(MediaRecord(8L, "doc", "plain text".getBytes)).toDS(), k = 4).head()
+    assert(none.n_keyframes == 0 && none.samples.isEmpty)
+  }
+
+  /** File offset of the first box with fourcc `typ` (size field). */
+  private def indexOfBox(d: Array[Byte], typ: String): Int = {
+    val t = typ.getBytes("US-ASCII")
+    (0 until d.length - 8).find(p =>
+      d(p + 4) == t(0) && d(p + 5) == t(1) && d(p + 6) == t(2) && d(p + 7) == t(3))
+      .getOrElse(sys.error(s"no $typ box"))
+  }
+
+  /** Remove a box wholesale and shrink every enclosing ancestor's size
+    * field (stco offsets are left untouched — fine for header-only
+    * assertions).
+    */
+  private def stripBox(d: Array[Byte], typ: String): Array[Byte] = {
+    val pos = indexOfBox(d, typ)
+    val size = ((d(pos) & 0xff) << 24) | ((d(pos + 1) & 0xff) << 16) |
+      ((d(pos + 2) & 0xff) << 8) | (d(pos + 3) & 0xff)
+    val out = d.take(pos) ++ d.drop(pos + size)
+    def readSize(q: Int): Int =
+      ((out(q) & 0xff) << 24) | ((out(q + 1) & 0xff) << 16) |
+        ((out(q + 2) & 0xff) << 8) | (out(q + 3) & 0xff)
+    // shrink each ancestor (its stored size still counts the stripped
+    // box) and recurse into it; siblings keep their sizes
+    @annotation.tailrec
+    def fix(q0: Int, end: Int): Unit = {
+      var q = q0
+      var ancestor = -1
+      while (ancestor < 0 && q + 8 <= end) {
+        val s = readSize(q)
+        // a true ancestor's header sits strictly before the stripped
+        // bytes; the next sibling starts exactly AT pos and must not
+        // be shrunk
+        if (q + 8 <= pos && pos < q + s) ancestor = q else q += s
+      }
+      if (ancestor >= 0) {
+        val v = readSize(ancestor) - size
+        out(ancestor) = ((v >> 24) & 0xff).toByte
+        out(ancestor + 1) = ((v >> 16) & 0xff).toByte
+        out(ancestor + 2) = ((v >> 8) & 0xff).toByte
+        out(ancestor + 3) = (v & 0xff).toByte
+        fix(ancestor + 8, ancestor + v)
+      }
+    }
+    fix(0, out.length)
+    out
+  }
+}
