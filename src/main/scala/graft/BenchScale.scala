@@ -164,7 +164,55 @@ object BenchScale {
       d
     }
 
-    val results = Seq(
+    // IVF maintenance cadence at scale: sample-fit -> full index build
+    // -> drifted append -> health probe -> refit + rebuild (the
+    // recovery path an append-only index needs). Build/append/rebuild
+    // mutate the index directory, so they are timed single-run; the
+    // idempotent health probe gets the usual min-of-2 below.
+    val ivfOps: Seq[(String, Double)] = {
+      def once(name: String)(action: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        action
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val idx = s"$tmp/ivf_idx"
+      var model: graft.ops.Ivf.Model = null
+      val fitT = once("ivf_fit_sample") {
+        model = graft.ops.Ivf.fit(
+          embBig.sample(withReplacement = false, 0.02, seed = 7L),
+          "vec_id", nLists = 16, iterations = 2)
+      }
+      val buildT = once("ivf_index_build") {
+        graft.ops.Ivf.writeIndex(embBig, model, idx)
+      }
+      val appendT = once("ivf_append_drift") {
+        // a quarter-corpus batch drifted along dim 0: lands in the few
+        // cells nearest the drift, skewing the index
+        graft.ops.Ivf.appendIndex(
+          embBig.where(col("vec_id") % 4 === 0)
+            .select((col("vec_id") + lit(10L * embRows)).as("vec_id"),
+              expr("transform(embedding, (x, i) -> IF(i = 0, x + 10f, x))")
+                .as("embedding"),
+              col("label")),
+          model, idx)
+      }
+      val probeT = time("ivf_health_probe") {
+        graft.ops.Ivf.cellImbalance(spark, idx)
+        ()
+      }
+      val rebuildT = once("ivf_maintain_rebuild") {
+        // threshold 1.0: any measured skew trips the rebuild — the
+        // CONDITIONAL behavior is spec'd (IvfSpec); here we time the
+        // expensive branch: probe + sample refit + full reassign +
+        // partitioned rewrite + swap
+        val rep = graft.ops.Ivf.maintain(spark, idx, "vec_id", model,
+          nLists = 16, threshold = 1.0, iterations = 2, fitSample = 0.02)
+        require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")
+      }
+      Seq(fitT, buildT, appendT, probeT, rebuildT)
+    }
+
+    val results = ivfOps ++ Seq(
       time("agg_decimal") {
         liBig.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))

@@ -273,6 +273,63 @@ object Ivf {
     else sizes.getDouble(0) / sizes.getDouble(1)
   }
 
+  /** Outcome of one [[maintain]] cadence tick: the imbalance that was
+    * measured, whether it tripped a rebuild, and the model now serving
+    * the index (the refit model after a rebuild, the old one
+    * otherwise).
+    */
+  final case class MaintenanceReport(imbalance: Double, rebuilt: Boolean,
+                                     model: Model)
+
+  /** The re-cluster cadence for a materialized index — the
+    * [[LshIndex.compact]] analogue. An index that only ever
+    * [[appendIndex]]s degrades unbounded as the corpus drifts away
+    * from the centroids it was fit on: arriving vectors pile into the
+    * few cells nearest the drift, and a probe of a cell at imbalance
+    * ratio r costs ~r times the balanced read. This ties the loop
+    * shut: measure [[cellImbalance]]; below `threshold`, touch nothing
+    * (one cheap aggregation is the entire cost of a healthy tick);
+    * past it, REFIT the quantizer on the current corpus and rebuild.
+    *
+    * The rebuild writes to `path + ".rebuild"` while the live index
+    * stays readable (the fit/assign job only reads `path`), then swaps
+    * directories. The swap itself is two filesystem metadata ops —
+    * delete + rename — NOT atomic to concurrent readers; a production
+    * deployment puts the generation pointer in a catalog entry or
+    * symlink and flips that instead, which this function stands in
+    * for. Append + maintain + [[searchIndex]] under the returned model
+    * is exactly a from-scratch [[fit]] + [[writeIndex]] over the same
+    * corpus (fit is deterministic), so correctness never depends on
+    * WHEN the cadence fires — only probe cost does. Spec: IvfSpec.
+    *
+    * At 100 TB: the health probe is one pruned-scan aggregation; the
+    * rebuild is fit on a sample (pass `fitSample` < 1.0) + one
+    * full-corpus narrow assign + partitioned write — the same cost
+    * profile as the initial index build, amortized over the cadence.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               idCol: String, model: Model, nLists: Int,
+               threshold: Double = 3.0, iterations: Int = 3,
+               initOversample: Int = 8,
+               fitSample: Double = 1.0): MaintenanceReport = {
+    val imb = cellImbalance(spark, path)
+    if (imb <= threshold) MaintenanceReport(imb, rebuilt = false, model)
+    else {
+      val corpus = spark.read.parquet(path).drop("cell")
+      val fitCorpus =
+        if (fitSample < 1.0) corpus.sample(withReplacement = false, fitSample, seed = 7L)
+        else corpus
+      val refit = fit(fitCorpus, idCol, nLists, iterations, initOversample)
+      val tmp = path + ".rebuild"
+      writeIndex(corpus, refit, tmp) // reads old gen, writes new
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+      MaintenanceReport(imb, rebuilt = true, refit)
+    }
+  }
+
   /** Probe a materialized index: identical semantics to [[search]],
     * but the corpus side is a pruned read of the probed cell
     * directories. The probed cell set is computed first (one tiny job

@@ -106,6 +106,46 @@ class IvfSpec extends SparkSpec {
     assert(skewed > balanced, s"drift must raise imbalance: $balanced -> $skewed")
   }
 
+  test("maintain: healthy tick is a no-op; drift trips refit; rebuild matches from-scratch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_mnt").toString
+    val model0 = Ivf.fit(clustered, "vec_id", nLists = 4, iterations = 3)
+    Ivf.writeIndex(clustered, model0, s"$base/idx")
+
+    // healthy: below threshold -> nothing moves, same model serves
+    val tick0 = Ivf.maintain(spark, s"$base/idx", "vec_id", model0,
+      nLists = 4, threshold = 2.0)
+    assert(!tick0.rebuilt && tick0.model == model0 && tick0.imbalance < 2.0)
+
+    // drift: two appended generations pile into one cluster's space —
+    // appendIndex alone can never rebalance this
+    val drift = (0 until 2).map { g =>
+      clustered.select((col("vec_id") + lit(1000L * (g + 1))).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x + 10f, x))").as("embedding"))
+    }.reduce(_ unionAll _)
+    Ivf.appendIndex(drift, model0, s"$base/idx")
+
+    val tick1 = Ivf.maintain(spark, s"$base/idx", "vec_id", model0,
+      nLists = 4, threshold = 2.0)
+    assert(tick1.rebuilt, s"imbalance ${tick1.imbalance} must trip threshold 2.0")
+    assert(tick1.imbalance > 2.0)
+    // the rebuild actually rebalanced the cells
+    val after = Ivf.cellImbalance(spark, s"$base/idx")
+    assert(after < tick1.imbalance, s"rebuild must improve: ${tick1.imbalance} -> $after")
+
+    // append + maintain == from-scratch fit + writeIndex on the same
+    // corpus: identical search results (fit is deterministic; sims are
+    // computed from the raw vectors, so result equality is exact)
+    val corpusAll = clustered.unionAll(drift)
+    val scratch = Ivf.fit(corpusAll, "vec_id", nLists = 4, iterations = 3)
+    Ivf.writeIndex(corpusAll, scratch, s"$base/scratch")
+    val queries = clustered.where($"vec_id" % 50 === 0)
+    val viaMaintain = Ivf.searchIndex(spark, s"$base/idx", queries, "vec_id",
+      tick1.model, k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    val viaScratch = Ivf.searchIndex(spark, s"$base/scratch", queries, "vec_id",
+      scratch, k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    assert(viaMaintain == viaScratch)
+  }
+
   test("IVF search recall@5 is 1.0 on clustered data with nProbe=1") {
     val corpus = clustered
     val queries = corpus.where($"vec_id" % 50 === 0) // one per cluster
