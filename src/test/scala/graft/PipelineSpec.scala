@@ -398,6 +398,68 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).codec == "webp/vp8l" && feats(1).width == 100 && feats(1).height == 50)
   }
 
+  /** Progressive-encode (SOF2) via the JDK writer's scan script. */
+  private def jpegProgressiveBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private def hasMarker(d: Array[Byte], m: Int): Boolean =
+    d.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+
+  test("progressive JPEG lumas match baseline bit-for-bit (color 4:2:0 + grayscale)") {
+    import graft.ops.Jpeg
+    import java.awt.image.BufferedImage
+    // same pixels through both entropy organizations: progressive is a
+    // lossless reorganization of the same quantized coefficients, so
+    // the decoded luma planes must be IDENTICAL, not merely close
+    val (w, h) = (37, 21) // odd dims: partial MCUs + padding blocks
+    val color = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 11) % 220 + 10
+      color.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gray = new BufferedImage(24, 17, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 17; x <- 0 until 24)
+      gray.getRaster.setSample(x, y, 0, (x * 13 + y * 5) % 256)
+
+    for (img <- Seq(color, gray)) {
+      val base = jpegBytes(img)
+      val prog = jpegProgressiveBytes(img)
+      assert(hasMarker(prog, 0xc2) && !hasMarker(base, 0xc2),
+        "fixture must actually be progressive (SOF2) vs baseline")
+      val lb = Jpeg.decodeLuma(base).get
+      val lp = Jpeg.decodeLuma(prog).get
+      assert(lp.width == lb.width && lp.height == lb.height)
+      assert(lp.yW == lb.yW && lp.yH == lb.yH)
+      assert(lp.y.toSeq == lb.y.toSeq, "luma rasters must be identical")
+    }
+  }
+
+  test("malformed progressive JPEG: truncated scans decode safely") {
+    import graft.ops.Jpeg
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 16) << 8) | 128)
+    val good = jpegProgressiveBytes(img)
+    // cut inside the scan chain at many points: None or a partial-but-
+    // safe decode, never a throw (partial coefficient planes are the
+    // FORMAT's own rendering model for truncated progressive files)
+    (4 until good.length by 37).foreach { cut =>
+      Jpeg.decodeLuma(java.util.Arrays.copyOfRange(good, 0, cut))
+    }
+    assert(Jpeg.decodeLuma(good).isDefined)
+  }
+
   test("malformed JPEG: truncated scans and lying lengths decode safely") {
     import spark.implicits._
     import java.awt.image.BufferedImage
