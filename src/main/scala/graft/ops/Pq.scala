@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Product quantization (PQ) — the compression half of the IVF-PQ
+  * design every billion-vector ANN deployment runs. The embedding is
+  * split into `m` contiguous subvectors; each subspace gets its own
+  * tiny codebook (`k` centroids), and a vector is stored as `m` small
+  * codes instead of `dim` floats — a 64-dim float vector becomes 4
+  * bytes at m=4/k<=256, a 64x compression of the index payload.
+  *
+  * Search is ADC (asymmetric distance computation): the QUERY stays
+  * exact; per query a m x k lookup table of subspace distances to
+  * every centroid is computed once, and a candidate's approximate
+  * distance is just `m` table lookups summed — no per-pair float math
+  * over the full dimension. Here the whole ADC scan is one
+  * codegen'd expression over the codes column (`zip_with` codes with
+  * the in-plan LUT + `aggregate`), zero UDFs, zero shuffle beyond the
+  * final top-k window.
+  *
+  * Everything is exact integer arithmetic over micro-quantized
+  * embeddings (`Similarity.withQuantized`: round(x*1e6) -> long), the
+  * same determinism contract as [[Ivf.fitQuantized]]: init is greedy
+  * farthest-point from the lowest-id vector per subspace (no Lloyd —
+  * FP means are not replicable cross-engine), assignment argmin
+  * tie-breaks on code index, rankings tie-break on id. The SQL oracle
+  * (q108) replays fit, encode, and ADC search bit-for-bit.
+  *
+  * At 100 TB: fit on a sample (the pool collect is
+  * `m * (k-1) * oversample` subvectors — driver-tiny either way),
+  * encode is ONE narrow map over the corpus (no exchange in the plan,
+  * pinned by PqSpec), and the codes table is what a probe scans —
+  * `m` ints a row instead of the full embedding column. Compose with
+  * [[Ivf]] cells for the standard two-level index: coarse cell prune,
+  * ADC rank inside the cell, exact re-rank of the short list.
+  *
+  * Reference scope ends at exact/LSH/IVF search (`Similarity`,
+  * [[Ivf]]); PQ is part of the extension surface (SURVEY.md §2.4).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `centroids(s)` lists (code, subvector)
+    * with code indices 0..k-1 in selection order. `width` = subvector
+    * dims; `cc(s)(code)` = exact |c|^2, precomputed on the driver.
+    */
+  final case class QuantCodebook(m: Int, width: Int,
+                                 centroids: Seq[Seq[(Int, Seq[Long])]]) {
+    def k: Int = centroids.head.length
+    def cc(s: Int, code: Int): Long =
+      centroids(s)(code)._2.map(x => x * x).sum
+  }
+
+  private def dotL(a: Seq[Long], b: Seq[Long]): Long =
+    a.lazyZip(b).map(_ * _).sum
+
+  /** Greedy farthest-point codebook per subspace, all subspaces in ONE
+    * distributed pass: explode each row into its `m` subvectors,
+    * window-rank the oversampled pool per subspace by exact integer
+    * distance from the seed (the lowest-id vector's subvector), and
+    * run the tiny greedy selection on the driver — `m` independent
+    * copies of [[Ivf.fitQuantized]]'s init, sharing one scan.
+    */
+  def fitQuantized(corpus: DataFrame, idCol: String, m: Int, k: Int,
+                   oversample: Int = 8): QuantCodebook = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = Similarity.withQuantized(corpus, "embedding")
+    val dim = q.select(size(col("ei"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+
+    // (vec_id, s, subvector): one row per subspace per vector
+    val sub = q.select(col(idCol).cast(LongType).as("vid"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("ei"), s * w + 1, w)): _*)).as(Seq("s", "sv")))
+
+    val first: Map[Int, Seq[Long]] = sub
+      .withColumn("rn", row_number().over(Window.partitionBy("s").orderBy("vid")))
+      .where(col("rn") === 1)
+      .select(col("s"), col("sv")).as[(Int, Seq[Long])].collect().toMap
+
+    val firstArr = map((0 until m).flatMap(s =>
+      Seq(lit(s), lit(first(s).toArray))): _*)
+    val poolW = Window.partitionBy("s").orderBy(col("d2").desc, col("vid").asc)
+    val pool: Seq[(Int, Long, Seq[Long])] = sub
+      .withColumn("c0", element_at(firstArr, col("s")))
+      .withColumn("d2",
+        Similarity.dotLong(col("sv"), col("sv"))
+          - lit(2L) * Similarity.dotLong(col("sv"), col("c0")))
+      .withColumn("rn", row_number().over(poolW))
+      .where(col("rn") <= (k - 1) * oversample)
+      .select(col("s"), col("vid"), col("sv"))
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+
+    val perSubspace = (0 until m).map { s =>
+      var centroids: Seq[(Int, Seq[Long])] = Seq((0, first(s)))
+      var remaining = pool.filter(_._1 == s).map(p => (p._2, p._3))
+      (1 until k).foreach { i =>
+        if (remaining.nonEmpty) {
+          val next = remaining.maxBy { case (id, v) =>
+            val mind2 = centroids.map { case (_, c) =>
+              dotL(v, v) - 2L * dotL(v, c) + dotL(c, c) }.min
+            (mind2, -id) // farthest; ties -> lowest id
+          }
+          centroids = centroids :+ ((i, next._2))
+          remaining = remaining.filterNot(_._1 == next._1)
+        }
+      }
+      centroids
+    }
+    QuantCodebook(m, w, perSubspace)
+  }
+
+  /** struct(d2, code) per codebook entry of subspace `s` for the
+    * subvector column — [[Ivf]]'s scoredCellsQ shape, |c|^2 - 2<x,c>
+    * (the |x|^2 term is constant under argmin).
+    */
+  private def scoredCodes(sv: Column, model: QuantCodebook, s: Int): Column = {
+    val entries = array(model.centroids(s).map { case (code, cvec) =>
+      struct(lit(cvec.toArray).as("cvec"), lit(model.cc(s, code)).as("cc"),
+        lit(code).as("code")) }: _*)
+    transform(entries, e => struct(
+      (e.getField("cc")
+        - lit(2L) * Similarity.dotLong(sv, e.getField("cvec"))).as("d2"),
+      e.getField("code").as("code")))
+  }
+
+  /** Encode every row to its `m` nearest-centroid codes: a pure
+    * narrow map over broadcast codebook literals — NO exchange in the
+    * plan (pinned by PqSpec). Output keeps the quantized columns
+    * (ei, nn) for downstream exact re-ranking.
+    */
+  def encodeQuantized(corpus: DataFrame, model: QuantCodebook): DataFrame = {
+    val q = Similarity.withQuantized(corpus, "embedding")
+    q.withColumn("codes", array((0 until model.m).map { s =>
+      array_min(scoredCodes(slice(col("ei"), s * model.width + 1, model.width),
+        model, s)).getField("code")
+    }: _*))
+  }
+
+  /** ADC top-k: per query, an in-plan m x k LUT of EXACT integer
+    * subspace distances (|q_s - c|^2), then each candidate's
+    * approximate distance is `zip_with(codes, lut, lookup) |> sum` —
+    * one codegen'd expression per pair, `m` adds deep. Queries are
+    * broadcast-size by contract (same as [[Ivf.search]]); ranking
+    * tie-breaks (adc_d2, id).
+    */
+  def searchAdcQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         model: QuantCodebook, topK: Int): DataFrame = {
+    val codes = encodeQuantized(corpus, model)
+      .select(col(idCol), col("codes"))
+
+    val qlut = Similarity.withQuantized(queries, "embedding")
+      .withColumn("lut", array((0 until model.m).map { s =>
+        val qs = slice(col("ei"), s * model.width + 1, model.width)
+        array(model.centroids(s).map { case (code, cvec) =>
+          Similarity.dotLong(qs, qs) -
+            lit(2L) * Similarity.dotLong(qs, lit(cvec.toArray)) +
+            lit(model.cc(s, code))
+        }: _*)
+      }: _*))
+      .select(col(idCol).as("q_id"), col("lut"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
+    codes.crossJoin(broadcast(qlut))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("adc_d2",
+        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol), col("adc_d2"))
+  }
+
+  /** The production IVF-PQ probe shape: ADC ranks a SHORTLIST
+    * (`topK * refine` candidates — `m` integer adds per pair), then
+    * only the shortlist is re-ranked by exact integer distance over
+    * the full quantized vectors. Coarse-but-cheap first, exact math on
+    * k*refine rows per query — ADC's quantization error affects which
+    * candidates make the shortlist, never the final ordering. Output
+    * `d2` is the EXACT |q - x|^2 in micro^2 units.
+    */
+  def searchAdcRefinedQuantized(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, model: QuantCodebook,
+                                topK: Int, refine: Int = 4): DataFrame = {
+    val codes = encodeQuantized(corpus, model)
+      .select(col(idCol), col("codes"), col("ei"), col("nn"))
+
+    val qlut = Similarity.withQuantized(queries, "embedding")
+      .withColumn("lut", array((0 until model.m).map { s =>
+        val qs = slice(col("ei"), s * model.width + 1, model.width)
+        array(model.centroids(s).map { case (code, cvec) =>
+          Similarity.dotLong(qs, qs) -
+            lit(2L) * Similarity.dotLong(qs, lit(cvec.toArray)) +
+            lit(model.cc(s, code))
+        }: _*)
+      }: _*))
+      .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
+        col("lut"))
+
+    val sw = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
+    val ew = Window.partitionBy("q_id").orderBy(col("d2").asc, col(idCol).asc)
+    codes.crossJoin(broadcast(qlut))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("adc_d2",
+        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("srnk", row_number().over(sw))
+      .where(col("srnk") <= topK * refine)
+      .withColumn("d2",
+        col("qn") - lit(2L) * Similarity.dotLong(col("ei"), col("qe")) + col("nn"))
+      .withColumn("rnk", row_number().over(ew).cast(LongType))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol), col("d2"))
+  }
+}

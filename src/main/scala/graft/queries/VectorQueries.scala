@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Similarity
+import graft.ops.{Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over the embeddings fixture
@@ -39,6 +39,20 @@ object VectorQueries {
       val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
       graft.ops.Ivf.searchQuantized(e, e.where(col("vec_id") < 5), "vec_id",
           model, k = 5, nProbe = 2)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // product-quantization ADC probe, refined (the IVF-PQ deployment
+    // shape): 4 subspaces x 4 codes fit by exact-integer farthest
+    // point, corpus encoded to 4 codes/vector, ADC LUT ranks a
+    // 20-candidate shortlist, exact integer |q-x|^2 re-ranks the final
+    // top 5 — fit, encode, LUT, shortlist, and re-rank all replayed
+    // bit-for-bit by the SQL oracle
+    "q108_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Pq.fitQuantized(e, "vec_id", m = 4, k = 4)
+      Pq.searchAdcRefinedQuantized(e, e.where(col("vec_id") < 5), "vec_id",
+          model, topK = 5, refine = 4)
         .orderBy("q_id", "rnk")
     }),
 
@@ -179,7 +193,123 @@ object VectorQueries {
                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
                         FROM scored) WHERE rn = 1)"""
 
+  /** PQ replay (fitQuantized m=4 k=4 over 64 dims -> w=16): subspace
+    * flat view, per-subspace greedy farthest-point init (pool 24,
+    * 3 unrolled picks), argmin encode, per-query ADC LUT, shortlist
+    * 20, exact re-rank — mirrors `Pq` step for step.
+    */
+  private val pqCte =
+    """sflat AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s,
+                   (i - 1) % 16 AS j, v FROM flat),
+       snorm AS (SELECT vec_id, s, SUM(v*v) AS nn FROM sflat GROUP BY 1, 2),
+       c0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+       sd0 AS (SELECT f.vec_id, f.s, SUM(f.v * c.v) AS xc
+               FROM sflat f JOIN sflat c ON c.s = f.s AND c.j = f.j
+                 AND c.vec_id = (SELECT vec_id FROM c0)
+               GROUP BY 1, 2),
+       pool AS (SELECT vec_id, s FROM (
+                 SELECT d.vec_id, d.s,
+                   ROW_NUMBER() OVER (PARTITION BY d.s
+                     ORDER BY (n.nn - 2*d.xc) DESC, d.vec_id) AS rn
+                 FROM sd0 d JOIN snorm n ON n.vec_id = d.vec_id AND n.s = d.s)
+                WHERE rn <= 24),
+       poolc AS (SELECT vec_id, s FROM pool
+                 UNION
+                 SELECT c0.vec_id, sub.s FROM c0,
+                   (SELECT DISTINCT s FROM sflat) sub),
+       pdot AS (SELECT fa.s, fa.vec_id AS ida, fb.vec_id AS idb,
+                  SUM(fa.v * fb.v) AS dot
+                FROM (SELECT sf.vec_id, sf.s, sf.j, sf.v FROM sflat sf
+                      JOIN pool p ON p.vec_id = sf.vec_id AND p.s = sf.s) fa
+                JOIN (SELECT sf.vec_id, sf.s, sf.j, sf.v FROM sflat sf
+                      JOIN poolc p ON p.vec_id = sf.vec_id AND p.s = sf.s) fb
+                  ON fb.s = fa.s AND fb.j = fa.j
+                GROUP BY 1, 2, 3),
+       pd AS (SELECT p.s, ida, idb, na.nn - 2*dot + nb.nn AS d2
+              FROM pdot p JOIN snorm na ON na.vec_id = ida AND na.s = p.s
+                JOIN snorm nb ON nb.vec_id = idb AND nb.s = p.s),
+       p1 AS (SELECT s, vec_id FROM (
+               SELECT s, ida AS vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY s ORDER BY d2 DESC, ida) AS rn
+               FROM pd WHERE idb = (SELECT vec_id FROM c0)) WHERE rn = 1),
+       p2m AS (SELECT pd.s, ida, MIN(d2) AS mind2 FROM pd
+               WHERE (idb = (SELECT vec_id FROM c0)
+                      OR EXISTS (SELECT 1 FROM p1
+                                 WHERE p1.s = pd.s AND p1.vec_id = idb))
+                 AND NOT EXISTS (SELECT 1 FROM p1
+                                 WHERE p1.s = pd.s AND p1.vec_id = ida)
+               GROUP BY 1, 2),
+       p2 AS (SELECT s, vec_id FROM (
+               SELECT s, ida AS vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY s ORDER BY mind2 DESC, ida) AS rn
+               FROM p2m) WHERE rn = 1),
+       p3m AS (SELECT pd.s, ida, MIN(d2) AS mind2 FROM pd
+               WHERE (idb = (SELECT vec_id FROM c0)
+                      OR EXISTS (SELECT 1 FROM p1
+                                 WHERE p1.s = pd.s AND p1.vec_id = idb)
+                      OR EXISTS (SELECT 1 FROM p2
+                                 WHERE p2.s = pd.s AND p2.vec_id = idb))
+                 AND NOT EXISTS (SELECT 1 FROM p1
+                                 WHERE p1.s = pd.s AND p1.vec_id = ida)
+                 AND NOT EXISTS (SELECT 1 FROM p2
+                                 WHERE p2.s = pd.s AND p2.vec_id = ida)
+               GROUP BY 1, 2),
+       p3 AS (SELECT s, vec_id FROM (
+               SELECT s, ida AS vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY s ORDER BY mind2 DESC, ida) AS rn
+               FROM p3m) WHERE rn = 1),
+       cb AS (SELECT s, 0 AS code, (SELECT vec_id FROM c0) AS vec_id
+              FROM (SELECT DISTINCT s FROM sflat)
+              UNION ALL SELECT s, 1, vec_id FROM p1
+              UNION ALL SELECT s, 2, vec_id FROM p2
+              UNION ALL SELECT s, 3, vec_id FROM p3),
+       cvec AS (SELECT cb.s, cb.code, f.j, f.v FROM cb
+                JOIN sflat f ON f.vec_id = cb.vec_id AND f.s = cb.s),
+       cnorm AS (SELECT s, code, SUM(v*v) AS cc FROM cvec GROUP BY 1, 2),
+       xdot AS (SELECT f.vec_id, c.s, c.code, SUM(f.v * c.v) AS dot
+                FROM sflat f JOIN cvec c ON c.s = f.s AND c.j = f.j
+                GROUP BY 1, 2, 3),
+       enc AS (SELECT vec_id, s, code FROM (
+                SELECT x.vec_id, x.s, x.code,
+                  ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.s
+                    ORDER BY (cn.cc - 2*x.dot), x.code) AS rn
+                FROM xdot x JOIN cnorm cn ON cn.s = x.s AND cn.code = x.code)
+               WHERE rn = 1),
+       qlut AS (SELECT f.vec_id AS q_id, c.s, c.code,
+                  MAX(n.nn) - 2*SUM(f.v * c.v) + MAX(cn.cc) AS d2
+                FROM sflat f
+                JOIN cvec c ON c.s = f.s AND c.j = f.j
+                JOIN snorm n ON n.vec_id = f.vec_id AND n.s = f.s
+                JOIN cnorm cn ON cn.s = c.s AND cn.code = c.code
+                WHERE f.vec_id < 5
+                GROUP BY 1, 2, 3),
+       adc AS (SELECT l.q_id, e2.vec_id, SUM(l.d2) AS adc_d2
+               FROM enc e2 JOIN qlut l ON l.s = e2.s AND l.code = e2.code
+               WHERE e2.vec_id <> l.q_id
+               GROUP BY 1, 2),
+       short AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY adc_d2, vec_id) AS srn
+                  FROM adc) WHERE srn <= 20),
+       refined AS (SELECT s2.q_id, s2.vec_id,
+                     MAX(nq.nn) - 2*SUM(fq.v * fc.v) + MAX(nc.nn) AS d2
+                   FROM short s2
+                   JOIN flat fq ON fq.vec_id = s2.q_id
+                   JOIN flat fc ON fc.vec_id = s2.vec_id AND fc.i = fq.i
+                   JOIN norms nq ON nq.vec_id = s2.q_id
+                   JOIN norms nc ON nc.vec_id = s2.vec_id
+                   GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    "q108_pq_adc" ->
+      s"""WITH $quantCte,
+         $pqCte
+         SELECT q_id, rnk, CAST(d2 AS BIGINT) AS d2, vec_id FROM (
+           SELECT q_id, vec_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY d2, vec_id) AS BIGINT) AS rnk
+           FROM refined) WHERE rnk <= 5 ORDER BY q_id, rnk""",
     // replays Ivf.fitQuantized + searchQuantized step by step;
     // probe rank by exact (d2, cell); cosine in micro units
     "q61_ann_ivf" ->

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 separated direction clusters in 8 dims (IvfSpec's fixture). */
+  private def clustered = {
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val v = base(c).clone()
+      (0 until 8).foreach { d =>
+        v(d) = v(d) + (((c * 1315423911L + i * 2654435761L + d * 97L) % 100) / 100.0f)
+      }
+      ((c * 50 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("fit is deterministic; encode is argmin-exact and shuffle-free") {
+    val m1 = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
+    val m2 = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
+    assert(m1 == m2)
+    assert(m1.m == 4 && m1.width == 2 && m1.centroids.forall(_.length == 4))
+
+    val enc = Pq.encodeQuantized(clustered, m1)
+    // encoding is a pure map over broadcast codebook literals
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+
+    // every code is the true argmin (exact integer d2, tie -> lowest
+    // code), replayed in plain Scala
+    val rows = enc.select(col("vec_id"), col("ei"), col("codes"))
+      .as[(Long, Seq[Long], Seq[Int])].collect()
+    def d2(x: Seq[Long], c: Seq[Long]): Long =
+      x.lazyZip(c).map((a, b) => (a - b) * (a - b)).sum
+    rows.foreach { case (id, ei, codes) =>
+      (0 until 4).foreach { s =>
+        val sv = ei.slice(s * 2, s * 2 + 2)
+        val best = m1.centroids(s).minBy { case (code, cvec) => (d2(sv, cvec), code) }
+        assert(codes(s) == best._1, s"vec $id subspace $s")
+      }
+    }
+  }
+
+  test("ADC search: cluster-true shortlist; refined search matches exact L2") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val model = Pq.fitQuantized(corpus, "vec_id", m = 4, k = 4)
+
+    // ground truth: exact integer L2 over the quantized vectors (what
+    // ADC approximates — NOT cosine)
+    val vecs = Similarity.withQuantized(corpus, "embedding")
+      .select(col("vec_id"), col("ei")).as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def exactTopK(q: Long, k: Int): Seq[Long] =
+      vecs.collect { case (id, v) if id != q => (d2(vecs(q), v), id) }
+        .toSeq.sorted.take(k).map(_._2)
+
+    // raw ADC: 2-dim subspaces x 4 codes blur within-cluster order,
+    // but every hit must at least come from the query's own cluster
+    val adc = Pq.searchAdcQuantized(corpus, queries, "vec_id", model, topK = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(adc.forall { case (q, id) => q / 50 == id / 50 },
+      "ADC must never leave the query's cluster on separated data")
+
+    // ADC shortlist + exact re-rank (the IVF-PQ deployment shape):
+    // recall@10 vs exact L2 must be essentially perfect
+    val refined = Pq.searchAdcRefinedQuantized(corpus, queries, "vec_id",
+      model, topK = 10, refine = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = refined.map { case (q, ids) => (ids & exactTopK(q, 10).toSet).size }.sum
+    assert(hits.toDouble / (10 * refined.size) >= 0.9,
+      s"refined recall ${hits.toDouble / (10 * refined.size)}")
+
+    // determinism: a rerun is byte-identical (exact integer ADC)
+    val again = Pq.searchAdcQuantized(corpus, queries, "vec_id", model, topK = 10)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val once = Pq.searchAdcQuantized(corpus, queries, "vec_id", model, topK = 10)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(again == once)
+  }
+
+  test("codes compress the index payload: m small ints per vector") {
+    val model = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
+    val enc = Pq.encodeQuantized(clustered, model)
+      .select("vec_id", "codes")
+    val codes = enc.as[(Long, Seq[Int])].collect()
+    assert(codes.length == 200)
+    assert(codes.forall(_._2.length == 4))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    // the codebook really is used: more than one code word occurs
+    assert(codes.map(_._2).distinct.length > 1)
+  }
+}
