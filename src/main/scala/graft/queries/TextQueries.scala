@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Mp4, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, Html, Mp4, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -239,6 +239,32 @@ object TextQueries {
           element_at(col("offsets"), 1).as("first_kf_off"),
           expr("aggregate(sizes, 0L, (a, x) -> a + x)").as("kf_bytes"))
       feats.join(kf, "id").orderBy("id")
+    }),
+
+    // HTML -> text extraction end-to-end: wrap each document in a
+    // deterministic page (title, style/script blocks, comment,
+    // entities, two links), then extract visible text, title, links,
+    // and the boilerplate-dominance ratio — every regex stays in the
+    // RE2-compatible subset so the oracle replays extraction exactly
+    "q109_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val raw = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>p{color:#000}</style>"),
+        lit("<script type=\"text/javascript\">var id="), id, lit(";</script>"),
+        lit("</head><body><!-- id "), id, lit(" --><h1>Doc &amp; "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"https://example.com/"), id,
+        lit("\">x</a><a href=\"/rel/"), id, lit("\">y</a></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          Html.title(col("raw")).as("title"),
+          Html.stripHtml(col("raw")).as("text_clean"),
+          size(Html.links(col("raw"))).cast(LongType).as("n_links"),
+          element_at(Html.links(col("raw")), 1).as("first_link"),
+          Html.visibleRatioMilli(col("raw"),
+            Html.stripHtml(col("raw"))).as("visible_milli"))
+        .orderBy("doc_id")
     }),
 
     // TF-IDF top-5 terms per document: exact integer tf/df, one
@@ -713,6 +739,44 @@ object TextQueries {
          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ha, hb)) <= 8
          ORDER BY doc_a, doc_b""",
+    "q109_html_extract" ->
+      """WITH raw AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+           || '<style>p{color:#000}</style>'
+           || '<script type="text/javascript">var id='
+           || CAST(doc_id AS VARCHAR) || ';</script>'
+           || '</head><body><!-- id ' || CAST(doc_id AS VARCHAR)
+           || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+           || '</h1><p>' || text
+           || '</p><a href="https://example.com/' || CAST(doc_id AS VARCHAR)
+           || '">x</a><a href="/rel/' || CAST(doc_id AS VARCHAR)
+           || '">y</a></body></html>' AS raw
+           FROM documents),
+         c AS (SELECT doc_id, raw,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''),
+             '\s+', ' ', 'g')) AS text_clean
+           FROM raw)
+         SELECT doc_id,
+           regexp_extract(raw, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
+           text_clean,
+           CAST(len(regexp_extract_all(raw, 'href="([^"]*)"', 1)) AS BIGINT)
+             AS n_links,
+           regexp_extract_all(raw, 'href="([^"]*)"', 1)[1] AS first_link,
+           CASE WHEN strlen(raw) = 0 THEN 0
+                ELSE CAST(strlen(text_clean) AS BIGINT) * 1000 // strlen(raw)
+           END AS visible_milli
+         FROM c ORDER BY doc_id""",
     "q107_mp4_keyframes" ->
       """WITH p AS (SELECT doc_id, strlen(text) AS L FROM documents),
          q AS (SELECT doc_id, L, L % 6 + 2 AS n, (L % 6 + 3) // 2 AS nk,
