@@ -62,23 +62,39 @@ object Bench {
         }.toMap
       } else Map.empty
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a crashing query must never read as a fast win in the artifact
+    // of record: the wall is still measured, but the error rides along
+    // and lands in the JSON's "errors" map — the correctness gate
+    // catches breakage too, but the bench artifact has to be honest on
+    // its own
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}") }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     var rerunCount = 0
     val results = sorted.map { case (name, fn) =>
-      val best2 = math.min(timeOnce(fn), timeOnce(fn))
+      val (w1, e1) = timeOnce(fn)
+      val (w2, e2) = timeOnce(fn)
+      val best2 = math.min(w1, w2)
       val anchor = warmWalls.get(name).map(_ * 5.0).getOrElse(Double.MaxValue)
-      val best =
-        if (best2 > anchor && best2 > 2.0) { rerunCount += 1; math.min(best2, timeOnce(fn)) }
-        else best2
-      name -> best
+      val (best, err3) =
+        if (best2 > anchor && best2 > 2.0) {
+          rerunCount += 1
+          val (w3, e3) = timeOnce(fn)
+          (math.min(best2, w3), e3)
+        } else (best2, None)
+      (name, best, e1.orElse(e2).orElse(err3))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // calibrated per-query overhead floor: the median wall of a
     // trivial narrow 32-task job — plan analysis + DAG scheduling +
@@ -91,7 +107,7 @@ object Bench {
     }.sorted
     val floor = floorRuns(floorRuns.length / 2)
     val load1 = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,26 +29,32 @@ object Tables {
   // repo's sink/compaction specs read rewritten output via
   // `spark.read.parquet` directly, never through here.
   //
-  // Sessions are weak keys: a stopped SparkSession's plans are
-  // unreachable garbage, and a strong static map would pin every
-  // session (and its whole plan tree) forever in a long-lived JVM.
+  // Sessions are weak keys, but a weak key alone cannot collect here:
+  // every cached DataFrame strongly references its SparkSession, so a
+  // map value holding DataFrames directly would keep its own key
+  // strongly reachable forever (the classic WeakHashMap value->key
+  // pitfall). The per-session map therefore sits behind a
+  // SoftReference: the plans are only SOFTLY reachable through the
+  // cache, so under memory pressure the GC clears the indirection,
+  // the stopped session loses its last strong path, and the weak
+  // entry goes with it. Cost of a cleared soft ref is one re-listing
+  // per table — the cache is an optimization, never a correctness
+  // dependency.
   private val cache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+        java.lang.ref.SoftReference[
+          java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]())
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = {
-      val existing = cache.get(spark)
-      if (existing != null) existing
-      else cache.synchronized {
-        val again = cache.get(spark)
-        if (again != null) again
-        else {
-          val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-          cache.put(spark, fresh)
-          fresh
-        }
+    val perSession = cache.synchronized {
+      val ref = cache.get(spark)
+      val live = if (ref != null) ref.get else null
+      if (live != null) live
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, new java.lang.ref.SoftReference(fresh))
+        fresh
       }
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
@@ -60,7 +66,8 @@ object Tables {
     */
   def invalidate(): Unit = cache.synchronized { cache.clear() }
   def invalidate(spark: SparkSession, dir: String, name: String): Unit = {
-    val perSession = cache.get(spark)
-    if (perSession != null) perSession.remove(s"$dir/$name.parquet")
+    val ref = cache.get(spark)
+    val perSession = if (ref != null) ref.get else null
+    if (perSession != null) { perSession.remove(s"$dir/$name.parquet"); () }
   }
 }

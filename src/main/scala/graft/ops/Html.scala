@@ -34,17 +34,29 @@ object Html {
     * removed first, remaining tags become spaces, the six ubiquitous
     * entities decode, whitespace collapses. Deterministic and
     * engine-portable by construction.
+    *
+    * `&amp;` decodes LAST — the standard chain-decoder rule: decoding
+    * it first re-exposes the tail of an ESCAPED entity to the later
+    * passes, so literal `&amp;lt;` (an author writing "&lt;") would
+    * double-decode to `<` instead of the correct `&lt;`.
     */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, scriptPat, " ")
     val noStyle = regexp_replace(noScript, stylePat, " ")
     val noComment = regexp_replace(noStyle, commentPat, " ")
     val noTags = regexp_replace(noComment, tagPat, " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
-      .foldLeft(noTags) { case (col, (ent, ch)) => regexp_replace(col, ent, ch) }
+    val decoded = decodeChain(noTags)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** The shared entity chain (`&amp;` last — see [[stripHtml]]). Kept
+    * as a named step so every extraction path (full strip, per-block
+    * main content) decodes identically to the SQL oracle's replay.
+    */
+  private[ops] def decodeChain(c: Column): Column =
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (col, (ent, ch)) => regexp_replace(col, ent, ch) }
 
   /** First `<title>` body (empty string when absent). */
   def title(c: Column): Column =

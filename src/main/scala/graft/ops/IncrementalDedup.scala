@@ -186,13 +186,26 @@ object IncrementalDedup {
     * route to (executor-wide cache). Repartitioning the batch by
     * `pmod(fpCol, numShards)` upstream narrows that to one shard per
     * task; correctness does not depend on it.
+    *
+    * The shard count is read from the family's `_meta` — it is part of
+    * the routing function, and probing with a different N than the
+    * build routes fingerprints to the WRONG shard (false negatives =
+    * known duplicates admitted). `numShards` >= 0 is validated against
+    * `_meta` and rejected on mismatch; the default (-1) just uses the
+    * on-disk value.
     */
   def dedupAgainstShardedPath(batch: DataFrame, history: DataFrame,
-                              fpCol: String, dir: String, numShards: Int,
-                              maxBroadcastProbe: Long = 10000000L): DataFrame =
+                              fpCol: String, dir: String, numShards: Int = -1,
+                              maxBroadcastProbe: Long = 10000000L): DataFrame = {
+    val (diskShards, _, _) = ShardedBloom.meta(dir)
+    require(numShards < 0 || numShards == diskShards,
+      s"numShards $numShards does not match the family at $dir " +
+        s"(built with $diskShards shards); probing with a mismatched " +
+        "shard count mis-routes fingerprints and admits known duplicates")
     dedupRouted(batch, history, fpCol,
-      c => graft.functions.ShardedBloomPathProbe.mightContain(c, dir, numShards),
+      c => graft.functions.ShardedBloomPathProbe.mightContain(c, dir, diskShards),
       maxBroadcastProbe)
+  }
 
   /** [[admit]] for a sharded family: same self-sized driver fold
     * (`putLong` routes to the right shard); the corpus-sized fallback

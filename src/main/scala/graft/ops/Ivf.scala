@@ -324,8 +324,22 @@ object Ivf {
       writeIndex(corpus, refit, tmp) // reads old gen, writes new
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(hPath, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+      // the swap MUST be checked: Hadoop FS ops report failure by
+      // returning false, not throwing. An unchecked delete=false would
+      // serve the OLD index under the NEW refit model (cell/model
+      // mismatch = wrong search results); an unchecked rename=false
+      // after a successful delete would lose the live index entirely —
+      // both while reporting rebuilt=true. Fail loudly instead: the
+      // rebuild directory is intact either way, so the caller can
+      // re-point or retry.
+      if (!fs.delete(hPath, true))
+        throw new java.io.IOException(
+          s"IVF maintain: failed to delete old index at $path; " +
+            s"rebuilt generation is intact at $tmp")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+        throw new java.io.IOException(
+          s"IVF maintain: failed to rename $tmp to $path; " +
+            s"rebuilt generation is intact at $tmp")
       MaintenanceReport(imb, rebuilt = true, refit)
     }
   }

@@ -166,8 +166,15 @@ object ShardedBloom {
     * `_meta` line. At 10^10 fps the family exists only as N files of
     * bitSize/N each — no single JVM ever holds it assembled. Pair with
     * [[graft.functions.ShardedBloomPathProbe]] for a probe that loads
-    * per-shard on demand. `dir` must be fresh (epoch semantics); tasks
-    * are deterministic so a speculative re-write is byte-identical.
+    * per-shard on demand. `dir` must be fresh (epoch semantics).
+    *
+    * Each task commits its shard via an attempt-unique temp file +
+    * rename — a speculative or retried attempt can never tear a shard
+    * file another attempt is concurrently writing (two attempts
+    * `create`-ing the same final path interleave their writes on
+    * object stores). Rename is the commit point: if another attempt
+    * already renamed its (byte-identical — tasks are deterministic)
+    * copy into place, the loser just discards its temp.
     */
   def buildToPath(history: DataFrame, fpCol: String, expectedItems: Long,
                   dir: String, fpp: Double = 0.01,
@@ -176,8 +183,21 @@ object ShardedBloom {
     val written = shardPairs(history, fpCol, per, fpp, numShards)
       .map { case (s, b) =>
         val fs = fsFor(dir)
-        val out = fs.create(shardPath(dir, s), true)
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => s"driver-${java.lang.Thread.currentThread().getId}"
+          case tc => s"attempt-${tc.taskAttemptId()}"
+        }
+        val tmp = new Path(dir, s"_tmp-$attempt-${shardPath(dir, s).getName}")
+        val out = fs.create(tmp, true)
         try b.writeTo(out) finally out.close()
+        val dst = shardPath(dir, s)
+        // commit: first rename wins; a losing attempt's bytes are
+        // identical by determinism, so just drop the temp
+        if (!fs.rename(tmp, dst)) {
+          if (!fs.exists(dst))
+            throw new java.io.IOException(s"failed to commit shard $s to $dst")
+          fs.delete(tmp, false)
+        }
         s
       }
       .collect().toSet
@@ -216,14 +236,25 @@ object ShardedBloom {
     }
   }
 
-  def load(dir: String): ShardedBloom = {
+  /** The family's on-disk parameters: (numShards, perShardItems, fpp).
+    * The `_meta` line is the single source of truth for shard routing —
+    * probing with a DIFFERENT shard count than the build silently
+    * routes fingerprints to the wrong shard and breaks the
+    * no-false-negative guarantee, so every path-based probe reads (or
+    * validates against) this instead of trusting a caller argument.
+    */
+  def meta(dir: String): (Int, Long, Double) = {
     val fs = fsFor(dir)
     val metaIn = fs.open(new Path(dir, "_meta"))
-    val meta = try scala.io.Source.fromInputStream(metaIn).mkString.trim
+    val line = try scala.io.Source.fromInputStream(metaIn).mkString.trim
                finally metaIn.close()
-    val Array(n, per, fpp) = meta.split(" ")
-    new ShardedBloom(per.toLong, fpp.toDouble,
-      Array.tabulate(n.toInt)(loadShard(dir, _)))
+    val Array(n, per, fpp) = line.split(" ")
+    (n.toInt, per.toLong, fpp.toDouble)
+  }
+
+  def load(dir: String): ShardedBloom = {
+    val (n, per, fpp) = meta(dir)
+    new ShardedBloom(per, fpp, Array.tabulate(n)(loadShard(dir, _)))
   }
 
   def loadShard(dir: String, shard: Int): BloomFilter = {

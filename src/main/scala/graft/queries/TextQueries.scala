@@ -763,8 +763,8 @@ object TextQueries {
                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                    '(?s)<!--.*?-->', ' ', 'g'),
                  '<[^>]*>', ' ', 'g'),
-               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-               '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
              '\s+', ' ', 'g')) AS text_clean
            FROM raw)
          SELECT doc_id,

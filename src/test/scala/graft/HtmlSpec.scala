@@ -28,6 +28,14 @@ class HtmlSpec extends SparkSpec {
     assert(!out.contains("not text") && !out.contains("color"))
   }
 
+  test("escaped entities survive one decode: &amp;lt; -> &lt;, never <") {
+    // the chain decodes &amp; LAST; decoding it first would re-expose
+    // the tail of the escaped entity to the &lt; pass (double decode)
+    val out = Seq("a &amp;lt;b&amp;gt; c &amp;amp; d &amp;quot;e&amp;quot;")
+      .toDF("raw").select(Html.stripHtml($"raw")).head().getString(0)
+    assert(out == "a &lt;b&gt; c &amp; d &quot;e&quot;")
+  }
+
   test("title and links extract; href matching is double-quote exact") {
     val df = Seq(page).toDF("raw")
     assert(df.select(Html.title($"raw")).head().getString(0) == "My Page")

@@ -47,4 +47,21 @@ class PlanAuditSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles missing queries: ${(o -- q).toSeq.sorted}")
   }
+
+  test("README and COVERAGE query counts track SparkEntry (no doc drift)") {
+    // the docs are the shop window; a stale count there survived three
+    // rounds of manual updates, so the count is now pinned to the one
+    // source of truth — this test fails the build on drift
+    val n = SparkEntry.queries.size
+    def firstInt(path: String, pattern: scala.util.matching.Regex): Int = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      val text = try src.mkString finally src.close()
+      pattern.findFirstMatchIn(text)
+        .getOrElse(fail(s"$path: no match for $pattern")).group(1).toInt
+    }
+    val readme = firstInt("README.md", """(\d+) named queries""".r)
+    assert(readme == n, s"README.md says $readme named queries, registry has $n")
+    val coverage = firstInt("COVERAGE.md", """(\d+) queries total""".r)
+    assert(coverage == n, s"COVERAGE.md says $coverage queries total, registry has $n")
+  }
 }
