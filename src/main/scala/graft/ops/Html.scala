@@ -62,6 +62,82 @@ object Html {
   def title(c: Column): Column =
     regexp_extract(c, "(?is)<title[^>]*>([^<]*)</title>", 1)
 
+  // ---------------------------------------------------------------
+  // Main-content extraction (boilerplate-block removal)
+  // ---------------------------------------------------------------
+
+  /** Block-level tag boundary — the segmentation rule of the
+    * jusText/trafilatura family: content lives in block elements, and
+    * nav bars / footers / cookie banners are DIFFERENT blocks from the
+    * body text, so scoring per block separates them where a uniform
+    * strip ([[stripHtml]]) cannot.
+    */
+  private val blockTagPat =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|thead|tbody|" +
+      "nav|header|footer|aside|section|article|main|form|blockquote|pre|" +
+      "br|hr)\\b[^>]*>"
+
+  private val anchorPat = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** A block's visible text: inline tags -> spaces, the entity chain,
+    * whitespace collapse. Shared by the keep-filter and the output
+    * pass so both see identical strings.
+    */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(decodeChain(regexp_replace(b, tagPat, " ")), "\\s+", " "))
+
+  /** Total visible length of the block's anchor texts (tags stripped,
+    * whitespace collapsed — the same normalization as [[blockText]],
+    * minus entity decode: density is a ratio, and entities appear on
+    * both sides of it).
+    */
+  private def linkTextLen(b: Column): Column =
+    coalesce(aggregate(
+      transform(regexp_extract_all(b, lit(anchorPat), lit(1)),
+        a => length(trim(regexp_replace(regexp_replace(a, tagPat, " "),
+          "\\s+", " "))).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+
+  /** Link density in milli: anchor-text chars per visible char. A nav
+    * bar or footer is ~all anchor text (>= ~900); body prose is ~0.
+    * Same exact floor division as [[visibleRatioMilli]].
+    */
+  private def linkDensityMilli(b: Column): Column = {
+    val num = linkTextLen(b) * 1000L
+    val den = greatest(length(blockText(b)).cast("long"), lit(1L))
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** Main content: segment the page into blocks at block-level tags,
+    * keep the blocks that read like body text, drop the ones that read
+    * like chrome, and rejoin in document order.
+    *
+    * The keep rule is the jusText shape reduced to its two strongest
+    * signals, both exact-integer so the SQL oracle replays them:
+    *   - '''length''': a content block carries at least `minTextLen`
+    *     visible chars — "Share:", timestamps, button labels fall out;
+    *   - '''link density''': at most `maxLinkMilli` of the block's
+    *     visible chars sit inside `<a>` — nav bars, footer link rows,
+    *     cookie banners (accept/decline anchors dominate) fall out.
+    *
+    * Everything is one narrow per-row expression — split, score,
+    * filter, and rejoin run inside the row with zero shuffle and zero
+    * UDFs, so at 100 TB this pipelines into the scan exactly like
+    * [[stripHtml]]. Script/style/comment contents are removed BEFORE
+    * segmentation (they are not content in any block).
+    */
+  def mainContent(c: Column, minTextLen: Int = 25,
+                  maxLinkMilli: Int = 330): Column = {
+    val noScript = regexp_replace(c, scriptPat, " ")
+    val noStyle = regexp_replace(noScript, stylePat, " ")
+    val noComment = regexp_replace(noStyle, commentPat, " ")
+    val blocks = split(noComment, blockTagPat)
+    val kept = filter(blocks, b =>
+      length(blockText(b)) >= minTextLen &&
+        linkDensityMilli(b) <= maxLinkMilli)
+    array_join(transform(kept, b => blockText(b)), " ")
+  }
+
   /** All `href="..."` targets, in document order. */
   def links(c: Column): Column =
     regexp_extract_all(c, lit("href=\"([^\"]*)\""), lit(1))
