@@ -92,8 +92,20 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // full JSON string escaping: Spark exception messages routinely
+    // carry newlines (multi-line AnalysisException) and other control
+    // chars, any of which would make the artifact line invalid JSON
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // calibrated per-query overhead floor: the median wall of a
@@ -107,7 +119,17 @@ object Bench {
     }.sorted
     val floor = floorRuns(floorRuns.length / 2)
     val load1 = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}"""
+    println(line)
+    // the artifact of record must survive a stdout capture that only
+    // keeps the tail (BENCH_r06 preserved 55 of 107 per-query walls);
+    // the file carries the complete line regardless
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case t: Throwable =>
+      System.err.println(s"bench: could not write $out: ${t.getMessage}") }
     spark.stop()
   }
 }

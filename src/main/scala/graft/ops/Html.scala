@@ -31,32 +31,35 @@ object Html {
   private val tagPat = "<[^>]*>"
 
   /** Visible text: script/style blocks (with contents) and comments
-    * removed first, remaining tags become spaces, the six ubiquitous
-    * entities decode, whitespace collapses. Deterministic and
-    * engine-portable by construction.
+    * removed first, remaining tags become spaces, character references
+    * decode, whitespace collapses. Deterministic and engine-portable
+    * by construction.
     *
-    * `&amp;` decodes LAST — the standard chain-decoder rule: decoding
-    * it first re-exposes the tail of an ESCAPED entity to the later
-    * passes, so literal `&amp;lt;` (an author writing "&lt;") would
-    * double-decode to `<` instead of the correct `&lt;`.
+    * Entity decode is [[graft.functions.HtmlEntityDecode]] — a
+    * single-pass codegen'd scanner that decodes each reference exactly
+    * once, left to right, never rescanning its own output. That gives
+    * the chain-decoder's `&amp;`-last guarantee (`&amp;lt;` is `&lt;`,
+    * never `<`) BY CONSTRUCTION, plus decimal/hex numeric references
+    * (`&#169;`, `&#xA9;`) the fixed six-entity chain could not spell.
+    * A SQL oracle replays it with per-entity `replace` calls (named
+    * refs first, `&amp;` last) for the references present in its
+    * input.
     */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, scriptPat, " ")
     val noStyle = regexp_replace(noScript, stylePat, " ")
     val noComment = regexp_replace(noStyle, commentPat, " ")
     val noTags = regexp_replace(noComment, tagPat, " ")
-    val decoded = decodeChain(noTags)
+    val decoded = decodeEntities(noTags)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** The shared entity chain (`&amp;` last — see [[stripHtml]]). Kept
-    * as a named step so every extraction path (full strip, per-block
-    * main content) decodes identically to the SQL oracle's replay.
+  /** The single entity-decode path for every extraction op (full
+    * strip, per-block main content, anchor-text normalization) — one
+    * decoder, one semantics, no chain/scanner fork.
     */
-  private[ops] def decodeChain(c: Column): Column =
-    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(c) { case (col, (ent, ch)) => regexp_replace(col, ent, ch) }
+  private[ops] def decodeEntities(c: Column): Column =
+    graft.functions.HtmlEntityDecode.decodeEntities(c)
 
   /** First `<title>` body (empty string when absent). */
   def title(c: Column): Column =
@@ -79,32 +82,35 @@ object Html {
 
   private val anchorPat = "(?is)<a[^>]*>(.*?)</a>"
 
-  /** A block's visible text: inline tags -> spaces, the entity chain,
+  /** A block's visible text: inline tags -> spaces, entity decode,
     * whitespace collapse. Shared by the keep-filter and the output
     * pass so both see identical strings.
     */
   private def blockText(b: Column): Column =
-    trim(regexp_replace(decodeChain(regexp_replace(b, tagPat, " ")), "\\s+", " "))
+    trim(regexp_replace(decodeEntities(regexp_replace(b, tagPat, " ")), "\\s+", " "))
 
-  /** Total visible length of the block's anchor texts (tags stripped,
-    * whitespace collapsed — the same normalization as [[blockText]],
-    * minus entity decode: density is a ratio, and entities appear on
-    * both sides of it).
+  /** Total visible length of the block's anchor texts — the SAME
+    * normalization as [[blockText]] (tags -> spaces, entity decode,
+    * whitespace collapse), so the density ratio's numerator and
+    * denominator count identical characters: `&amp;` inside an anchor
+    * is one char on both sides, not five over one.
     */
   private def linkTextLen(b: Column): Column =
     coalesce(aggregate(
       transform(regexp_extract_all(b, lit(anchorPat), lit(1)),
-        a => length(trim(regexp_replace(regexp_replace(a, tagPat, " "),
+        a => length(trim(regexp_replace(
+          decodeEntities(regexp_replace(a, tagPat, " ")),
           "\\s+", " "))).cast("long")),
       lit(0L), (acc, x) => acc + x), lit(0L))
 
-  /** Link density in milli: anchor-text chars per visible char. A nav
-    * bar or footer is ~all anchor text (>= ~900); body prose is ~0.
-    * Same exact floor division as [[visibleRatioMilli]].
+  /** Link density in milli from a block's raw markup and its
+    * already-computed visible text: anchor-text chars per visible
+    * char. A nav bar or footer is ~all anchor text (>= ~900); body
+    * prose is ~0. Same exact floor division as [[visibleRatioMilli]].
     */
-  private def linkDensityMilli(b: Column): Column = {
-    val num = linkTextLen(b) * 1000L
-    val den = greatest(length(blockText(b)).cast("long"), lit(1L))
+  private def linkDensityMilli(raw: Column, txt: Column): Column = {
+    val num = linkTextLen(raw) * 1000L
+    val den = greatest(length(txt).cast("long"), lit(1L))
     ((num - pmod(num, den)) / den).cast("long")
   }
 
@@ -132,10 +138,15 @@ object Html {
     val noStyle = regexp_replace(noScript, stylePat, " ")
     val noComment = regexp_replace(noStyle, commentPat, " ")
     val blocks = split(noComment, blockTagPat)
-    val kept = filter(blocks, b =>
-      length(blockText(b)) >= minTextLen &&
-        linkDensityMilli(b) <= maxLinkMilli)
-    array_join(transform(kept, b => blockText(b)), " ")
+    // blockText once per block: the struct carries (raw, visible) so
+    // the length filter, density denominator, and output pass all read
+    // the one computed string instead of re-deriving it
+    val scored = transform(blocks, b =>
+      struct(b.as("raw"), blockText(b).as("txt")))
+    val kept = filter(scored, s =>
+      length(s.getField("txt")) >= minTextLen &&
+        linkDensityMilli(s.getField("raw"), s.getField("txt")) <= maxLinkMilli)
+    array_join(transform(kept, s => s.getField("txt")), " ")
   }
 
   /** All `href="..."` targets, in document order. */

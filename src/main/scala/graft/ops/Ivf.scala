@@ -136,9 +136,10 @@ object Ivf {
 
   /** Exact integer analogue of [[scoredCells]]: struct(d2, cell) per
     * centroid with d2 = |c|^2 - 2<x,c> (|c|^2 precomputed exactly on
-    * the driver — integers don't drift).
+    * the driver — integers don't drift). Shared with [[IvfPq]]'s
+    * probe-cell selection.
     */
-  private def scoredCellsQ(ei: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
+  private[ops] def scoredCellsQ(ei: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
     val cArr = array(centroids.map { case (cell, v) =>
       struct(lit(v.toArray).as("cvec"), lit(v.map(x => x * x).sum).as("cc"),
         lit(cell).as("cell")) }: _*)
@@ -322,26 +323,37 @@ object Ivf {
       val refit = fit(fitCorpus, idCol, nLists, iterations, initOversample)
       val tmp = path + ".rebuild"
       writeIndex(corpus, refit, tmp) // reads old gen, writes new
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // the swap MUST be checked: Hadoop FS ops report failure by
-      // returning false, not throwing. An unchecked delete=false would
-      // serve the OLD index under the NEW refit model (cell/model
-      // mismatch = wrong search results); an unchecked rename=false
-      // after a successful delete would lose the live index entirely —
-      // both while reporting rebuilt=true. Fail loudly instead: the
-      // rebuild directory is intact either way, so the caller can
-      // re-point or retry.
-      if (!fs.delete(hPath, true))
-        throw new java.io.IOException(
-          s"IVF maintain: failed to delete old index at $path; " +
-            s"rebuilt generation is intact at $tmp")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
-        throw new java.io.IOException(
-          s"IVF maintain: failed to rename $tmp to $path; " +
-            s"rebuilt generation is intact at $tmp")
+      checkedSwap(spark, path, tmp)
       MaintenanceReport(imb, rebuilt = true, refit)
     }
+  }
+
+  /** Swap a rebuilt generation into place: delete the live dir, rename
+    * the rebuild over it. The swap MUST be checked: Hadoop FS ops
+    * report failure by returning false, not throwing. An unchecked
+    * delete=false would serve the OLD index under the NEW refit model
+    * (cell/model mismatch = wrong search results); an unchecked
+    * rename=false after a successful delete would lose the live index
+    * entirely — both while reporting rebuilt=true. Fail loudly
+    * instead: the rebuild directory is intact either way, so the
+    * caller can re-point or retry. delete=false is ambiguous (real
+    * failure OR path already absent — a prior run deleted but died
+    * before the rename); only the still-exists case is a failure, the
+    * absent case proceeds straight to the rename. Shared with
+    * [[IvfPq.maintain]] and bloom-epoch rotation.
+    */
+  private[ops] def checkedSwap(spark: org.apache.spark.sql.SparkSession,
+                               path: String, tmp: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(hPath, true) && fs.exists(hPath))
+      throw new java.io.IOException(
+        s"index swap: failed to delete old generation at $path; " +
+          s"rebuilt generation is intact at $tmp")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new java.io.IOException(
+        s"index swap: failed to rename $tmp to $path; " +
+          s"rebuilt generation is intact at $tmp")
   }
 
   /** Probe a materialized index: identical semantics to [[search]],

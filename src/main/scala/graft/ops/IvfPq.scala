@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The two-level IVF-PQ index — the billion-vector ANN deployment
+  * shape ([[Pq]]'s scaladoc prescribes it; this composes the two
+  * halves). A coarse quantizer ([[Ivf.fitQuantized]]) partitions the
+  * corpus into cells; product quantization ([[Pq]]) compresses each
+  * row to `m` small codes. The materialized index stores ONLY
+  * `(id, codes, cell)` — m codes per row, not `dim` floats: at 100 TB
+  * and m=8/k<=256 that is a ~32x smaller index than [[Ivf.writeIndex]]
+  * materializing full embeddings.
+  *
+  * Probe = three stages, each strictly narrower than the last:
+  *  1. '''cell prune''': the query's `nProbe` nearest cells, pushed as
+  *     a static partition filter — reads `~nProbe/nLists` of the
+  *     CODES, never the corpus;
+  *  2. '''ADC shortlist''': per-candidate distance is `m` integer
+  *     lookups into the query's in-plan LUT, ranking a
+  *     `topK * refine` shortlist;
+  *  3. '''exact re-rank''': only the shortlist rows (k*refine per
+  *     query) fetch their full vectors from the BASE table via a
+  *     broadcast join, and exact integer |q-x|^2 orders the final
+  *     top-k — ADC error decides who makes the shortlist, never the
+  *     final order.
+  *
+  * All math is exact integer over micro-quantized embeddings (the
+  * [[Ivf.fitQuantized]]/[[Pq.fitQuantized]] determinism contract), so
+  * the SQL oracle (q110) replays fit, assignment, encode, probe,
+  * shortlist, and re-rank bit-for-bit.
+  *
+  * Codes are computed on the raw quantized vectors, not the cell
+  * residuals (the IVFFlat+PQ variant): residual encoding buys recall
+  * at equal m but makes codes a function of BOTH models, so a coarse
+  * refit invalidates every code. With [[maintain]] refitting both
+  * levels together the trade is available either way; the non-residual
+  * form keeps encode a pure function of one model and replays in SQL
+  * without a per-cell codebook join.
+  *
+  * Reference scope ends at exact/LSH/IVF search; IVF-PQ is extension
+  * surface (SURVEY.md §2.4), like [[Pq]] itself.
+  */
+object IvfPq {
+
+  /** Both levels of the index: the coarse cell quantizer and the
+    * per-subspace PQ codebooks, fit on the same corpus.
+    */
+  final case class Model(coarse: Ivf.QuantModel, pq: Pq.QuantCodebook)
+
+  /** Fit both levels: coarse farthest-point cells, then PQ codebooks —
+    * two corpus scans total, both driver-bounded (centroid pools
+    * only). Production fits on a sample; the operator takes whatever
+    * frame it's given.
+    */
+  def fit(corpus: DataFrame, idCol: String, nLists: Int, m: Int, k: Int,
+          oversample: Int = 8): Model =
+    Model(Ivf.fitQuantized(corpus, idCol, nLists, oversample),
+      Pq.fitQuantized(corpus, idCol, m, k, oversample))
+
+  /** Materialize the two-level index: one corpus scan assigns cells
+    * (narrow argmin over broadcast centroids) and encodes codes
+    * (narrow argmin per subspace), writing `(id, codes, cell)`
+    * hive-partitioned by cell. No full embedding reaches the index —
+    * that is the point.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, model: Model,
+                 path: String): Unit =
+    Ivf.assignQuantized(corpus, model.coarse)
+      .withColumn("codes", Pq.codesColumn(col("ei"), model.pq))
+      .select(col(idCol), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Incremental append, [[Ivf.appendIndex]]'s shape: assign + encode
+    * ONLY the arriving batch (O(batch) narrow map) and append under
+    * its cell directories. Append + [[searchIndex]] is exactly a full
+    * [[writeIndex]] under the same model — both assignments are pure
+    * functions of the model. What appends cannot do is move centroids
+    * or codebooks; [[maintain]] is the cadence for that.
+    */
+  def appendIndex(batch: DataFrame, idCol: String, model: Model,
+                  path: String): Unit =
+    Ivf.assignQuantized(batch, model.coarse)
+      .withColumn("codes", Pq.codesColumn(col("ei"), model.pq))
+      .select(col(idCol), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Probe the materialized index. `corpus` is the BASE table the
+    * shortlist re-ranks against (the index itself holds no vectors);
+    * only `topK * refine` rows per query are fetched from it, via a
+    * broadcast hash join on `idCol` — at 100 TB that join is one
+    * corpus scan per probe BATCH (batch your queries), with the
+    * shortlist side broadcast.
+    *
+    * The probed cell set is computed first and pushed as a static
+    * `cell IN (...)` partition filter (guaranteed pruning, the
+    * [[Ivf.searchIndex]] contract — asserted in IvfPqSpec).
+    */
+  def searchIndex(spark: SparkSession, path: String, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, model: Model,
+                  topK: Int, nProbe: Int, refine: Int = 4): DataFrame = {
+    val q = Similarity.withQuantized(queries, "embedding")
+      .withColumn("lut", Pq.lutColumn(col("ei"), model.pq))
+      .withColumn("probe",
+        explode(slice(array_sort(
+          Ivf.scoredCellsQ(col("ei"), model.coarse.centroids)), 1, nProbe)))
+      .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
+        col("lut"), col("probe").getField("cell").as("cell"))
+
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+
+    // stage 2: ADC over the pruned code read — m integer lookups per
+    // candidate, shortlist topK*refine per query
+    val sw = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
+    val short = idx.join(broadcast(q), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("adc_d2",
+        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("srnk", row_number().over(sw))
+      .where(col("srnk") <= topK * refine)
+      .select(col("q_id"), col(idCol), col("qe"), col("qn"))
+
+    // stage 3: exact integer re-rank of the shortlist against the base
+    // table — shortlist broadcast, corpus scanned once per batch
+    val base = Similarity.withQuantized(corpus, "embedding")
+      .select(col(idCol), col("ei"), col("nn"))
+    val ew = Window.partitionBy("q_id").orderBy(col("d2").asc, col(idCol).asc)
+    base.join(broadcast(short), Seq(idCol))
+      .withColumn("d2",
+        col("qn") - lit(2L) * Similarity.dotLong(col("ei"), col("qe")) + col("nn"))
+      .withColumn("rnk", row_number().over(ew).cast(LongType))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol), col("d2"))
+  }
+
+  /** One [[Ivf.maintain]]-style cadence tick, refitting BOTH levels:
+    * measure cell imbalance on the index; below `threshold`, touch
+    * nothing (one aggregation over the codes table is the whole cost);
+    * past it, refit coarse + codebooks on the current corpus, rebuild
+    * to `path + ".rebuild"` while the live index stays readable, and
+    * swap via [[Ivf.checkedSwap]]. Codebooks MUST refit with the
+    * coarse model — after a drift big enough to trip the cadence, the
+    * subspace geometry the old codebooks quantize is stale too.
+    */
+  final case class MaintenanceReport(imbalance: Double, rebuilt: Boolean,
+                                     model: Model)
+
+  def maintain(spark: SparkSession, path: String, corpus: DataFrame,
+               idCol: String, model: Model, nLists: Int, m: Int, k: Int,
+               threshold: Double = 3.0, oversample: Int = 8,
+               fitSample: Double = 1.0): MaintenanceReport = {
+    val imb = Ivf.cellImbalance(spark, path)
+    if (imb <= threshold) MaintenanceReport(imb, rebuilt = false, model)
+    else {
+      val fitCorpus =
+        if (fitSample < 1.0)
+          corpus.sample(withReplacement = false, fitSample, seed = 7L)
+        else corpus
+      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample)
+      val tmp = path + ".rebuild"
+      writeIndex(corpus, idCol, refit, tmp)
+      Ivf.checkedSwap(spark, path, tmp)
+      MaintenanceReport(imb, rebuilt = true, refit)
+    }
+  }
+}

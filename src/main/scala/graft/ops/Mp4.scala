@@ -25,7 +25,12 @@ object Mp4 {
     * from `stss` (empty + `allKeyframes=true` when the box is absent —
     * per spec that means every sample is a sync sample);
     * `keyframeOffsets`/`keyframeSizes` are the byte ranges of those
-    * samples inside the payload, ready to hand to a codec.
+    * samples inside the payload, ready to hand to a codec;
+    * `keyframeTimesMs` are their DECODE times from the `stts`
+    * time-to-sample runs (cumulative delta sum, scaled by the media
+    * timescale from `mdhd`) — empty when `stts` is absent or the
+    * media timescale is unusable, so time-even frame sampling
+    * ([[Multimodal.sampleKeyframes]]) can fall back to index-even.
     */
   case class Mp4Info(majorBrand: String, videoCodec: String,
                      timescale: Long, durationMs: Long,
@@ -33,7 +38,9 @@ object Mp4 {
                      allKeyframes: Boolean,
                      keyframeSamples: Array[Int],
                      keyframeOffsets: Array[Long],
-                     keyframeSizes: Array[Int])
+                     keyframeSizes: Array[Int],
+                     mediaTimescale: Long = 0L,
+                     keyframeTimesMs: Array[Long] = Array.empty)
 
   /** Caps on table cardinalities a crafted header could inflate: reads
     * stop at the cap (partial tables, never unbounded allocation).
@@ -47,29 +54,35 @@ object Mp4 {
   // ---- minimal muxer ------------------------------------------------
 
   /** Serialize a minimal but spec-valid single-track MP4: `ftyp` +
-    * `moov` (mvhd, trak/tkhd, mdia/mdhd, minf/stbl with stsd, stsz,
-    * stss, stsc, stco) + one `mdat` chunk holding every sample's
+    * `moov` (mvhd, trak/tkhd, mdia/mdhd, minf/stbl with stsd, stts,
+    * stsz, stss, stsc, stco) + one `mdat` chunk holding every sample's
     * payload back to back. Deterministic byte-for-byte in its inputs
     * (sample i's payload byte j is `(i*31 + j) & 0xff`), so specs and
     * oracle queries can predict the exact layout:
     * the single chunk's offset — and therefore every keyframe's byte
-    * offset base — is `412 + 4*sampleSizes.length + 4*keyframes.length`
-    * (the fixed header bytes plus the stsz and stss tables).
+    * offset base — is `412 + stts + 4*sampleSizes.length +
+    * 4*keyframes.length` where stts = `16 + 8*runs` (the default
+    * uniform timing is one run, giving `436 + 4n + 4k`).
     *
     * This is the inverse of [[parse]] and the fixture generator for
     * the demuxer's tests: `parse(build(...))` must round-trip dims,
-    * duration, codec, and the per-keyframe byte ranges.
+    * duration, codec, per-keyframe byte ranges, and decode times.
     *
     * @param keyframes 1-based sample numbers for the `stss` box
     * @param samplesPerChunk samples per mdat chunk; the default puts
     *   every sample in one chunk. A shorter final chunk gets its own
     *   `stsc` run, per spec — multi-chunk layouts exercise the
     *   demuxer's run expansion
+    * @param sampleDeltas per-sample `stts` durations in timescale
+    *   ticks; empty = uniform `durationTicks / n` for every sample
+    *   (one run). Consecutive equal deltas are run-length encoded,
+    *   exactly as the spec stores them
     */
   def build(width: Int, height: Int, timescale: Long, durationTicks: Long,
             codec: String, sampleSizes: Array[Int],
             keyframes: Array[Int],
-            samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
+            samplesPerChunk: Int = Int.MaxValue,
+            sampleDeltas: Array[Long] = Array.empty): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -105,6 +118,26 @@ object Mp4 {
       be32(timescale), be32(durationTicks), be16(0x55c4), be16(0))) // lang "und"
     val stsd = box("stsd", cat(verFlags, be32(1L),
       cat(be32(16L), codec.getBytes("US-ASCII"), new Array[Byte](8))))
+    // stts: (sample_count, sample_delta) runs — run-length encode the
+    // per-sample deltas (uniform default = a single run)
+    val deltas: Array[Long] =
+      if (sampleDeltas.nonEmpty) sampleDeltas
+      else if (n > 0) Array.fill(n)(durationTicks / n)
+      else Array.empty
+    val sttsRuns = {
+      val runs = Array.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < deltas.length) {
+        var j = i
+        while (j + 1 < deltas.length && deltas(j + 1) == deltas(i)) j += 1
+        runs += ((j - i + 1L, deltas(i)))
+        i = j + 1
+      }
+      runs.result()
+    }
+    val stts = box("stts", cat(verFlags, be32(sttsRuns.length.toLong),
+      cat(sttsRuns.map { case (c, dl) => cat(be32(c), be32(dl)) }
+        .toIndexedSeq: _*)))
     val stsz = box("stsz", cat(verFlags, be32(0L), be32(n.toLong),
       cat(sampleSizes.map(s => be32(s.toLong)).toIndexedSeq: _*)))
     val stss = box("stss", cat(verFlags, be32(keyframes.length.toLong),
@@ -129,7 +162,7 @@ object Mp4 {
     def assemble(chunkOff: Long): Array[Byte] = {
       val stco = box("stco", cat(verFlags, be32(nChunks.toLong),
         cat(chunkRel.map(rel => be32(chunkOff + rel)).toIndexedSeq: _*)))
-      val stbl = box("stbl", cat(stsd, stsz, stss, stsc, stco))
+      val stbl = box("stbl", cat(stsd, stts, stsz, stss, stsc, stco))
       val minf = box("minf", stbl)
       val mdia = box("mdia", cat(mdhd, minf))
       val trak = box("trak", cat(tkhd, mdia))
@@ -233,9 +266,21 @@ object Mp4 {
       .getOrElse(traks.head)
     val (width, height) = tkhdDims(video)
 
+    val mdia = child(d, video._1, video._2, "mdia")
+
+    // mdhd: MEDIA timescale — stts deltas are in these ticks, not the
+    // movie timescale (version 1 widens creation/mod to 64-bit, which
+    // shifts the timescale field)
+    val mediaTs: Long = mdia.flatMap(m => child(d, m._1, m._2, "mdhd")) match {
+      case Some((s, _)) =>
+        val ver = if (s < d.length) d(s.toInt) & 0xff else 0
+        math.max(if (ver == 1) u32(d, s + 20) else u32(d, s + 12), 0L)
+      case None => 0L
+    }
+
     val stbl = for {
-      mdia <- child(d, video._1, video._2, "mdia")
-      minf <- child(d, mdia._1, mdia._2, "minf")
+      m <- mdia
+      minf <- child(d, m._1, m._2, "minf")
       st <- child(d, minf._1, minf._2, "stbl")
     } yield st
 
@@ -286,6 +331,21 @@ object Mp4 {
               (u32(d, s + 8 + 12L * i), u32(d, s + 12 + 12L * i))
             }.filter { case (fc, spc) => fc > 0 && spc > 0 }.toArray
           case None => Array.empty[(Long, Long)]
+        }
+
+        // stts: (sample_count, sample_delta) time-to-sample runs —
+        // entry count capped, a truncated or lying table yields the
+        // readable prefix (u32 is -1 past the end, dropped by the
+        // takeWhile)
+        val sttsRuns: Array[(Long, Long)] = child(d, ss, se, "stts") match {
+          case Some((s, e)) =>
+            val n = math.min(math.max(u32(d, s + 4), 0L), MaxTableEntries.toLong).toInt
+            (0 until n).iterator
+              .map(i => (s + 8 + 8L * i, u32(d, s + 8 + 8L * i),
+                u32(d, s + 12 + 8L * i)))
+              .takeWhile { case (p, c, dl) => p + 8 <= e && c > 0 && dl >= 0 }
+              .map { case (_, c, dl) => (c, dl) }.toArray
+          case None => Array.empty
         }
 
         // stco / co64: chunk byte offsets
@@ -340,8 +400,40 @@ object Mp4 {
             chunk += 1
           }
         }
+        // decode time of sample s (1-based) = sum of the deltas of
+        // samples 1..s-1, read off the runs in ONE forward walk (kept
+        // samples are emitted in ascending order). A table truncated
+        // short of a target extrapolates with the last run's delta —
+        // graceful, never throws.
+        val kept = keptSamples.result()
+        val times: Array[Long] =
+          if (sttsRuns.isEmpty || mediaTs <= 0L) Array.empty
+          else {
+            val out = new Array[Long](kept.length)
+            var run = 0
+            var samplesBefore = 0L
+            var ticksBefore = 0L
+            var ki = 0
+            while (ki < kept.length) {
+              val target = kept(ki).toLong
+              while (run < sttsRuns.length &&
+                samplesBefore + sttsRuns(run)._1 < target) {
+                ticksBefore += sttsRuns(run)._1 * sttsRuns(run)._2
+                samplesBefore += sttsRuns(run)._1
+                run += 1
+              }
+              val delta =
+                if (run < sttsRuns.length) sttsRuns(run)._2
+                else sttsRuns.last._2
+              val ticks = ticksBefore + (target - 1L - samplesBefore) * delta
+              out(ki) = ticks * 1000L / mediaTs
+              ki += 1
+            }
+            out
+          }
         Some(Mp4Info(brand, codec, timescale, durationMs, width, height,
-          nSamples, allKey, keptSamples.result(), offs.result(), szs.result()))
+          nSamples, allKey, kept, offs.result(), szs.result(),
+          mediaTs, times))
     }
   }
 }

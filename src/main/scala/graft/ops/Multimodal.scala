@@ -491,16 +491,24 @@ object Multimodal {
   }
 
   /** `k` evenly spaced KEYFRAMES from an MP4 payload: 1-based sample
-    * number, byte offset, byte size, and the md5 of the keyframe's
-    * bytes (the deterministic stand-in for handing that slice to a
-    * codec) — the video analogue of [[sampleFrames]]. The selection,
-    * slicing, and batch shape are the real pipeline; only the
-    * per-slice pixel decode awaits a codec. Empty for non-MP4 payloads
-    * and for headers without resolvable sample tables.
+    * number, byte offset, byte size, decode time (ms), and the md5 of
+    * the keyframe's bytes (the deterministic stand-in for handing that
+    * slice to a codec) — the video analogue of [[sampleFrames]]. The
+    * selection, slicing, and batch shape are the real pipeline; only
+    * the per-slice pixel decode awaits a codec. Empty for non-MP4
+    * payloads and for headers without resolvable sample tables.
+    *
+    * Spacing is even in TIME when the header carries `stts` decode
+    * times (pick the first keyframe at or past each of `k` equal
+    * time-quantile targets, duplicates collapsed — a burst of
+    * keyframes in one scene no longer eats the whole budget), and even
+    * in INDEX otherwise. When `k >= n_keyframes` both rules pick every
+    * keyframe (q107 exercises that boundary; Mp4Spec the divergence).
     */
   case class KeyframeSample(id: Long, n_samples: Int, n_keyframes: Int,
                             samples: Array[Int], offsets: Array[Long],
-                            sizes: Array[Int], slice_md5: Array[String])
+                            sizes: Array[Int], times_ms: Array[Long],
+                            slice_md5: Array[String])
   def sampleKeyframes(ds: Dataset[MediaRecord], k: Int): Dataset[KeyframeSample] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
@@ -508,7 +516,25 @@ object Multimodal {
         case Some(info) =>
           val nk = info.keyframeOffsets.length
           val take = math.min(k, nk)
-          val picked = Array.tabulate(take)(i => i * nk / take)
+          val times = info.keyframeTimesMs
+          val picked: Array[Int] =
+            if (times.length == nk && take > 0) {
+              val t0 = times(0)
+              val span = times(nk - 1) - t0
+              // time-quantile targets; first-at-or-past, deduped while
+              // staying sorted (times are non-decreasing)
+              val sel = Array.newBuilder[Int]
+              var last = -1
+              var j = 0
+              while (j < take) {
+                val target = t0 + span * j / take
+                var i = math.max(last + 1, 0)
+                while (i < nk - 1 && times(i) < target) i += 1
+                if (i > last) { sel += i; last = i }
+                j += 1
+              }
+              sel.result()
+            } else Array.tabulate(take)(i => i * nk / take)
           val md5s = picked.map { i =>
             val off = info.keyframeOffsets(i); val sz = info.keyframeSizes(i)
             if (off >= 0 && sz > 0 && off + sz <= r.data.length)
@@ -518,10 +544,12 @@ object Multimodal {
           KeyframeSample(r.id, info.nSamples, nk,
             picked.map(info.keyframeSamples(_)),
             picked.map(info.keyframeOffsets(_)),
-            picked.map(info.keyframeSizes(_)), md5s)
+            picked.map(info.keyframeSizes(_)),
+            if (times.length == nk) picked.map(times(_)) else Array.empty,
+            md5s)
         case None =>
           KeyframeSample(r.id, 0, 0, Array.empty, Array.empty, Array.empty,
-            Array.empty)
+            Array.empty, Array.empty)
       }
     })
   }

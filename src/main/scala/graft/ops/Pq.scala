@@ -128,6 +128,31 @@ object Pq {
       e.getField("code").as("code")))
   }
 
+  /** The `m`-code encode of a pre-quantized `ei` column: per subspace,
+    * argmin over the broadcast codebook literal — a pure narrow map.
+    * Shared by [[encodeQuantized]] and the [[IvfPq]] index writer.
+    */
+  def codesColumn(ei: Column, model: QuantCodebook): Column =
+    array((0 until model.m).map { s =>
+      array_min(scoredCodes(slice(ei, s * model.width + 1, model.width),
+        model, s)).getField("code")
+    }: _*)
+
+  /** Per-query ADC lookup table: `lut(s)(code)` = exact integer
+    * |q_s - c|^2 for every codebook entry, built in-plan from the
+    * query's quantized `ei`. Shared by the ADC searches here and the
+    * [[IvfPq]] probe.
+    */
+  def lutColumn(ei: Column, model: QuantCodebook): Column =
+    array((0 until model.m).map { s =>
+      val qs = slice(ei, s * model.width + 1, model.width)
+      array(model.centroids(s).map { case (code, cvec) =>
+        Similarity.dotLong(qs, qs) -
+          lit(2L) * Similarity.dotLong(qs, lit(cvec.toArray)) +
+          lit(model.cc(s, code))
+      }: _*)
+    }: _*)
+
   /** Encode every row to its `m` nearest-centroid codes: a pure
     * narrow map over broadcast codebook literals — NO exchange in the
     * plan (pinned by PqSpec). Output keeps the quantized columns
@@ -135,10 +160,7 @@ object Pq {
     */
   def encodeQuantized(corpus: DataFrame, model: QuantCodebook): DataFrame = {
     val q = Similarity.withQuantized(corpus, "embedding")
-    q.withColumn("codes", array((0 until model.m).map { s =>
-      array_min(scoredCodes(slice(col("ei"), s * model.width + 1, model.width),
-        model, s)).getField("code")
-    }: _*))
+    q.withColumn("codes", codesColumn(col("ei"), model))
   }
 
   /** ADC top-k: per query, an in-plan m x k LUT of EXACT integer
@@ -154,14 +176,7 @@ object Pq {
       .select(col(idCol), col("codes"))
 
     val qlut = Similarity.withQuantized(queries, "embedding")
-      .withColumn("lut", array((0 until model.m).map { s =>
-        val qs = slice(col("ei"), s * model.width + 1, model.width)
-        array(model.centroids(s).map { case (code, cvec) =>
-          Similarity.dotLong(qs, qs) -
-            lit(2L) * Similarity.dotLong(qs, lit(cvec.toArray)) +
-            lit(model.cc(s, code))
-        }: _*)
-      }: _*))
+      .withColumn("lut", lutColumn(col("ei"), model))
       .select(col(idCol).as("q_id"), col("lut"))
 
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
@@ -190,14 +205,7 @@ object Pq {
       .select(col(idCol), col("codes"), col("ei"), col("nn"))
 
     val qlut = Similarity.withQuantized(queries, "embedding")
-      .withColumn("lut", array((0 until model.m).map { s =>
-        val qs = slice(col("ei"), s * model.width + 1, model.width)
-        array(model.centroids(s).map { case (code, cvec) =>
-          Similarity.dotLong(qs, qs) -
-            lit(2L) * Similarity.dotLong(qs, lit(cvec.toArray)) +
-            lit(model.cc(s, code))
-        }: _*)
-      }: _*))
+      .withColumn("lut", lutColumn(col("ei"), model))
       .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
         col("lut"))
 

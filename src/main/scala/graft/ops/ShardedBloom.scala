@@ -80,6 +80,17 @@ final class ShardedBloom(val perShardItems: Long, val fpp: Double,
     */
   def bitSize: Long = shards.map(_.bitSize()).sum
 
+  /** Realized false-positive probability of the WORST shard — the
+    * sketch's popcount-based `expectedFpp` (set-bit fraction to the
+    * k-th power), which tracks what was actually admitted rather than
+    * what `expectedItems` promised. A long-lived standing family that
+    * outgrows its sizing degrades here first: fpp drifts toward 1 and
+    * every probe routes to the exact join — silent cost, not silent
+    * wrongness. [[ShardedBloom.maintainEpoch]] is the cadence that
+    * watches this.
+    */
+  def saturation: Double = shards.map(_.expectedFpp()).max
+
   def mergeInPlace(other: ShardedBloom): ShardedBloom = {
     require(other.numShards == numShards,
       s"shard count mismatch: $numShards vs ${other.numShards}")
@@ -255,6 +266,83 @@ object ShardedBloom {
   def load(dir: String): ShardedBloom = {
     val (n, per, fpp) = meta(dir)
     new ShardedBloom(per, fpp, Array.tabulate(n)(loadShard(dir, _)))
+  }
+
+  /** Realized-fpp health of a file-backed family: the max popcount-
+    * based `expectedFpp` across shards, measured DISTRIBUTED — one
+    * task per shard loads its shard (through the executor-wide
+    * [[ShardedBloomFiles]] cache, so a later probe reuses the bytes)
+    * and emits one double. No JVM ever holds more than the shards its
+    * tasks touch; the driver collects N doubles.
+    */
+  def saturationOf(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Double = {
+    val (n, _, _) = meta(dir)
+    spark.range(0, n, 1, n).rdd
+      .map(s => ShardedBloomFiles.shard(dir, s.toInt).expectedFpp())
+      .max()
+  }
+
+  /** Outcome of one epoch-cadence tick: the realized fpp that was
+    * measured, the family's target, and — after a rotation — the NEW
+    * epoch directory the caller should serve probes from (`dir`
+    * unchanged on a healthy tick).
+    */
+  final case class EpochReport(realizedFpp: Double, targetFpp: Double,
+                               rotated: Boolean, dir: String)
+
+  /** The saturation cadence for a standing file-backed family — the
+    * [[Ivf.maintain]] analogue. A family sized for `expectedItems`
+    * that keeps admitting new epochs' fingerprints degrades toward
+    * fpp=1: probes never go WRONG (no false negatives), they go SLOW —
+    * eventually every batch row routes to the exact resolution join
+    * and the bloom's O(batch) win evaporates. Nothing in the probe
+    * path notices, so a cadence has to.
+    *
+    * Tick: measure [[saturationOf]] (distributed, one task per shard);
+    * at or below `factor * targetFpp`, touch nothing — N shard loads
+    * is the entire cost of a healthy tick. Past it, REBUILD the family
+    * from the CURRENT history via [[buildToPath]] into the next epoch
+    * directory, resized for `history.count() * headroom` fingerprints.
+    * The old epoch dir is left fully intact — shard files are
+    * immutable by contract and concurrent probes keep reading the old
+    * epoch safely; the caller flips its serving pointer to the
+    * returned `dir` (exactly the catalog-pointer discipline
+    * [[Ivf.maintain]]'s scaladoc prescribes).
+    *
+    * Epoch naming: a trailing integer in the directory name increments
+    * (`.../epoch1` -> `.../epoch2`); a name with no trailing integer
+    * gets `2` appended.
+    */
+  def maintainEpoch(spark: org.apache.spark.sql.SparkSession,
+                    history: DataFrame, fpCol: String, dir: String,
+                    factor: Double = 4.0, headroom: Double = 1.3,
+                    numShards: Int = -1): EpochReport = {
+    val (n, _, targetFpp) = meta(dir)
+    val shards = if (numShards > 0) numShards else n
+    val realized = saturationOf(spark, dir)
+    if (realized <= factor * targetFpp)
+      EpochReport(realized, targetFpp, rotated = false, dir)
+    else {
+      val next = nextEpochDir(dir)
+      val expected = math.max(
+        math.ceil(history.count() * headroom).toLong, 1L)
+      buildToPath(history, fpCol, expected, next, targetFpp, shards)
+      EpochReport(realized, targetFpp, rotated = true, next)
+    }
+  }
+
+  private[graft] def nextEpochDir(dir: String): String = {
+    val trimmed = dir.stripSuffix("/")
+    val (parent, name) = trimmed.lastIndexOf('/') match {
+      case -1 => ("", trimmed)
+      case i => (trimmed.substring(0, i + 1), trimmed.substring(i + 1))
+    }
+    val m = "^(.*?)(\\d+)$".r.findFirstMatchIn(name)
+    m match {
+      case Some(g) => parent + g.group(1) + (g.group(2).toLong + 1L)
+      case None => parent + name + "2"
+    }
   }
 
   def loadShard(dir: String, shard: Int): BloomFilter = {

@@ -217,8 +217,9 @@ object TextQueries {
     // then demux it back with [[Mp4.parse]] — header facts via
     // extractFeatures, per-keyframe byte ranges via sampleKeyframes.
     // The oracle predicts every field arithmetically from the muxer's
-    // documented layout (chunk base = 412 + 4n + 4k), so a demuxer
-    // that misreads any sample table hash-mismatches.
+    // documented layout (chunk base = 436 + 4n + 4k with the uniform
+    // one-run stts), so a demuxer that misreads any sample table —
+    // including the stts time map — hash-mismatches.
     "q107_mp4_keyframes" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -237,7 +238,8 @@ object TextQueries {
       val kf = Multimodal.sampleKeyframes(media, k = 8).toDF()
         .select(col("id"), col("n_keyframes"),
           element_at(col("offsets"), 1).as("first_kf_off"),
-          expr("aggregate(sizes, 0L, (a, x) -> a + x)").as("kf_bytes"))
+          expr("aggregate(sizes, 0L, (a, x) -> a + x)").as("kf_bytes"),
+          expr("aggregate(times_ms, 0L, (a, x) -> a + x)").as("kf_time_ms_sum"))
       feats.join(kf, "id").orderBy("id")
     }),
 
@@ -264,6 +266,42 @@ object TextQueries {
           element_at(Html.links(col("raw")), 1).as("first_link"),
           Html.visibleRatioMilli(col("raw"),
             Html.stripHtml(col("raw"))).as("visible_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // Main-content extraction: wrap each document in a deterministic
+    // page carrying the chrome a real crawl carries — nav bar, cookie
+    // banner, related-links list, footer — plus an entity-laden body
+    // paragraph (named + decimal/hex numeric refs + double-escaped
+    // &amp;lt;). The keep rule must drop every chrome block (nav/list
+    // by length, cookie banner and footer by link density) and keep
+    // both body paragraphs. The oracle replays segment -> score ->
+    // filter -> rejoin with DuckDB list lambdas and per-entity
+    // replaces (&amp; last), so a wrong keep threshold, a wrong
+    // density division, or a wrong decode order all hash-mismatch.
+    "q111_html_main_content" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val raw = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>nav{display:none}</style>"),
+        lit("<script>var n="), id, lit(";</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> " +
+          "<a href=\"/about\">About</a></nav>"),
+        lit("<div>This site uses tracking cookies for analytics purposes " +
+          "<a href=\"/accept\">Accept all cookies</a> " +
+          "<a href=\"/decline\">Decline optional cookies</a></div>"),
+        lit("<h1>Doc "), id, lit("</h1><p>"), col("text"), lit("</p>"),
+        lit("<p>Copyright &#169; 2024 Tom &amp; Jerry&apos;s &quot;Caf&#233; " +
+          "&#xA9; Guide&quot; &amp;lt;draft&amp;gt; "), id, lit("</p>"),
+        lit("<ul><li><a href=\"/a/"), id, lit("\">Related one</a></li>" +
+          "<li><a href=\"/b/"), id, lit("\">Related two</a></li></ul>"),
+        lit("<footer><a href=\"/privacy\">Privacy policy</a> | " +
+          "<a href=\"/terms\">Terms of service</a> | contact "), id,
+        lit("</footer><!-- end "), id, lit(" --></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          Html.mainContent(col("raw")).as("main_text"),
+          length(Html.mainContent(col("raw"))).cast(LongType).as("main_len"))
         .orderBy("doc_id")
     }),
 
@@ -777,6 +815,33 @@ object TextQueries {
                 ELSE CAST(strlen(text_clean) AS BIGINT) * 1000 // strlen(raw)
            END AS visible_milli
          FROM c ORDER BY doc_id""",
+    "q111_html_main_content" ->
+      """WITH raw AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+           || '<style>nav{display:none}</style>'
+           || '<script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></head><body>'
+           || '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>'
+           || '<div>This site uses tracking cookies for analytics purposes <a href="/accept">Accept all cookies</a> <a href="/decline">Decline optional cookies</a></div>'
+           || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+           || '<p>Copyright &#169; 2024 Tom &amp; Jerry&apos;s &quot;Caf&#233; &#xA9; Guide&quot; &amp;lt;draft&amp;gt; ' || CAST(doc_id AS VARCHAR) || '</p>'
+           || '<ul><li><a href="/a/' || CAST(doc_id AS VARCHAR) || '">Related one</a></li><li><a href="/b/' || CAST(doc_id AS VARCHAR) || '">Related two</a></li></ul>'
+           || '<footer><a href="/privacy">Privacy policy</a> | <a href="/terms">Terms of service</a> | contact ' || CAST(doc_id AS VARCHAR)
+           || '</footer><!-- end ' || CAST(doc_id AS VARCHAR) || ' --></body></html>' AS raw
+           FROM documents),
+         blk AS (SELECT doc_id, regexp_split_to_array(
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|thead|tbody|nav|header|footer|aside|section|article|main|form|blockquote|pre|br|hr)\b[^>]*>') AS blocks
+           FROM raw),
+         kept AS (SELECT doc_id, list_filter(blocks, b ->
+             length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '&#169;', '©'), '&#xA9;', '©'), '&#233;', 'é'), '&apos;', ''''), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\s+', ' ', 'g'))) >= 25 AND
+             (coalesce(list_sum(list_transform(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), a -> length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '&#169;', '©'), '&#xA9;', '©'), '&#233;', 'é'), '&apos;', ''''), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\s+', ' ', 'g'))))), 0) * 1000) // greatest(length(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '&#169;', '©'), '&#xA9;', '©'), '&#233;', 'é'), '&apos;', ''''), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\s+', ' ', 'g'))), 1) <= 330) AS kb
+           FROM blk),
+         m AS (SELECT doc_id, array_to_string(list_transform(kb, b -> trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '&#169;', '©'), '&#xA9;', '©'), '&#233;', 'é'), '&apos;', ''''), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\s+', ' ', 'g'))), ' ') AS main_text FROM kept)
+         SELECT doc_id, main_text, CAST(length(main_text) AS BIGINT) AS main_len
+         FROM m ORDER BY doc_id""",
     "q107_mp4_keyframes" ->
       """WITH p AS (SELECT doc_id, strlen(text) AS L FROM documents),
          q AS (SELECT doc_id, L, L % 6 + 2 AS n, (L % 6 + 3) // 2 AS nk,
@@ -787,8 +852,9 @@ object TextQueries {
            CAST(n AS INTEGER) AS n_frames,
            CAST(L * 10 AS BIGINT) AS duration_ms,
            CAST(nk AS INTEGER) AS n_keyframes,
-           CAST(412 + 4 * n + 4 * nk AS BIGINT) AS first_kf_off,
-           CAST(nk * base + nk * (nk - 1) AS BIGINT) AS kf_bytes
+           CAST(436 + 4 * n + 4 * nk AS BIGINT) AS first_kf_off,
+           CAST(nk * base + nk * (nk - 1) AS BIGINT) AS kf_bytes,
+           CAST((L * 10 // n) * nk * (nk - 1) AS BIGINT) AS kf_time_ms_sum
          FROM q ORDER BY id""",
     "q51_multimodal_features" ->
       """SELECT doc_id AS id, 'doc' AS kind, 'opaque' AS codec,

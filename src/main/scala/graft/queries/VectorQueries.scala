@@ -56,6 +56,23 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // the composed two-level IVF-PQ index end-to-end: fit both levels,
+    // materialize the codes-only index (id, codes, cell — no vectors)
+    // to a scratch dir, probe 2 of 4 cells via static partition prune,
+    // ADC-shortlist 20 candidates, exact-integer re-rank the top 5
+    // against the base table. Fit, assignment, encode, probe,
+    // shortlist, and re-rank all replayed bit-for-bit by the oracle.
+    "q110_ivfpq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.IvfPq.fit(e, "vec_id", nLists = 4, m = 4, k = 4)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q110")
+        .resolve("idx").toString
+      graft.ops.IvfPq.writeIndex(e, "vec_id", model, idx)
+      graft.ops.IvfPq.searchIndex(s, idx, e, e.where(col("vec_id") < 5),
+          "vec_id", model, topK = 5, nProbe = 2, refine = 4)
+        .orderBy("q_id", "rnk")
+    }),
+
     // full-corpus embedding near-dup via LSH buckets: pairwise cosine
     // only WITHIN a bucket (1/2^p of all pairs) — the unsampled scale
     // path complementing q50's sampled exact sweep
@@ -193,12 +210,15 @@ object VectorQueries {
                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
                         FROM scored) WHERE rn = 1)"""
 
-  /** PQ replay (fitQuantized m=4 k=4 over 64 dims -> w=16): subspace
-    * flat view, per-subspace greedy farthest-point init (pool 24,
-    * 3 unrolled picks), argmin encode, per-query ADC LUT, shortlist
-    * 20, exact re-rank — mirrors `Pq` step for step.
+  /** PQ fit + encode + query-LUT replay (fitQuantized m=4 k=4 over 64
+    * dims -> w=16): subspace flat view, per-subspace greedy
+    * farthest-point init (pool 24, 3 unrolled picks), argmin encode,
+    * per-query ADC LUT — mirrors `Pq` step for step. The search tail
+    * (ADC scan, shortlist, exact re-rank) is [[pqSearchCte]]; q110
+    * reuses THIS half under a `pq_` rename ([[pqFitCteRenamed]]) with
+    * its own cell-restricted tail.
     */
-  private val pqCte =
+  private val pqFitCte =
     """sflat AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s,
                    (i - 1) % 16 AS j, v FROM flat),
        snorm AS (SELECT vec_id, s, SUM(v*v) AS nn FROM sflat GROUP BY 1, 2),
@@ -282,8 +302,13 @@ object VectorQueries {
                 JOIN snorm n ON n.vec_id = f.vec_id AND n.s = f.s
                 JOIN cnorm cn ON cn.s = c.s AND cn.code = c.code
                 WHERE f.vec_id < 5
-                GROUP BY 1, 2, 3),
-       adc AS (SELECT l.q_id, e2.vec_id, SUM(l.d2) AS adc_d2
+                GROUP BY 1, 2, 3)"""
+
+  /** q108's search tail over [[pqFitCte]]: full-corpus ADC scan,
+    * shortlist 20, exact re-rank.
+    */
+  private val pqSearchCte =
+    """adc AS (SELECT l.q_id, e2.vec_id, SUM(l.d2) AS adc_d2
                FROM enc e2 JOIN qlut l ON l.s = e2.s AND l.code = e2.code
                WHERE e2.vec_id <> l.q_id
                GROUP BY 1, 2),
@@ -301,11 +326,61 @@ object VectorQueries {
                    JOIN norms nc ON nc.vec_id = s2.vec_id
                    GROUP BY 1, 2)"""
 
+  /** [[pqFitCte]] with every CTE name prefixed `pq_`, so it composes
+    * with [[ivfAssignCte]] in one WITH clause (the two replays share
+    * names — pool, pdot, pd, p1..p3, cnorm — because they share the
+    * farthest-point idiom). Token-exact rename: `\b`-delimited, so
+    * column names and aliases (s, v, code, cc, rn) are untouched.
+    */
+  private val pqFitCteRenamed: String =
+    Seq("sflat", "snorm", "c0", "sd0", "poolc", "pool", "pdot", "pd",
+      "p1", "p2m", "p2", "p3m", "p3", "cb", "cvec", "cnorm", "xdot",
+      "enc", "qlut")
+      .foldLeft(pqFitCte)((s, n) => s.replaceAll("\\b" + n + "\\b", "pq_" + n))
+
   val oracles: Map[String, String] = Map(
     "q108_pq_adc" ->
       s"""WITH $quantCte,
-         $pqCte
+         $pqFitCte,
+         $pqSearchCte
          SELECT q_id, rnk, CAST(d2 AS BIGINT) AS d2, vec_id FROM (
+           SELECT q_id, vec_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY d2, vec_id) AS BIGINT) AS rnk
+           FROM refined) WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // the IVF x PQ composition (IvfPq.searchIndex): coarse cells and
+    // probe selection replayed by ivfAssignCte (same as q61), PQ fit /
+    // encode / LUT replayed by the pq_-renamed q108 CTEs, then the
+    // cell-restricted tail: ADC only over candidates in the query's 2
+    // probed cells, shortlist 20, exact re-rank, top 5
+    "q110_ivfpq_index" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         $pqFitCteRenamed,
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         cand AS (SELECT p.q_id, a.vec_id FROM probes p
+                  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         adc AS (SELECT c.q_id, c.vec_id, SUM(l.d2) AS adc_d2
+                 FROM cand c JOIN pq_enc e2 ON e2.vec_id = c.vec_id
+                 JOIN pq_qlut l ON l.q_id = c.q_id AND l.s = e2.s AND l.code = e2.code
+                 GROUP BY 1, 2),
+         short AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_d2, vec_id) AS srn
+                    FROM adc) WHERE srn <= 20),
+         refined AS (SELECT s2.q_id, s2.vec_id,
+                       MAX(nq.nn) - 2*SUM(fq.v * fc.v) + MAX(nc.nn) AS d2
+                     FROM short s2
+                     JOIN flat fq ON fq.vec_id = s2.q_id
+                     JOIN flat fc ON fc.vec_id = s2.vec_id AND fc.i = fq.i
+                     JOIN norms nq ON nq.vec_id = s2.q_id
+                     JOIN norms nc ON nc.vec_id = s2.vec_id
+                     GROUP BY 1, 2)
+         SELECT q_id, rnk, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
            SELECT q_id, vec_id, d2,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY d2, vec_id) AS BIGINT) AS rnk

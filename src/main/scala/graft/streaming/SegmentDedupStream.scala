@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.SegmentDedup
+import graft.ops.{IncrementalDedup, SegmentDedup, ShardedBloom}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,5 +73,132 @@ object SegmentDedupStream {
     SegmentDedup.reassemble(segs, kept, idCol)
       .write.mode("append").parquet(outPath)
     kept.select("seg_fp").write.mode("append").parquet(storePath)
+  }
+
+  // ---------------------------------------------------------------
+  // XL-history variant: file-backed sharded-bloom routing
+  // ---------------------------------------------------------------
+
+  /** [[start]] for a segment history too large to anti-join per batch:
+    * the cross-batch membership check routes through a standing
+    * file-backed [[ShardedBloom]] family
+    * ([[IncrementalDedup.dedupAgainstShardedPath]]) instead of
+    * shuffling the full fingerprint store on every micro-batch.
+    *
+    * Store layout under `storeRoot`:
+    * {{{
+    *   fps/epoch=K/    accepted segment fps (long fp60), partitioned
+    *                   by the family epoch they arrived DURING
+    *   bloom/epochK/   the sharded family built over every fp accepted
+    *                   BEFORE epoch K began (shard files, immutable)
+    * }}}
+    *
+    * Per batch at epoch K: fps covered by the family (`epoch < K`)
+    * are routed through the file-backed probe — bloom-NO rows skip the
+    * join entirely, maybe-dups resolve exactly against the covered
+    * partitions; fps accepted SINCE the family was built (`epoch = K`,
+    * the delta — small by the rotation bound) resolve by a broadcast
+    * anti-join. Exactness is the [[IncrementalDedup]] contract: the
+    * bloom only routes, joins decide, and the delta join closes the
+    * family's blind spot for post-epoch fingerprints — no false
+    * negative at any point in the cadence.
+    *
+    * Rotation (the [[ShardedBloom.maintainEpoch]] discipline, keyed on
+    * delta growth rather than realized fpp — a FILE family never
+    * admits in place, so its fpp cannot drift; what grows is the
+    * unbloomed delta): when the delta passes `rotateDeltaRows`, the
+    * whole store rebuilds into `bloom/epoch(K+1)` via
+    * [[ShardedBloom.buildToPath]] (task-to-disk, never assembled in a
+    * JVM, sized for the store with 1.3x headroom) and subsequent fps
+    * land in `fps/epoch=K+1`. Old epochs stay intact — restart-safe
+    * (the current epoch is re-derived from the bloom root) and
+    * concurrent-reader-safe (immutable shard files).
+    */
+  def startSharded(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int, storeRoot: String, outPath: String,
+                   checkpointDir: String, numShards: Int = 8,
+                   rotateDeltaRows: Long = 1000000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          applyBatchSharded(batch, idCol, textCol, segTokens, storeRoot,
+            outPath, numShards, rotateDeltaRows)
+      }
+      .start()
+
+  /** One micro-batch of the sharded loop; also the unit the spec
+    * replays. Cumulative output over monotone batches equals
+    * [[SegmentDedup.dedupSegments]] on the union — across rotations
+    * (StreamingSegmentDedupSpec).
+    */
+  def applyBatchSharded(batch: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int, storeRoot: String, outPath: String,
+                        numShards: Int = 8,
+                        rotateDeltaRows: Long = 1000000L): Unit = {
+    val spark = batch.sparkSession
+    val fpsDir = s"$storeRoot/fps"
+    val bloomRoot = s"$storeRoot/bloom"
+
+    // current epoch = highest existing family (re-derived per batch
+    // from the filesystem: restart-safe, no driver state)
+    val epoch = {
+      val root = new org.apache.hadoop.fs.Path(bloomRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 1
+      else fs.listStatus(root).map(_.getPath.getName).collect {
+        case n if n.startsWith("epoch") &&
+          n.stripPrefix("epoch").forall(_.isDigit) &&
+          n.length > 5 => n.stripPrefix("epoch").toInt
+      }.foldLeft(1)(math.max)
+    }
+
+    val segs = SegmentDedup.segments(batch, idCol, textCol, segTokens)
+    val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
+    val inBatch = segs
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .withColumn("seg_fp", IncrementalDedup.fp60(col("seg")))
+
+    val store: DataFrame =
+      try spark.read.parquet(fpsDir).select("seg_fp", "epoch")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(col("id").as("seg_fp"),
+          col("id").cast("int").as("epoch")).where(lit(false))
+      }
+
+    // family-covered history (partition-pruned read) vs the delta the
+    // family has never seen
+    val covered = store.where(col("epoch") < epoch).select("seg_fp")
+    val delta = store.where(col("epoch") === epoch).select("seg_fp")
+
+    val vsCovered =
+      if (epoch == 1) {
+        // bootstrap: no family yet — the delta IS the whole store and
+        // the broadcast anti-join below does all the work
+        inBatch
+      } else
+        IncrementalDedup.dedupAgainstShardedPath(inBatch, covered,
+          "seg_fp", s"$bloomRoot/epoch$epoch")
+    val kept = vsCovered
+      .join(broadcast(delta.distinct()), Seq("seg_fp"), "left_anti")
+      .localCheckpoint(true)
+
+    SegmentDedup.reassemble(segs, kept, idCol)
+      .write.mode("append").parquet(outPath)
+    kept.select("seg_fp").withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("epoch").parquet(fpsDir)
+
+    // rotation cadence: the delta (post-append) is what the per-batch
+    // broadcast join pays for; fold it into a fresh family once it
+    // outgrows the bound
+    val deltaRows = spark.read.parquet(fpsDir)
+      .where(col("epoch") === epoch).count()
+    if (deltaRows > rotateDeltaRows) {
+      val all = spark.read.parquet(fpsDir).select("seg_fp")
+      val expected = math.max(math.ceil(all.count() * 1.3).toLong, 1L)
+      ShardedBloom.buildToPath(all, "seg_fp", expected,
+        s"$bloomRoot/epoch${epoch + 1}", numShards = numShards)
+    }
   }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import graft.ops.{IvfPq, Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 separated direction clusters in 8 dims (IvfSpec's fixture). */
+  private def clustered = {
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val v = base(c).clone()
+      (0 until 8).foreach { d =>
+        v(d) = v(d) + (((c * 1315423911L + i * 2654435761L + d * 97L) % 100) / 100.0f)
+      }
+      ((c * 50 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def tmpIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ivfpq_$tag")
+      .resolve("idx").toString
+
+  test("index stores codes only; probe prunes cells statically") {
+    val corpus = clustered
+    val model = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4)
+    val path = tmpIdx("schema")
+    IvfPq.writeIndex(corpus, "vec_id", model, path)
+
+    // the compression claim, checked at the storage layer: the on-disk
+    // schema is (vec_id, codes) + the cell partition column — no
+    // embedding, no quantized vector
+    val onDisk = spark.read.parquet(path)
+    assert(onDisk.columns.sorted.toSeq == Seq("cell", "codes", "vec_id"),
+      onDisk.columns.mkString(","))
+    val cellDirs = new java.io.File(path)
+      .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 4, cellDirs.mkString(","))
+
+    // probe must carry a static cell partition filter (pruned read)
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val probe = IvfPq.searchIndex(spark, path, corpus, queries, "vec_id",
+      model, topK = 5, nProbe = 1)
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("cell") &&
+      (scanLine.contains(" IN ") || scanLine.contains("INSET")),
+      s"expected static cell pruning in scan:\n$scanLine")
+  }
+
+  test("all-cells probe over the index equals full-corpus ADC-refined search") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val model = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4)
+    val path = tmpIdx("equiv")
+    IvfPq.writeIndex(corpus, "vec_id", model, path)
+
+    // with every cell probed, the index path is the SAME computation
+    // as Pq.searchAdcRefinedQuantized over the whole corpus (the codes
+    // and LUT are pure functions of the same model) — byte-identical
+    val viaIndex = IvfPq.searchIndex(spark, path, corpus, queries, "vec_id",
+      model, topK = 5, nProbe = 4, refine = 4)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val inMemory = Pq.searchAdcRefinedQuantized(corpus, queries, "vec_id",
+      model.pq, topK = 5, refine = 4)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaIndex == inMemory)
+  }
+
+  test("nProbe=1 probe keeps exact-L2 recall on separated clusters") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val model = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4)
+    val path = tmpIdx("recall")
+    IvfPq.writeIndex(corpus, "vec_id", model, path)
+
+    val vecs = Similarity.withQuantized(corpus, "embedding")
+      .select(col("vec_id"), col("ei")).as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def exactTopK(q: Long, k: Int): Seq[Long] =
+      vecs.collect { case (id, v) if id != q => (d2(vecs(q), v), id) }
+        .toSeq.sorted.take(k).map(_._2)
+
+    val got = IvfPq.searchIndex(spark, path, corpus, queries, "vec_id",
+      model, topK = 10, nProbe = 1, refine = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // same bound as PqSpec's refined search: the coarse prune must not
+    // cost recall when the query's cluster maps to one cell
+    val hits = got.map { case (q, ids) => (ids & exactTopK(q, 10).toSet).size }.sum
+    assert(hits.toDouble / (10 * got.size) >= 0.9,
+      s"recall ${hits.toDouble / (10 * got.size)}")
+    // and exact re-rank output is the exact integer distance
+    val d2s = IvfPq.searchIndex(spark, path, corpus, queries, "vec_id",
+      model, topK = 3, nProbe = 1).select("q_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect()
+    d2s.foreach { case (q, id, d) =>
+      assert(d == d2(vecs(q), vecs(id)), s"d2($q,$id)") }
+  }
+
+  test("append + search equals full rebuild; maintain refits both levels") {
+    val first = clustered.where($"vec_id" % 2 === 0)
+    val rest = clustered.where($"vec_id" % 2 =!= 0)
+    val model = IvfPq.fit(first, "vec_id", nLists = 4, m = 4, k = 4)
+    val queries = clustered.where($"vec_id" % 50 === 0)
+
+    val inc = tmpIdx("inc")
+    IvfPq.writeIndex(first, "vec_id", model, inc)
+    IvfPq.appendIndex(rest, "vec_id", model, inc)
+    val full = tmpIdx("full")
+    IvfPq.writeIndex(clustered, "vec_id", model, full)
+    val a = IvfPq.searchIndex(spark, inc, clustered, queries, "vec_id",
+      model, topK = 5, nProbe = 2).orderBy("q_id", "rnk").collect().toSeq
+    val b = IvfPq.searchIndex(spark, full, clustered, queries, "vec_id",
+      model, topK = 5, nProbe = 2).orderBy("q_id", "rnk").collect().toSeq
+    assert(a == b)
+
+    // healthy tick: nothing rebuilt, model unchanged, directory intact
+    val before = new java.io.File(inc).lastModified()
+    val healthy = IvfPq.maintain(spark, inc, clustered, "vec_id", model,
+      nLists = 4, m = 4, k = 4, threshold = 1e9)
+    assert(!healthy.rebuilt && healthy.model == model)
+
+    // forced rebuild (threshold below any real imbalance): the swapped
+    // index under the refit model serves exactly a fresh fit + build
+    val rep = IvfPq.maintain(spark, inc, clustered, "vec_id", model,
+      nLists = 4, m = 4, k = 4, threshold = 0.0)
+    assert(rep.rebuilt)
+    val freshModel = IvfPq.fit(clustered, "vec_id", nLists = 4, m = 4, k = 4)
+    assert(rep.model == freshModel)
+    val fresh = tmpIdx("fresh")
+    IvfPq.writeIndex(clustered, "vec_id", freshModel, fresh)
+    val viaMaintained = IvfPq.searchIndex(spark, inc, clustered, queries,
+      "vec_id", rep.model, topK = 5, nProbe = 2)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val viaFresh = IvfPq.searchIndex(spark, fresh, clustered, queries,
+      "vec_id", freshModel, topK = 5, nProbe = 2)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaMaintained == viaFresh)
+    assert(before > 0L) // directory existed before the cadence ticked
+  }
+}

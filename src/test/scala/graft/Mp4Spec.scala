@@ -30,7 +30,8 @@ class Mp4Spec extends SparkSpec {
   test("keyframe byte ranges: single chunk at the documented offset") {
     val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys)
     val info = Mp4.parse(d).get
-    val base = 412L + 4 * sizes.length + 4 * keys.length
+    // 436 = the 412 fixed header bytes + the 24-byte one-run stts
+    val base = 436L + 4 * sizes.length + 4 * keys.length
     // sample k's offset = chunk base + sizes of samples before it
     assert(info.keyframeOffsets.toSeq ==
       Seq(base, base + 10 + 20, base + 10 + 20 + 30 + 40))
@@ -70,6 +71,58 @@ class Mp4Spec extends SparkSpec {
     assert(info.allKeyframes && info.nSamples == 6)
     assert(info.keyframeSamples.toSeq == Seq(1, 2, 3, 4, 5, 6))
     assert(info.keyframeSizes.toSeq == sizes.toSeq)
+  }
+
+  test("stts round-trip: uniform default is one run; explicit deltas RLE and time samples exactly") {
+    // uniform default: durationTicks/n per sample, one run
+    val u = Mp4.parse(Mp4.build(64, 64, 1000L, 6000L, "avc1", sizes, keys)).get
+    assert(u.mediaTimescale == 1000L)
+    // delta = 6000/6 = 1000 ticks = 1000 ms; keyframes 1,3,5 decode at
+    // 0, 2000, 4000 ms
+    assert(u.keyframeTimesMs.toSeq == Seq(0L, 2000L, 4000L))
+
+    // explicit non-uniform deltas: 4 fast samples (100 ticks) then 2
+    // slow (2800 ticks) -> two RLE runs; cumulative-sum times
+    val deltas = Array(100L, 100L, 100L, 100L, 2800L, 2800L)
+    val d = Mp4.build(64, 64, 1000L, 6000L, "avc1", sizes, keys,
+      sampleDeltas = deltas)
+    val info = Mp4.parse(d).get
+    // sample s decodes at sum(deltas(0..s-2)): s1=0, s3=200, s5=400
+    assert(info.keyframeTimesMs.toSeq == Seq(0L, 200L, 400L))
+    // all six samples when stss is stripped: 0,100,200,300,400,3200
+    val all = Mp4.parse(stripBox(d, "stss")).get
+    assert(all.keyframeTimesMs.toSeq ==
+      Seq(0L, 100L, 200L, 300L, 400L, 3200L))
+    // a media timescale other than 1000 rescales to ms exactly
+    val ts = Mp4.parse(Mp4.build(64, 64, 90000L, 540000L, "avc1", sizes,
+      keys)).get // 90 kHz, 90000 ticks/sample
+    assert(ts.keyframeTimesMs.toSeq == Seq(0L, 2000L, 4000L))
+
+    // stripping stts yields NO times (and never throws) — the
+    // index-even fallback contract
+    val noStts = Mp4.parse(stripBox(d, "stts")).get
+    assert(noStts.keyframeTimesMs.isEmpty)
+    assert(noStts.keyframeSamples.toSeq == Seq(1, 3, 5)) // rest intact
+  }
+
+  test("time-even keyframe sampling spends the budget across time, not bursts") {
+    // 8 samples, all keyframes; 4 cluster in the first 40 ticks, 4
+    // spread over the remaining ~4 s
+    val sz = Array(10, 10, 10, 10, 10, 10, 10, 10)
+    val kf = Array(1, 2, 3, 4, 5, 6, 7, 8)
+    val deltas = Array(10L, 10L, 10L, 10L, 1000L, 1000L, 1000L, 1000L)
+    val d = Mp4.build(64, 64, 1000L, 4040L, "avc1", sz, kf,
+      sampleDeltas = deltas)
+    val ds = Seq(MediaRecord(1L, "video", d)).toDS()
+    val got = Multimodal.sampleKeyframes(ds, k = 4).head()
+    // times: 0,10,20,30,40,1040,2040,3040; span 3040, targets 0,760,
+    // 1520,2280 -> samples 1,6,7,8 — index-even (1,3,5,7) would burn
+    // three picks inside the 40-tick burst
+    assert(got.samples.toSeq == Seq(1, 6, 7, 8))
+    assert(got.times_ms.toSeq == Seq(0L, 1040L, 2040L, 3040L))
+    // determinism: same input, same picks
+    assert(Multimodal.sampleKeyframes(ds, k = 4).head().samples.toSeq ==
+      got.samples.toSeq)
   }
 
   test("hostile inputs never throw: truncation, lying size, inflated counts") {

@@ -84,6 +84,65 @@ class ShardedBloomSpec extends SparkSpec {
     }
   }
 
+  test("saturation cadence: healthy tick touches nothing; a saturated family rotates to an epoch that equals a fresh build") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("sharded_epoch").toString
+    val dir = root + "/epoch1"
+
+    // correctly-sized family: realized fpp stays at/below target, the
+    // cadence must not rotate, the serving dir must be unchanged, and
+    // no next-epoch directory may appear
+    ShardedBloom.buildToPath(hist, "fp", 5000L, dir, 0.01, numShards = 4)
+    val healthy = ShardedBloom.maintainEpoch(spark, hist, "fp", dir)
+    assert(!healthy.rotated && healthy.dir == dir)
+    assert(healthy.realizedFpp <= 4.0 * 0.01,
+      s"healthy family reads saturated: ${healthy.realizedFpp}")
+    assert(!JFiles.exists(Paths.get(root + "/epoch2")))
+
+    // grossly undersized family (50 expected, 5000 admitted): realized
+    // fpp ~1, the cadence must rotate into epoch2, and the rebuilt
+    // epoch must be BYTE-identical to a fresh buildToPath over the same
+    // history with the same sizing (deterministic build)
+    val sat = root + "/sat1"
+    ShardedBloom.buildToPath(hist, "fp", 50L, sat, 0.01, numShards = 4)
+    val report = ShardedBloom.maintainEpoch(spark, hist, "fp", sat)
+    assert(report.rotated && report.dir == root + "/sat2")
+    assert(report.realizedFpp > 0.5, s"expected saturation: $report")
+
+    val fresh = root + "/fresh"
+    val expected = math.ceil(hist.count() * 1.3).toLong
+    ShardedBloom.buildToPath(hist, "fp", expected, fresh, 0.01, numShards = 4)
+    (0 until 4).foreach { s =>
+      val a = JFiles.readAllBytes(Paths.get(
+        s"${report.dir}/shard-${"%05d".format(s)}.bloom"))
+      val b = JFiles.readAllBytes(Paths.get(
+        s"$fresh/shard-${"%05d".format(s)}.bloom"))
+      assert(java.util.Arrays.equals(a, b), s"shard $s differs from fresh build")
+    }
+    assert(ShardedBloom.meta(report.dir) == ShardedBloom.meta(fresh))
+
+    // the rotated epoch probes exactly like the anti-join (dedup
+    // equivalence carries over to the new dir)
+    val want = batch.join(hist, Seq("fp"), "left_anti")
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    val got = IncrementalDedup.dedupAgainstShardedPath(batch, hist, "fp",
+      report.dir).select("key", "fp").orderBy("fp").collect().toSeq
+    assert(got == want)
+
+    // the old epoch dir is untouched (immutable-epoch contract):
+    // concurrent probes keep working against it
+    assert(JFiles.exists(Paths.get(sat + "/_meta")))
+    Seq(dir, sat, report.dir, fresh).foreach(ShardedBloomFiles.invalidate)
+  }
+
+  test("nextEpochDir increments a trailing integer, appends 2 otherwise") {
+    assert(ShardedBloom.nextEpochDir("/a/b/epoch1") == "/a/b/epoch2")
+    assert(ShardedBloom.nextEpochDir("/a/b/epoch9/") == "/a/b/epoch10")
+    assert(ShardedBloom.nextEpochDir("/a/b/epoch199") == "/a/b/epoch200")
+    assert(ShardedBloom.nextEpochDir("/a/b/blooms") == "/a/b/blooms2")
+    assert(ShardedBloom.nextEpochDir("epoch3") == "epoch4")
+  }
+
   test("copy() is a deep clone: mutating the copy leaves the original intact") {
     val family = ShardedBloom.create(1000L, 0.01, numShards = 3)
     val clone = family.copy()

@@ -36,6 +36,44 @@ class StreamingSegmentDedupSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 >= 1000000L && r._3 < r._2))
   }
 
+  test("sharded-bloom loop equals the batch op across an epoch rotation") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val plants = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, " +
+          "greatest((size(split(lower(trim(text)), '\\\\s+')) * 4) div 5, 1)))")
+          .as("text"))
+    val b1 = docs.where(col("doc_id") < 200)
+    val b2 = docs.where(col("doc_id") >= 200 && col("doc_id") < 400)
+    val b3 = docs.where(col("doc_id") >= 400).unionAll(plants)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_segshard").toString
+    val (root, out) = (s"$base/store", s"$base/out")
+    // rotateDeltaRows tiny: batch 1's fps alone exceed it, so batch 2
+    // runs at epoch 2 (file-backed probe + delta join) and batch 3 at
+    // epoch 3 — the equivalence below spans two rotations
+    Seq(b1, b2, b3).foreach(SegmentDedupStream.applyBatchSharded(
+      _, "doc_id", "text", 10, root, out, numShards = 4,
+      rotateDeltaRows = 50L))
+
+    // rotations actually happened: epoch-2 and epoch-3 families exist
+    assert(new java.io.File(s"$root/bloom/epoch2/_meta").isFile)
+    assert(new java.io.File(s"$root/bloom/epoch3/_meta").isFile)
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_segs", "n_kept", "clean_fp")
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    val batch = SegmentDedup.dedupSegments(
+        b1.unionAll(b2).unionAll(b3), "doc_id", "text", segTokens = 10)
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    // cross-batch dedup fired on the planted truncations
+    assert(streamed.exists(r => r._1 >= 1000000L && r._3 < r._2))
+    Seq(2, 3).foreach(e =>
+      graft.ops.ShardedBloomFiles.invalidate(s"$root/bloom/epoch$e"))
+  }
+
   test("the foreachBatch wrapper drives the same loop end-to-end") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text").where(col("doc_id") < 100)
