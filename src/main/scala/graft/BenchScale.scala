@@ -180,6 +180,7 @@ object BenchScale {
     // recovery path an append-only index needs). Build/append/rebuild
     // mutate the index directory, so they are timed single-run; the
     // idempotent health probe gets the usual min-of-2 below.
+    var ivfServingModel: graft.ops.Ivf.Model = null
     val ivfOps: Seq[(String, Double)] = {
       def once(name: String)(action: => Unit): (String, Double) =
         timeOnce(name)(action)
@@ -216,11 +217,51 @@ object BenchScale {
         val rep = graft.ops.Ivf.maintain(spark, idx, "vec_id", model,
           nLists = 16, threshold = 1.0, iterations = 2, fitSample = 0.02)
         require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")
+        ivfServingModel = rep.model // the model now serving ivf_idx
       }
       Seq(fitT, buildT, appendT, probeT, rebuildT)
     }
 
-    val results = ivfOps ++ Seq(
+    // IVF x PQ two-level index on the same corpus: the codes-only
+    // index (m=8 codes/row vs 64 floats) vs the full-embedding IVF
+    // index — build cost, probe cost, and on-disk bytes (the
+    // compression claim measured, not asserted; sizes print as
+    // IVFPQ_BYTES and land in the README)
+    val ivfPqOps: Seq[(String, Double)] = {
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+        walk(new java.io.File(p))
+      }
+      val idx = s"$tmp/ivfpq_idx"
+      var model: graft.ops.IvfPq.Model = null
+      val fitT = timeOnce("ivfpq_fit_sample") {
+        model = graft.ops.IvfPq.fit(
+          embBig.sample(withReplacement = false, 0.02, seed = 7L),
+          "vec_id", nLists = 16, m = 8, k = 16, oversample = 4)
+      }
+      val buildT = timeOnce("ivfpq_index_build") {
+        graft.ops.IvfPq.writeIndex(embBig, "vec_id", model, idx)
+      }
+      val probeT = time("ivfpq_index_probe") {
+        graft.ops.IvfPq.searchIndex(spark, idx, embBig,
+          emb.where(col("vec_id") < 5), "vec_id", model,
+          topK = 5, nProbe = 2).count()
+      }
+      // the full-embedding IVF index probe over the SAME queries/nProbe
+      // (ivf_idx as left by the maintain rebuild, under its serving
+      // model — no fit inside the timed block)
+      val fullProbeT = time("ivf_index_probe") {
+        graft.ops.Ivf.searchIndex(spark, s"$tmp/ivf_idx",
+          emb.where(col("vec_id") < 5),
+          "vec_id", ivfServingModel, k = 5, nProbe = 2).count()
+      }
+      println(s"IVFPQ_BYTES full=${dirBytes(s"$tmp/ivf_idx")} " +
+        s"codes=${dirBytes(idx)}")
+      Seq(fitT, buildT, probeT, fullProbeT)
+    }
+
+    val results = ivfOps ++ ivfPqOps ++ Seq(
       time("agg_decimal") {
         liBig.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))

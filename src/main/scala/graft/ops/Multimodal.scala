@@ -530,7 +530,10 @@ object Multimodal {
                 val target = t0 + span * j / take
                 var i = math.max(last + 1, 0)
                 while (i < nk - 1 && times(i) < target) i += 1
-                if (i > last) { sel += i; last = i }
+                // i == nk when the last keyframe is already picked and
+                // targets remain (duplicate timestamps collapse picks);
+                // the budget just goes unspent — never index past nk-1
+                if (i < nk && i > last) { sel += i; last = i }
                 j += 1
               }
               sel.result()

@@ -129,10 +129,24 @@ object Pq {
   }
 
   /** The `m`-code encode of a pre-quantized `ei` column: per subspace,
-    * argmin over the broadcast codebook literal — a pure narrow map.
-    * Shared by [[encodeQuantized]] and the [[IvfPq]] index writer.
+    * argmin over the broadcast codebook — a pure narrow map. Shared by
+    * [[encodeQuantized]] and the [[IvfPq]] index writer.
+    *
+    * Runs as the native [[graft.functions.PqEncodeCodes]] expression:
+    * the HOF formulation below is CodegenFallback (every transform
+    * lambda interpreted) and measured ~50x slower at m=8/k=16
+    * (111 s -> ~2 s for a 2.56M-row index build). Exact-equal output
+    * (same integer argmin, same tie rule — parity spec in PqSpec).
     */
   def codesColumn(ei: Column, model: QuantCodebook): Column =
+    graft.functions.PqEncodeCodes.codes(ei, model.m, model.width,
+      model.centroids.map(_.sortBy(_._1).map(_._2.toArray).toArray).toArray)
+
+  /** The HOF reference formulation of [[codesColumn]], kept for the
+    * native twin's parity spec (the established MinHash-family
+    * pattern).
+    */
+  private[graft] def codesColumnHof(ei: Column, model: QuantCodebook): Column =
     array((0 until model.m).map { s =>
       array_min(scoredCodes(slice(ei, s * model.width + 1, model.width),
         model, s)).getField("code")

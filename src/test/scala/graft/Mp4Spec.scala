@@ -125,6 +125,25 @@ class Mp4Spec extends SparkSpec {
       got.samples.toSeq)
   }
 
+  test("time-even sampling: duplicate timestamps collapse picks, never index out") {
+    // zero-delta run puts samples 1-3 all at t=0 and sample 4 at
+    // t=100: target 25 jumps straight to the LAST index at j=1, and
+    // the remaining budget must collapse (not index past the array)
+    val sz = Array(10, 10, 10, 10)
+    val kf = Array(1, 2, 3, 4)
+    val deltas = Array(0L, 0L, 100L, 0L)
+    val d = Mp4.build(64, 64, 1000L, 100L, "avc1", sz, kf,
+      sampleDeltas = deltas)
+    val info = Mp4.parse(d).get
+    assert(info.keyframeTimesMs.toSeq == Seq(0L, 0L, 0L, 100L))
+    val ds = Seq(MediaRecord(1L, "video", d)).toDS()
+    val got = Multimodal.sampleKeyframes(ds, k = 4).head()
+    // picks: j=0 -> index 0; j=1 (target 25) -> index 3 (the first at
+    // or past it); j=2,3 have nothing left — budget goes unspent
+    assert(got.samples.toSeq == Seq(1, 4))
+    assert(got.times_ms.toSeq == Seq(0L, 100L))
+  }
+
   test("hostile inputs never throw: truncation, lying size, inflated counts") {
     val d = Mp4.build(64, 64, 1000L, 1000L, "avc1", sizes, keys)
     // truncate at every byte boundary of the header region

@@ -92,6 +92,22 @@ class PqSpec extends SparkSpec {
     assert(again == once)
   }
 
+  test("native encode expression matches the HOF reference bit-for-bit") {
+    val model = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
+    val q = Similarity.withQuantized(clustered, "embedding")
+    val both = q.select(col("vec_id"),
+      Pq.codesColumn(col("ei"), model).as("native"),
+      Pq.codesColumnHof(col("ei"), model).as("hof"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    assert(both.length == 200)
+    both.foreach { case (id, n, h) => assert(n == h, s"vec $id") }
+    // a short vector zero-pads instead of throwing (argmin unchanged
+    // up to the shared |x|^2 constant -- scaladoc contract)
+    val short = Seq((1L, Seq(1000000L, 2000000L))).toDF("vec_id", "ei")
+      .select(Pq.codesColumn(col("ei"), model)).head().getSeq[Int](0)
+    assert(short.length == 4 && short.forall(c => c >= 0 && c < 4))
+  }
+
   test("codes compress the index payload: m small ints per vector") {
     val model = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
     val enc = Pq.encodeQuantized(clustered, model)

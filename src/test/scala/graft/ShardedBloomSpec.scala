@@ -135,6 +135,29 @@ class ShardedBloomSpec extends SparkSpec {
     Seq(dir, sat, report.dir, fresh).foreach(ShardedBloomFiles.invalidate)
   }
 
+  test("buildToPath is byte-deterministic: the rename-commit loser-discard assumption") {
+    // the attempt-unique temp + rename commit discards a losing
+    // attempt's file on the grounds that a retry/speculative attempt
+    // of the same shard task produced IDENTICAL bytes; pin that
+    // assumption — two independent builds over the same history must
+    // emit byte-identical shard files (bloom bitsets are insertion-
+    // order-independent ORs, and the shard shuffle is value-routed)
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("sharded_determ").toString
+    ShardedBloom.buildToPath(hist, "fp", 5000L, s"$root/a", 0.01, numShards = 4)
+    ShardedBloom.buildToPath(
+      hist.repartition(7), // different upstream partitioning on purpose
+      "fp", 5000L, s"$root/b", 0.01, numShards = 4)
+    (0 until 4).foreach { s =>
+      val f = f"shard-$s%05d.bloom"
+      assert(java.util.Arrays.equals(
+        JFiles.readAllBytes(Paths.get(s"$root/a/$f")),
+        JFiles.readAllBytes(Paths.get(s"$root/b/$f"))), s"shard $s differs")
+    }
+    assert(ShardedBloom.meta(s"$root/a") == ShardedBloom.meta(s"$root/b"))
+    Seq(s"$root/a", s"$root/b").foreach(ShardedBloomFiles.invalidate)
+  }
+
   test("nextEpochDir increments a trailing integer, appends 2 otherwise") {
     assert(ShardedBloom.nextEpochDir("/a/b/epoch1") == "/a/b/epoch2")
     assert(ShardedBloom.nextEpochDir("/a/b/epoch9/") == "/a/b/epoch10")
