@@ -119,9 +119,7 @@ object IvfPq {
     val sw = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
     val short = idx.join(broadcast(q), Seq("cell"))
       .where(col(idCol) =!= col("q_id"))
-      .withColumn("adc_d2",
-        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
-          "0L, (a, x) -> a + x)"))
+      .withColumn("adc_d2", Pq.adcDistance(col("codes"), col("lut")))
       .withColumn("srnk", row_number().over(sw))
       .where(col("srnk") <= topK * refine)
       .select(col("q_id"), col(idCol), col("qe"), col("qn"))

@@ -167,6 +167,19 @@ object Pq {
       }: _*)
     }: _*)
 
+  /** ADC distance of a candidate's codes column against the query's
+    * in-plan LUT column — the probe's hot loop (candidates x queries
+    * rows), as the native [[graft.functions.PqAdcDistance]]
+    * expression. The HOF reference below is CodegenFallback and kept
+    * for the parity spec.
+    */
+  def adcDistance(codes: Column, lut: Column): Column =
+    graft.functions.PqAdcDistance.distance(codes, lut)
+
+  private[graft] def adcDistanceHof(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, r) => element_at(r, c + lit(1))),
+      lit(0L), (a, x) => a + x)
+
   /** Encode every row to its `m` nearest-centroid codes: a pure
     * narrow map over broadcast codebook literals — NO exchange in the
     * plan (pinned by PqSpec). Output keeps the quantized columns
@@ -196,9 +209,7 @@ object Pq {
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col(idCol).asc)
     codes.crossJoin(broadcast(qlut))
       .where(col(idCol) =!= col("q_id"))
-      .withColumn("adc_d2",
-        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
-          "0L, (a, x) -> a + x)"))
+      .withColumn("adc_d2", adcDistance(col("codes"), col("lut")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .where(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col(idCol), col("adc_d2"))
@@ -227,9 +238,7 @@ object Pq {
     val ew = Window.partitionBy("q_id").orderBy(col("d2").asc, col(idCol).asc)
     codes.crossJoin(broadcast(qlut))
       .where(col(idCol) =!= col("q_id"))
-      .withColumn("adc_d2",
-        expr("aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), " +
-          "0L, (a, x) -> a + x)"))
+      .withColumn("adc_d2", adcDistance(col("codes"), col("lut")))
       .withColumn("srnk", row_number().over(sw))
       .where(col("srnk") <= topK * refine)
       .withColumn("d2",

@@ -25,8 +25,17 @@ import org.apache.spark.sql.types.LongType
   */
 object Similarity {
 
-  /** Quantize array<float> -> array<long> at 1e-6 resolution. */
+  /** Quantize array<float> -> array<long> at 1e-6 resolution — the
+    * native codegen'd loop ([[graft.functions.QuantizeMicro]]). Sits
+    * at the mouth of every quantized op via [[withQuantized]], so it
+    * runs once per row SCANNED, not just per row kept; the HOF
+    * reference below is CodegenFallback (64 interpreted lambdas per
+    * row) and kept for the parity spec.
+    */
   def quantize(emb: Column): Column =
+    graft.functions.QuantizeMicro.quantize(emb)
+
+  private[graft] def quantizeHof(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast(LongType))
 
   /** Exact integer dot product of two array<long> columns — the

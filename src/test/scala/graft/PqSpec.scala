@@ -108,6 +108,56 @@ class PqSpec extends SparkSpec {
     assert(short.length == 4 && short.forall(c => c >= 0 && c < 4))
   }
 
+  test("native ADC distance matches the HOF chain, nulls included") {
+    val model = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
+    val codes = Pq.encodeQuantized(clustered, model)
+      .select(col("vec_id"), col("codes"))
+    val lut = Similarity.withQuantized(
+        clustered.where($"vec_id" % 50 === 0), "embedding")
+      .withColumn("lut", Pq.lutColumn(col("ei"), model))
+      .select(col("vec_id").as("q_id"), col("lut"))
+    val both = codes.crossJoin(lut)
+      .select(col("vec_id"), col("q_id"),
+        Pq.adcDistance(col("codes"), col("lut")).as("native"),
+        Pq.adcDistanceHof(col("codes"), col("lut")).as("hof"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(both.length == 800)
+    both.foreach { case (id, q, n, h) => assert(n == h, s"($q,$id)") }
+    // the HOF's null-producing shapes: length mismatch and an
+    // out-of-range code are NULL, not a wrong number
+    val bad = Seq(
+      (Seq(0, 1), Seq(Seq(10L, 20L))), // codes longer than lut
+      (Seq(9), Seq(Seq(10L, 20L)))) // code past the lut row
+      .toDF("codes", "lut")
+      .select(Pq.adcDistance(col("codes"), col("lut"))).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
+  test("native quantize matches the HOF round chain, half-up edges included") {
+    // fixture parity over the whole clustered corpus
+    val both = clustered.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("native"),
+      Similarity.quantizeHof(col("embedding")).as("hof"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.length == 200)
+    both.foreach { case (id, n, h) => assert(n == h, s"vec $id") }
+
+    // edge values: near-half points (representation decides the side —
+    // parity is the contract), exact integers, negatives, subnormals.
+    // Non-finite values are OUT of contract: under ANSI the HOF's
+    // long cast throws on NaN/Inf, so they never reached a quantized
+    // column anyway (embeddings are finite by contract)
+    val edges = Seq((1L, Array(1.5e-6f, -1.5e-6f, 2.5e-6f, -2.5e-6f,
+      0.0f, 1.0f, -1.0f, 4.9999997e-7f, Float.MinPositiveValue,
+      -Float.MinPositiveValue, 1.0e12f, -1.0e12f)))
+      .toDF("vec_id", "embedding")
+    val pair = edges.select(
+      Similarity.quantize(col("embedding")).as("native"),
+      Similarity.quantizeHof(col("embedding")).as("hof"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(pair._1 == pair._2, s"native ${pair._1} vs hof ${pair._2}")
+  }
+
   test("codes compress the index payload: m small ints per vector") {
     val model = Pq.fitQuantized(clustered, "vec_id", m = 4, k = 4)
     val enc = Pq.encodeQuantized(clustered, model)
