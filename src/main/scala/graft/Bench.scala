@@ -92,20 +92,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // full JSON string escaping: Spark exception messages routinely
-    // carry newlines (multi-line AnalysisException) and other control
-    // chars, any of which would make the artifact line invalid JSON
-    def jsonEscape(s: String): String = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < 0x20 => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // full JSON string escaping (shared impl — JsonLog.esc): Spark
+    // exception messages routinely carry newlines (multi-line
+    // AnalysisException) and other control chars, any of which would
+    // make the artifact line invalid JSON
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + jsonEscape(e) + "\""
+      "\"" + k + "\":\"" + graft.ops.JsonLog.esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // calibrated per-query overhead floor: the median wall of a

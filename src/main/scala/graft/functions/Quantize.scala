@@ -55,27 +55,44 @@ case class QuantizeMicro(child: Expression) extends UnaryExpression {
 
 object QuantizeMicro {
 
+  private def quantOne(v: Double): Long = {
+    val p = v * 1000000.0
+    // non-finite/overflowing values are OUT of contract (under ANSI
+    // the HOF's long cast throws on them, so they never reached a
+    // quantized column); degrade to JVM truncation instead of
+    // throwing — BigDecimal.valueOf would throw on NaN
+    if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p.toLong
+    else java.math.BigDecimal.valueOf(p)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
   /** Static entry shared by interpreted eval and codegen. Null
-    * elements pass through as nulls (transform semantics).
+    * elements pass through as nulls (transform semantics). The
+    * null-free case — every fixture embedding — fills a primitive
+    * long[] (unboxed UnsafeArrayData-backed result); this runs once
+    * per row SCANNED across every quantized op, so per-element boxing
+    * here would be ~10^8-10^10 avoidable allocations at bench scale.
     */
   def quant(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](n)
+    val prim = new Array[Long](n)
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val p = v * 1000000.0
-        // non-finite/overflowing values are OUT of contract (under
-        // ANSI the HOF's long cast throws on them, so they never
-        // reached a quantized column); degrade to JVM truncation
-        // instead of throwing — BigDecimal.valueOf would NPE on NaN
-        out(i) =
-          if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p.toLong
-          else java.math.BigDecimal.valueOf(p)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      }
+    while (i < n && !arr.isNullAt(i)) {
+      prim(i) = quantOne(
+        if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
       i += 1
+    }
+    if (i == n) return ArrayData.toArrayData(prim)
+    // first null seen at i: fall back to the boxed representation,
+    // keeping the prefix already computed
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < i) { out(j) = prim(j); j += 1 }
+    while (j < n) {
+      if (!arr.isNullAt(j))
+        out(j) = quantOne(
+          if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j))
+      j += 1
     }
     new GenericArrayData(out)
   }

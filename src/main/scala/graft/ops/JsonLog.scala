@@ -15,7 +15,11 @@ final case class LogContext(jobName: String, runId: Long,
 
 object JsonLog {
 
-  private def esc(s: String): String = s.flatMap {
+  /** JSON string escape (backslash, quote, all control chars) — the
+    * single shared implementation; Bench and Verify's artifact lines
+    * use it too, so an escaping fix lands everywhere at once.
+    */
+  private[graft] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

@@ -518,7 +518,13 @@ object Multimodal {
           val take = math.min(k, nk)
           val times = info.keyframeTimesMs
           val picked: Array[Int] =
-            if (times.length == nk && take > 0) {
+            if (take >= nk) {
+              // full budget: every keyframe, under either rule — the
+              // quantile scan could short-count here when timestamps
+              // repeat mid-array (first-at-or-past skips over
+              // duplicate-time frames), so the contract case is exact
+              Array.tabulate(nk)(identity)
+            } else if (times.length == nk && take > 0) {
               val t0 = times(0)
               val span = times(nk - 1) - t0
               // time-quantile targets; first-at-or-past, deduped while

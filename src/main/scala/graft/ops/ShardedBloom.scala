@@ -190,6 +190,25 @@ object ShardedBloom {
   def buildToPath(history: DataFrame, fpCol: String, expectedItems: Long,
                   dir: String, fpp: Double = 0.01,
                   numShards: Int = 8): Unit = {
+    // enforce epoch freshness up front. A COMMITTED family (_meta is
+    // always written last) is immutable by contract — rebuilding over
+    // it would serve mixed generations to the probe cache. UNCOMMITTED
+    // debris from a crashed build must be cleared: the rename-commit
+    // loser-discard below assumes byte-identical attempts, which holds
+    // within one job but NOT across builds over different histories —
+    // a stale shard file surviving into the new family would answer
+    // bloom-NO for fingerprints the new history contains (silent false
+    // negatives). No reader ever saw the debris (_meta commits last),
+    // so deleting it is safe.
+    val preFs = fsFor(dir)
+    val dirPath = new Path(dir)
+    if (preFs.exists(new Path(dir, "_meta")))
+      throw new java.io.IOException(
+        s"refusing to rebuild committed epoch $dir in place; epochs are " +
+          "immutable — build the next epoch to a fresh directory")
+    if (preFs.exists(dirPath) && !preFs.delete(dirPath, true))
+      throw new java.io.IOException(
+        s"failed to clear uncommitted build debris at $dir")
     val per = perShard(expectedItems, numShards)
     val written = shardPairs(history, fpCol, per, fpp, numShards)
       .map { case (s, b) =>
@@ -312,7 +331,12 @@ object ShardedBloom {
     *
     * Epoch naming: a trailing integer in the directory name increments
     * (`.../epoch1` -> `.../epoch2`); a name with no trailing integer
-    * gets `2` appended.
+    * gets `2` appended. A candidate that already exists COMMITTED
+    * (has `_meta` — e.g. a prior rotation whose caller never flipped)
+    * is skipped, never rebuilt over; uncommitted debris from a
+    * crashed rotation is cleared by [[buildToPath]]'s freshness
+    * enforcement, so a re-tick after a crash converges instead of
+    * committing a family with stale shards.
     */
   def maintainEpoch(spark: org.apache.spark.sql.SparkSession,
                     history: DataFrame, fpCol: String, dir: String,
@@ -324,7 +348,10 @@ object ShardedBloom {
     if (realized <= factor * targetFpp)
       EpochReport(realized, targetFpp, rotated = false, dir)
     else {
-      val next = nextEpochDir(dir)
+      val fs = fsFor(dir)
+      var next = nextEpochDir(dir)
+      while (fs.exists(new Path(next, "_meta")))
+        next = nextEpochDir(next)
       val expected = math.max(
         math.ceil(history.count() * headroom).toLong, 1L)
       buildToPath(history, fpCol, expected, next, targetFpp, shards)

@@ -140,16 +140,24 @@ object SegmentDedupStream {
     val fpsDir = s"$storeRoot/fps"
     val bloomRoot = s"$storeRoot/bloom"
 
-    // current epoch = highest existing family (re-derived per batch
-    // from the filesystem: restart-safe, no driver state)
+    // current epoch = highest COMMITTED family (re-derived per batch
+    // from the filesystem: restart-safe, no driver state). Committed
+    // means `_meta` exists — it is written LAST by buildToPath, so a
+    // rotation that crashed mid-build leaves a directory that must
+    // NOT be selected (its shard set is incomplete; probing it would
+    // throw on the missing _meta and wedge every subsequent batch).
+    // The debris is cleared by buildToPath's freshness enforcement
+    // when the rotation re-fires.
     val epoch = {
       val root = new org.apache.hadoop.fs.Path(bloomRoot)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(root)) 1
-      else fs.listStatus(root).map(_.getPath.getName).collect {
-        case n if n.startsWith("epoch") &&
-          n.stripPrefix("epoch").forall(_.isDigit) &&
-          n.length > 5 => n.stripPrefix("epoch").toInt
+      else fs.listStatus(root).map(_.getPath).collect {
+        case p if p.getName.startsWith("epoch") &&
+          p.getName.stripPrefix("epoch").forall(_.isDigit) &&
+          p.getName.length > 5 &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_meta")) =>
+          p.getName.stripPrefix("epoch").toInt
       }.foldLeft(1)(math.max)
     }
 

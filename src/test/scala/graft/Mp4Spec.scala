@@ -137,11 +137,17 @@ class Mp4Spec extends SparkSpec {
     val info = Mp4.parse(d).get
     assert(info.keyframeTimesMs.toSeq == Seq(0L, 0L, 0L, 100L))
     val ds = Seq(MediaRecord(1L, "video", d)).toDS()
-    val got = Multimodal.sampleKeyframes(ds, k = 4).head()
-    // picks: j=0 -> index 0; j=1 (target 25) -> index 3 (the first at
-    // or past it); j=2,3 have nothing left — budget goes unspent
+    // under-budget (k < nk): j=0 -> index 0; j=1 (target 33) jumps to
+    // index 3 (first at or past); j=2 has nothing left — the budget
+    // collapses instead of indexing past the array
+    val got = Multimodal.sampleKeyframes(ds, k = 3).head()
     assert(got.samples.toSeq == Seq(1, 4))
     assert(got.times_ms.toSeq == Seq(0L, 100L))
+    // full budget (k >= nk): EVERY keyframe, duplicates or not — the
+    // documented contract, exact by construction
+    val full = Multimodal.sampleKeyframes(ds, k = 4).head()
+    assert(full.samples.toSeq == Seq(1, 2, 3, 4))
+    assert(full.times_ms.toSeq == Seq(0L, 0L, 0L, 100L))
   }
 
   test("hostile inputs never throw: truncation, lying size, inflated counts") {

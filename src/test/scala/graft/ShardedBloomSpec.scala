@@ -135,6 +135,47 @@ class ShardedBloomSpec extends SparkSpec {
     Seq(dir, sat, report.dir, fresh).foreach(ShardedBloomFiles.invalidate)
   }
 
+  test("crashed-rotation recovery: debris cleared, committed epochs never rebuilt over") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("sharded_recover").toString
+    // saturated epoch1 (50 expected, 5000 admitted) so every tick rotates
+    ShardedBloom.buildToPath(hist, "fp", 50L, s"$root/epoch1", 0.01,
+      numShards = 4)
+
+    // simulate a rotation that died mid-build: epoch2 exists with a
+    // stale shard file and NO _meta. The rename-loser-discard path
+    // would keep that stale shard if the retry did not clear it first
+    JFiles.createDirectories(Paths.get(s"$root/epoch2"))
+    JFiles.write(Paths.get(s"$root/epoch2/shard-00000.bloom"),
+      Array[Byte](1, 2, 3, 4))
+    val rep = ShardedBloom.maintainEpoch(spark, hist, "fp", s"$root/epoch1")
+    assert(rep.rotated && rep.dir == s"$root/epoch2")
+    // the rebuilt epoch equals a fresh build byte-for-byte — the
+    // planted debris did NOT survive into the committed family
+    val fresh = s"$root/fresh"
+    ShardedBloom.buildToPath(hist, "fp",
+      math.ceil(hist.count() * 1.3).toLong, fresh, 0.01, numShards = 4)
+    (0 until 4).foreach { s =>
+      val f = f"shard-$s%05d.bloom"
+      assert(java.util.Arrays.equals(
+        JFiles.readAllBytes(Paths.get(s"${rep.dir}/$f")),
+        JFiles.readAllBytes(Paths.get(s"$fresh/$f"))), s"shard $s")
+    }
+
+    // a COMMITTED epoch is never rebuilt over: another tick from the
+    // still-saturated epoch1 must skip epoch2 and build epoch3...
+    val rep2 = ShardedBloom.maintainEpoch(spark, hist, "fp", s"$root/epoch1")
+    assert(rep2.rotated && rep2.dir == s"$root/epoch3")
+    // ...and buildToPath refuses an in-place rebuild of one outright
+    val ex = intercept[java.io.IOException] {
+      ShardedBloom.buildToPath(hist, "fp", 100L, s"$root/epoch2", 0.01,
+        numShards = 4)
+    }
+    assert(ex.getMessage.contains("committed epoch"))
+    Seq("epoch1", "epoch2", "epoch3", "fresh").foreach(e =>
+      ShardedBloomFiles.invalidate(s"$root/$e"))
+  }
+
   test("buildToPath is byte-deterministic: the rename-commit loser-discard assumption") {
     // the attempt-unique temp + rename commit discards a losing
     // attempt's file on the grounds that a retry/speculative attempt

@@ -70,7 +70,29 @@ class StreamingSegmentDedupSpec extends SparkSpec {
     assert(streamed == batch)
     // cross-batch dedup fired on the planted truncations
     assert(streamed.exists(r => r._1 >= 1000000L && r._3 < r._2))
-    Seq(2, 3).foreach(e =>
+
+    // batch 3's own rotation committed epoch4 as well
+    assert(new java.io.File(s"$root/bloom/epoch4/_meta").isFile)
+
+    // crash-recovery: an UNCOMMITTED family dir (no _meta — a rotation
+    // that died mid-build) must not be selected as the serving epoch;
+    // the next batch keeps serving from the committed epoch4
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/bloom/epoch5"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/bloom/epoch5/shard-00000.bloom"),
+      Array[Byte](9, 9, 9))
+    val extra = docs.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    SegmentDedupStream.applyBatchSharded(extra, "doc_id", "text", 10,
+      root, out, numShards = 4, rotateDeltaRows = 1000000L)
+    // the replayed docs are full duplicates of already-seen segments
+    val after = spark.read.parquet(out)
+      .where(col("doc_id") >= 2000000L)
+      .select("n_kept").as[Long].collect()
+    assert(after.nonEmpty && after.forall(_ == 0L),
+      "duplicate batch must be fully deduped through the committed epoch")
+    Seq(2, 3, 4).foreach(e =>
       graft.ops.ShardedBloomFiles.invalidate(s"$root/bloom/epoch$e"))
   }
 
