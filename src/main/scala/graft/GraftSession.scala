@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events fixture has TIMESTAMP(NANOS); read as long, convert in-plan
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture timestamps carry no UTC-adjusted annotation; read them
+      // as TIMESTAMP (session tz = UTC), not TIMESTAMP_NTZ — same
+      // instants, keeps unix_micros/date math valid AND keeps filters
+      // on these columns pushable at the scan (a per-column NTZ->LTZ
+      // cast would block parquet pushdown)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // managed (bucketed) tables land in tmp, never in the repo

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS), read as
-    * long under nanosAsLong).
+  /** events.parquet schema as ORIGINALLY stored (ts = TIMESTAMP(NANOS),
+    * which reads as a raw long under nanosAsLong). Fallback only:
+    * fixture regenerations have shipped `ts` both as nanos (-> long)
+    * and as micros (-> timestamp), so prefer [[storedSchema]], which
+    * reads the actual footer.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -30,9 +33,24 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** ns-long -> timestamp, shared by batch and stream paths. */
+  /** The directory's actual on-disk schema (one batch footer read —
+    * the file-stream source itself requires a user-provided schema);
+    * [[rawSchema]] if the dir can't be read yet (not yet populated).
+    */
+  def storedSchema(spark: SparkSession, dir: String): StructType =
+    try spark.read.parquet(dir).schema
+    catch { case _: Throwable => rawSchema }
+
+  /** Normalize `ts` to a proper timestamp whatever the stored form:
+    * ns-long (nanosAsLong) truncates to µs — the same truncation
+    * DuckDB applies on read — and a native timestamp passes through.
+    * Shared by batch and stream paths (mirrors `queries.events`).
+    */
   def withTimestamp(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
 
   /** Tumbling 1-hour aggregation, mode-agnostic. */
   def hourlyAgg(events: DataFrame): DataFrame =
@@ -47,7 +65,7 @@ object EventsStream {
     * fixture file must be staged into one).
     */
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    withTimestamp(spark.readStream.schema(rawSchema).parquet(dir))
+    withTimestamp(spark.readStream.schema(storedSchema(spark, dir)).parquet(dir))
 
   /** The streaming hourly aggregation with watermarked state. */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame =

@@ -8,8 +8,7 @@ class StreamingSpec extends SparkSpec {
     // batch side: same transform over a batch read
     val batch = EventsStream.hourlyAgg(
       EventsStream.withTimestamp(
-        spark.read.schema(EventsStream.rawSchema)
-          .parquet("/root/testdata/sf0.001/events.parquet")))
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
       .orderBy("hour", "event_type")
       .collect()
 
@@ -45,7 +44,8 @@ class StreamingSpec extends SparkSpec {
         dir.resolve(s"events_$n.parquet"))
     }
 
-    val src = spark.readStream.schema(EventsStream.rawSchema)
+    val src = spark.readStream
+      .schema(EventsStream.storedSchema(spark, dir.toString))
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val deduped = EventsStream.dedupEvents(
       EventsStream.withTimestamp(src).withWatermark("ts", "3650 days"))
@@ -57,7 +57,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
-      val expected = spark.read.schema(EventsStream.rawSchema)
+      val expected = spark.read
         .parquet("/root/testdata/sf0.001/events.parquet")
         .select("event_id").distinct().collect().map(_.getLong(0)).sorted
       assert(ids.length == expected.length, "one survivor per event id")
@@ -106,8 +106,7 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream funnel join matches the batch plan over the same data") {
     val batchEv = EventsStream.withTimestamp(
-      spark.read.schema(EventsStream.rawSchema)
-        .parquet("/root/testdata/sf0.001/events.parquet"))
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val batch = EventsStream.funnelPairs(
         batchEv.where("event_type = 'click'"),
         batchEv.where("event_type = 'purchase'"))
