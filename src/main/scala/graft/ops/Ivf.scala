@@ -328,6 +328,52 @@ object Ivf {
     }
   }
 
+  /** Generation-root index lifecycle — the production swap discipline
+    * [[maintain]]'s scaladoc prescribes, made concrete: the index
+    * lives under `root/gen-N/` with a [[Generations]] `CURRENT`
+    * pointer, a rebuild lands in a NEW generation dir while every
+    * in-flight reader keeps its (immutable) old one, and the swap is
+    * ONE atomic pointer flip instead of delete+rename over live
+    * files. Probe with `searchIndex(spark, Generations.livePath(spark,
+    * root), ...)`; prune's keep window bounds reader grace.
+    */
+  def writeIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame, model: Model,
+                          root: String): String = {
+    val gen = Generations.nextPath(spark, root)
+    writeIndex(corpus, model, gen)
+    Generations.publish(spark, root, gen)
+    gen
+  }
+
+  /** [[maintain]] against a generation root: healthy tick probes the
+    * live generation and touches nothing; a trip refits, rebuilds
+    * into the next generation, flips `CURRENT`, and prunes old
+    * generations beyond `keep`. Same report contract as [[maintain]].
+    */
+  def maintainVersioned(spark: org.apache.spark.sql.SparkSession,
+                        root: String, idCol: String, model: Model,
+                        nLists: Int, threshold: Double = 3.0,
+                        iterations: Int = 3, initOversample: Int = 8,
+                        fitSample: Double = 1.0,
+                        keep: Int = 2): MaintenanceReport = {
+    val live = Generations.livePath(spark, root)
+    val imb = cellImbalance(spark, live)
+    if (imb <= threshold) MaintenanceReport(imb, rebuilt = false, model)
+    else {
+      val corpus = spark.read.parquet(live).drop("cell")
+      val fitCorpus =
+        if (fitSample < 1.0) corpus.sample(withReplacement = false, fitSample, seed = 7L)
+        else corpus
+      val refit = fit(fitCorpus, idCol, nLists, iterations, initOversample)
+      val next = Generations.nextPath(spark, root)
+      writeIndex(corpus, refit, next)
+      Generations.publish(spark, root, next)
+      Generations.prune(spark, root, keep)
+      MaintenanceReport(imb, rebuilt = true, refit)
+    }
+  }
+
   /** Swap a rebuilt generation into place: delete the live dir, rename
     * the rebuild over it. The swap MUST be checked: Hadoop FS ops
     * report failure by returning false, not throwing. An unchecked

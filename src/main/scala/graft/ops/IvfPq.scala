@@ -167,4 +167,45 @@ object IvfPq {
       MaintenanceReport(imb, rebuilt = true, refit)
     }
   }
+
+  /** [[Ivf.writeIndexVersioned]]'s two-level twin: build into the next
+    * generation under `root` and flip `CURRENT` atomically. Probe with
+    * `searchIndex(spark, Generations.livePath(spark, root), ...)`.
+    */
+  def writeIndexVersioned(spark: SparkSession, corpus: DataFrame,
+                          idCol: String, model: Model,
+                          root: String): String = {
+    val gen = Generations.nextPath(spark, root)
+    writeIndex(corpus, idCol, model, gen)
+    Generations.publish(spark, root, gen)
+    gen
+  }
+
+  /** [[maintain]] against a generation root: rebuilds (both levels
+    * refit together) land in a new generation and become visible via
+    * one pointer flip — concurrent probes of the old generation stay
+    * valid until [[Generations.prune]]'s keep window passes them by.
+    */
+  def maintainVersioned(spark: SparkSession, root: String,
+                        corpus: DataFrame, idCol: String, model: Model,
+                        nLists: Int, m: Int, k: Int,
+                        threshold: Double = 3.0, oversample: Int = 8,
+                        fitSample: Double = 1.0,
+                        keep: Int = 2): MaintenanceReport = {
+    val live = Generations.livePath(spark, root)
+    val imb = Ivf.cellImbalance(spark, live)
+    if (imb <= threshold) MaintenanceReport(imb, rebuilt = false, model)
+    else {
+      val fitCorpus =
+        if (fitSample < 1.0)
+          corpus.sample(withReplacement = false, fitSample, seed = 7L)
+        else corpus
+      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample)
+      val next = Generations.nextPath(spark, root)
+      writeIndex(corpus, idCol, refit, next)
+      Generations.publish(spark, root, next)
+      Generations.prune(spark, root, keep)
+      MaintenanceReport(imb, rebuilt = true, refit)
+    }
+  }
 }

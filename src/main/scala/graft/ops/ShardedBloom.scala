@@ -359,6 +359,51 @@ object ShardedBloom {
     }
   }
 
+  /** [[buildToPath]] into the next generation under a [[Generations]]
+    * root, then flip `CURRENT` atomically — the committed family
+    * becomes servable in one pointer write. Probe via
+    * `Generations.livePath(spark, root)`.
+    */
+  def buildToPathVersioned(history: DataFrame, fpCol: String,
+                           expectedItems: Long, root: String,
+                           fpp: Double = 0.01, numShards: Int = 8): String = {
+    val spark = history.sparkSession
+    val next = Generations.nextPath(spark, root)
+    buildToPath(history, fpCol, expectedItems, next, fpp, numShards)
+    Generations.publish(spark, root, next)
+    next
+  }
+
+  /** [[maintainEpoch]] against a [[Generations]] root: the serving
+    * pointer that contract asks the CALLER to flip is the root's
+    * `CURRENT` file, flipped here atomically after the rebuilt family
+    * commits. Concurrent probes of the old epoch stay valid (shard
+    * files are immutable; [[Generations.prune]]'s keep window bounds
+    * their grace). The returned report's `dir` is always the live
+    * generation to serve from.
+    */
+  def maintainEpochVersioned(spark: org.apache.spark.sql.SparkSession,
+                             history: DataFrame, fpCol: String,
+                             root: String, factor: Double = 4.0,
+                             headroom: Double = 1.3, numShards: Int = -1,
+                             keep: Int = 2): EpochReport = {
+    val live = Generations.livePath(spark, root)
+    val (n, _, targetFpp) = meta(live)
+    val shards = if (numShards > 0) numShards else n
+    val realized = saturationOf(spark, live)
+    if (realized <= factor * targetFpp)
+      EpochReport(realized, targetFpp, rotated = false, live)
+    else {
+      val expected = math.max(
+        math.ceil(history.count() * headroom).toLong, 1L)
+      val next = Generations.nextPath(spark, root)
+      buildToPath(history, fpCol, expected, next, targetFpp, shards)
+      Generations.publish(spark, root, next)
+      Generations.prune(spark, root, keep)
+      EpochReport(realized, targetFpp, rotated = true, next)
+    }
+  }
+
   private[graft] def nextEpochDir(dir: String): String = {
     val trimmed = dir.stripSuffix("/")
     val (parent, name) = trimmed.lastIndexOf('/') match {

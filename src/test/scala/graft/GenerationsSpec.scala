@@ -1,0 +1,198 @@
+package graft
+
+import graft.ops.{Generations, IncrementalDedup, Ivf, IvfPq, ShardedBloom, ShardedBloomFiles}
+import org.apache.spark.sql.functions._
+
+/** The catalog-pointer generation discipline: pointer lifecycle and
+  * atomicity contract, prune's never-delete-live rule, and the
+  * versioned index lifecycles (Ivf / IvfPq / ShardedBloom) whose
+  * rebuild swaps become one pointer flip while superseded generations
+  * stay fully readable for concurrent probes.
+  */
+class GenerationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 separated direction clusters in 8 dims (IvfSpec's fixture). */
+  private def clustered = {
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 50
+    } yield {
+      val v = base(c).clone()
+      (0 until 8).foreach { d =>
+        v(d) = v(d) + (((c * 1315423911L + i * 2654435761L + d * 97L) % 100) / 100.0f)
+      }
+      ((c * 50 + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def hist = spark.range(5000)
+    .select(IncrementalDedup.fp60(concat(lit("h"), col("id"))).as("fp"))
+
+  private def batch = spark.range(1000)
+    .select(
+      when(col("id") % 10 === 0, concat(lit("h"), col("id") * 3))
+        .otherwise(concat(lit("new"), col("id"))).as("key"))
+    .select(col("key"), IncrementalDedup.fp60(col("key")).as("fp"))
+
+  test("pointer lifecycle: absent root, publish, flip, validation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    assert(Generations.current(spark, root).isEmpty)
+    intercept[java.io.IOException](Generations.livePath(spark, root))
+
+    val g1 = Generations.nextPath(spark, root)
+    assert(g1.endsWith("gen-000001"))
+    // publish refuses a generation that was never built
+    intercept[IllegalArgumentException](Generations.publish(spark, root, g1))
+    new java.io.File(g1).mkdirs()
+    Generations.publish(spark, root, g1)
+    assert(Generations.livePath(spark, root) == g1)
+
+    val g2 = Generations.nextPath(spark, root)
+    assert(g2.endsWith("gen-000002"))
+    new java.io.File(g2).mkdirs()
+    Generations.publish(spark, root, g2)
+    assert(Generations.livePath(spark, root) == g2)
+    // the flip is pointer-only: the superseded generation is untouched
+    assert(new java.io.File(g1).isDirectory)
+
+    // only gen-* dirs are publishable (the .rebuild suffix discipline
+    // does not leak into a generation root)
+    val stray = root + "/rebuild"
+    new java.io.File(stray).mkdirs()
+    intercept[IllegalArgumentException](Generations.publish(spark, root, stray))
+  }
+
+  test("prune keeps the newest window and never the live generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_prune").toString
+    (1 to 4).foreach(n => new java.io.File(root + f"/gen-$n%06d").mkdirs())
+    Generations.publish(spark, root, root + "/gen-000001") // live = oldest
+    Generations.prune(spark, root, keep = 1)
+    val left = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted.toSeq
+    // the newest survives by the keep window; the live one survives
+    // unconditionally even though it is outside the window
+    assert(left == Seq("gen-000001", "gen-000004"), left.mkString(","))
+    assert(Generations.livePath(spark, root).endsWith("gen-000001"))
+  }
+
+  test("Ivf versioned lifecycle: rebuild lands in a new generation, old one stays readable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_ivf")
+      .resolve("idx").toString
+    val model0 = Ivf.fit(clustered, "vec_id", nLists = 4, iterations = 3)
+    val gen1 = Ivf.writeIndexVersioned(spark, clustered, model0, root)
+    assert(Generations.livePath(spark, root) == gen1)
+
+    val queries = clustered.where($"vec_id" % 50 === 0)
+    val viaPtr = Ivf.searchIndex(spark, Generations.livePath(spark, root),
+      queries, "vec_id", model0, k = 5, nProbe = 1)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val inMemory = Ivf.search(clustered, queries, "vec_id", model0,
+      k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    assert(viaPtr == inMemory)
+
+    // healthy tick: no new generation, pointer unmoved
+    val tick0 = Ivf.maintainVersioned(spark, root, "vec_id", model0,
+      nLists = 4, threshold = 2.0)
+    assert(!tick0.rebuilt && Generations.livePath(spark, root) == gen1)
+
+    // drift appended into the LIVE generation trips the cadence
+    val drift = (0 until 2).map { g =>
+      clustered.select((col("vec_id") + lit(1000L * (g + 1))).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x + 10f, x))").as("embedding"))
+    }.reduce(_ unionAll _)
+    Ivf.appendIndex(drift, model0, Generations.livePath(spark, root))
+    val rowsBefore = spark.read.parquet(gen1).count()
+
+    val tick1 = Ivf.maintainVersioned(spark, root, "vec_id", model0,
+      nLists = 4, threshold = 2.0)
+    assert(tick1.rebuilt)
+    val gen2 = Generations.livePath(spark, root)
+    assert(gen2 != gen1 && gen2.endsWith("gen-000002"))
+    // a concurrent reader that resolved gen1 pre-flip still reads a
+    // complete index (keep=2 covers one generation of grace)
+    assert(spark.read.parquet(gen1).count() == rowsBefore)
+
+    // pointer-served search == from-scratch fit + build on the same corpus
+    val corpusAll = clustered.unionAll(drift)
+    val scratchM = Ivf.fit(corpusAll, "vec_id", nLists = 4, iterations = 3)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_gen_scr")
+      .resolve("idx").toString
+    Ivf.writeIndex(corpusAll, scratchM, scratch)
+    val a = Ivf.searchIndex(spark, gen2, queries, "vec_id", tick1.model,
+      k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    val b = Ivf.searchIndex(spark, scratch, queries, "vec_id", scratchM,
+      k = 5, nProbe = 1).orderBy("q_id", "rnk").collect().toSeq
+    assert(a == b)
+  }
+
+  test("IvfPq versioned lifecycle: two-level rebuild swaps by pointer flip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_ivfpq")
+      .resolve("idx").toString
+    val model = IvfPq.fit(clustered, "vec_id", nLists = 4, m = 4, k = 4)
+    val gen1 = IvfPq.writeIndexVersioned(spark, clustered, "vec_id", model, root)
+    assert(Generations.livePath(spark, root) == gen1)
+
+    val queries = clustered.where($"vec_id" % 50 === 0)
+    val direct = java.nio.file.Files.createTempDirectory("graft_gen_ivfpq_d")
+      .resolve("idx").toString
+    IvfPq.writeIndex(clustered, "vec_id", model, direct)
+    val viaPtr = IvfPq.searchIndex(spark, Generations.livePath(spark, root),
+      clustered, queries, "vec_id", model, topK = 5, nProbe = 2)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val viaDirect = IvfPq.searchIndex(spark, direct, clustered, queries,
+      "vec_id", model, topK = 5, nProbe = 2)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaPtr == viaDirect)
+
+    // healthy tick holds the pointer; forced trip flips to gen-2 and
+    // serves exactly a fresh fit + build (both levels refit)
+    val healthy = IvfPq.maintainVersioned(spark, root, clustered, "vec_id",
+      model, nLists = 4, m = 4, k = 4, threshold = 1e9)
+    assert(!healthy.rebuilt && Generations.livePath(spark, root) == gen1)
+    val rep = IvfPq.maintainVersioned(spark, root, clustered, "vec_id",
+      model, nLists = 4, m = 4, k = 4, threshold = 0.0)
+    assert(rep.rebuilt && Generations.livePath(spark, root).endsWith("gen-000002"))
+    val freshModel = IvfPq.fit(clustered, "vec_id", nLists = 4, m = 4, k = 4)
+    assert(rep.model == freshModel)
+    assert(new java.io.File(gen1).isDirectory) // grace for in-flight readers
+  }
+
+  test("versioned bloom epochs: saturation rotates by pointer flip, old epoch intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_bloom")
+      .resolve("fam").toString
+    // grossly undersized (50 expected, 5000 admitted) -> saturated
+    val g1 = ShardedBloom.buildToPathVersioned(hist, "fp", 50L, root,
+      0.01, numShards = 4)
+    assert(Generations.livePath(spark, root) == g1)
+
+    val want = batch.join(hist, Seq("fp"), "left_anti")
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    val got = IncrementalDedup.dedupAgainstShardedPath(batch, hist, "fp",
+      Generations.livePath(spark, root), numShards = 4)
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    assert(got == want)
+
+    val report = ShardedBloom.maintainEpochVersioned(spark, hist, "fp", root)
+    assert(report.rotated && report.dir == Generations.livePath(spark, root))
+    assert(report.dir.endsWith("gen-000002"))
+    // immutable-epoch contract: the saturated family's files survive
+    // the flip for concurrent probes
+    assert(new java.io.File(g1, "_meta").exists())
+
+    // healthy follow-up tick: pointer unmoved, probes unchanged
+    val tick = ShardedBloom.maintainEpochVersioned(spark, hist, "fp", root)
+    assert(!tick.rotated && tick.dir == report.dir)
+    val got2 = IncrementalDedup.dedupAgainstShardedPath(batch, hist, "fp",
+      Generations.livePath(spark, root))
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    assert(got2 == want)
+    Seq(g1, report.dir).foreach(ShardedBloomFiles.invalidate)
+  }
+}
