@@ -487,6 +487,33 @@ object TextQueries {
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(50)
+    }),
+
+    // approximate heavy hitters with the q35/q94 accuracy-contract
+    // pattern: exact top-20 term counts (true differential check) + a
+    // boolean asserting the Count-Min estimate landed within its
+    // eps * N overcount bound. The sketch is the 100 TB shape for
+    // "what are the hot keys": one pass, fixed ~224 KB mergeable
+    // state per partition regardless of cardinality, no per-key
+    // shuffle — the exact groupBy here exists to JUDGE the sketch
+    // (and feed the differential oracle), not as the production path.
+    // Seeded, so the estimates — and the booleans — are deterministic.
+    "q112_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val eps = 0.0005
+      val total = toks.count()
+      val cms = toks.stat.countMinSketch("term", eps, 0.99, 42)
+      val bound = math.ceil(eps * total).toLong
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (term, n) =>
+        val est = cms.estimateCount(term)
+        (term, n, est >= n && est <= n + bound)
+      }.toDF("term", "n_exact", "cms_within_eps")
+        .orderBy(col("n_exact").desc, col("term"))
     }))
 
   // ---- oracle SQL -------------------------------------------------
@@ -1008,5 +1035,12 @@ object TextQueries {
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
            FROM documents)
-         GROUP BY word ORDER BY n DESC, word LIMIT 50""")
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+
+    "q112_heavy_hitters" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS cms_within_eps
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+         GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""")
 }
