@@ -83,4 +83,40 @@ object LshIndex {
       .localCheckpoint(true) // snapshot before overwriting the source
     kept.write.mode("overwrite").partitionBy("band").parquet(path)
   }
+
+  /** [[write]] into the next generation under a [[Generations]] root,
+    * then flip `CURRENT` atomically. Probe/append against
+    * `Generations.livePath(spark, root)`.
+    */
+  def writeVersioned(sig: DataFrame, idCol: String, bands: Int,
+                     rowsPerBand: Int, root: String,
+                     maxBucketSize: Int = 1000): String = {
+    val spark = sig.sparkSession
+    val next = Generations.nextPath(spark, root)
+    write(sig, idCol, bands, rowsPerBand, next, maxBucketSize)
+    Generations.publish(spark, root, next)
+    next
+  }
+
+  /** [[compact]] against a generation root: the re-capped index lands
+    * in a NEW generation (no localCheckpoint snapshot needed — the
+    * source generation is never overwritten) and becomes visible via
+    * one pointer flip, so an in-place overwrite can no longer lose
+    * the index on a crash or serve a half-written one to concurrent
+    * probes. Returns the new live generation.
+    */
+  def compactVersioned(spark: SparkSession, root: String,
+                       maxBucketSize: Int = 1000, keep: Int = 2): String = {
+    val live = Generations.livePath(spark, root)
+    val w = Window.partitionBy("band", "bandsig")
+    val next = Generations.nextPath(spark, root)
+    spark.read.parquet(live)
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= maxBucketSize)
+      .drop("_n")
+      .write.mode("overwrite").partitionBy("band").parquet(next)
+    Generations.publish(spark, root, next)
+    Generations.prune(spark, root, keep)
+    next
+  }
 }

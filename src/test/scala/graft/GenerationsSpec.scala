@@ -164,6 +164,32 @@ class GenerationsSpec extends SparkSpec {
     assert(new java.io.File(gen1).isDirectory) // grace for in-flight readers
   }
 
+  test("LshIndex versioned compact: re-cap lands in a new generation, source untouched") {
+    import graft.ops.{Dedup, LshIndex}
+    val dup = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val more = Seq((2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_lsh")
+      .resolve("idx").toString
+    val g1 = LshIndex.writeVersioned(
+      Dedup.minhashSignaturesFast(dup, "doc_id", "text", 8, 3),
+      "doc_id", 4, 2, root, maxBucketSize = 1)
+    assert(Generations.livePath(spark, root) == g1)
+    // append regrows the duplicate bucket past the cap IN the live gen
+    LshIndex.append(Dedup.minhashSignaturesFast(more, "doc_id", "text", 8, 3),
+      "doc_id", 4, 2, Generations.livePath(spark, root))
+    assert(spark.read.parquet(g1).select("doc_id").distinct().count() == 3L)
+
+    val g2 = LshIndex.compactVersioned(spark, root, maxBucketSize = 1)
+    assert(Generations.livePath(spark, root) == g2 && g2 != g1)
+    val kept = spark.read.parquet(g2).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(kept == Set(3L)) // regrown size-2 buckets dropped
+    // the pre-compact generation still serves its (uncapped) contents
+    assert(spark.read.parquet(g1).select("doc_id").distinct().count() == 3L)
+  }
+
   test("versioned bloom epochs: saturation rotates by pointer flip, old epoch intact") {
     val root = java.nio.file.Files.createTempDirectory("graft_gen_bloom")
       .resolve("fam").toString
