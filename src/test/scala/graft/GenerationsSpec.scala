@@ -73,6 +73,9 @@ class GenerationsSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_gen_prune").toString
     (1 to 4).foreach(n => new java.io.File(root + f"/gen-$n%06d").mkdirs())
     Generations.publish(spark, root, root + "/gen-000001") // live = oldest
+    // debris from a crashed publish (temp written, rename never ran)
+    val debris = new java.io.File(root, ".CURRENT.tmp-deadbeef")
+    java.nio.file.Files.writeString(debris.toPath, "gen-000003\n")
     Generations.prune(spark, root, keep = 1)
     val left = new java.io.File(root).listFiles()
       .map(_.getName).filter(_.startsWith("gen-")).sorted.toSeq
@@ -80,6 +83,7 @@ class GenerationsSpec extends SparkSpec {
     // unconditionally even though it is outside the window
     assert(left == Seq("gen-000001", "gen-000004"), left.mkString(","))
     assert(Generations.livePath(spark, root).endsWith("gen-000001"))
+    assert(!debris.exists, "crashed-publish temp pointer must be swept")
   }
 
   test("Ivf versioned lifecycle: rebuild lands in a new generation, old one stays readable") {
