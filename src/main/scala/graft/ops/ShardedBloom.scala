@@ -368,9 +368,30 @@ object ShardedBloom {
                            expectedItems: Long, root: String,
                            fpp: Double = 0.01, numShards: Int = 8): String = {
     val spark = history.sparkSession
-    val next = Generations.nextPath(spark, root)
+    val next = nextUncommittedGen(spark, root)
     buildToPath(history, fpCol, expectedItems, next, fpp, numShards)
     Generations.publish(spark, root, next)
+    next
+  }
+
+  /** The next generation dir a bloom build may land in. Plain
+    * `Generations.nextPath` would wedge after a rotation that crashed
+    * between [[buildToPath]]'s `_meta` commit and the pointer flip:
+    * the re-tick computes the SAME next path, and [[buildToPath]]
+    * refuses (correctly) to rebuild a committed family in place —
+    * permanently. Committed-but-unpublished generations are skipped
+    * instead, exactly [[maintainEpoch]]'s convergence rule; they were
+    * never served (no pointer reached them) and a later [[Generations
+    * .prune]] sweeps them once the window passes. Uncommitted debris
+    * (no `_meta`) is NOT skipped — buildToPath clears and reuses it.
+    */
+  private def nextUncommittedGen(
+      spark: org.apache.spark.sql.SparkSession, root: String): String = {
+    val fs = fsFor(root)
+    var next = Generations.nextPath(spark, root)
+    while (fs.exists(new Path(next, "_meta")))
+      next = new Path(root, Generations.genName(
+        new Path(next).getName.stripPrefix("gen-").toLong + 1)).toString
     next
   }
 
@@ -396,7 +417,7 @@ object ShardedBloom {
     else {
       val expected = math.max(
         math.ceil(history.count() * headroom).toLong, 1L)
-      val next = Generations.nextPath(spark, root)
+      val next = nextUncommittedGen(spark, root)
       buildToPath(history, fpCol, expected, next, targetFpp, shards)
       Generations.publish(spark, root, next)
       Generations.prune(spark, root, keep)

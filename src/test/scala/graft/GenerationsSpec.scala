@@ -225,4 +225,30 @@ class GenerationsSpec extends SparkSpec {
     assert(got2 == want)
     Seq(g1, report.dir).foreach(ShardedBloomFiles.invalidate)
   }
+
+  test("crashed bloom rotation converges: committed-but-unpublished generation skipped, not wedged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_crash")
+      .resolve("fam").toString
+    // live gen-1, saturated (50 expected, 5000 admitted)
+    val g1 = ShardedBloom.buildToPathVersioned(hist, "fp", 50L, root,
+      0.01, numShards = 4)
+    // simulate a rotation that crashed AFTER buildToPath committed
+    // gen-2 (_meta present) but BEFORE the pointer flip
+    val crashed = root + "/gen-000002"
+    ShardedBloom.buildToPath(hist, "fp", 5000L, crashed, 0.01, numShards = 4)
+    assert(Generations.livePath(spark, root) == g1) // pointer never moved
+
+    // the re-tick must not wedge on the committed debris: it skips to
+    // gen-3, publishes it, and the family serves correctly
+    val report = ShardedBloom.maintainEpochVersioned(spark, hist, "fp", root)
+    assert(report.rotated && report.dir.endsWith("gen-000003"))
+    assert(Generations.livePath(spark, root) == report.dir)
+    val want = batch.join(hist, Seq("fp"), "left_anti")
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    val got = IncrementalDedup.dedupAgainstShardedPath(batch, hist, "fp",
+      Generations.livePath(spark, root))
+      .select("key", "fp").orderBy("fp").collect().toSeq
+    assert(got == want)
+    Seq(g1, crashed, report.dir).foreach(ShardedBloomFiles.invalidate)
+  }
 }
