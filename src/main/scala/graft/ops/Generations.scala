@@ -35,6 +35,12 @@ import org.apache.spark.sql.SparkSession
   * file read per query plan (not per task), publish is one write +
   * one rename, prune deletes directories whose contents no pointer
   * reaches.
+  *
+  * Concurrency contract: readers unlimited, ONE maintainer at a time
+  * — the same single-cadence-owner assumption every maintain loop in
+  * this package already carries. Two concurrent builders would race
+  * the same next-generation directory; serialize rotation through
+  * whatever owns the cadence (a scheduler slot, a lock service).
   */
 object Generations {
   private val Pointer = "CURRENT"
@@ -64,10 +70,15 @@ object Generations {
       val name =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (!name.startsWith(GenPrefix))
-        throw new java.io.IOException(
-          s"$root/$Pointer is corrupt: '$name' is not a generation name")
-      val n = name.stripPrefix(GenPrefix).toLong
+      val n =
+        try {
+          require(name.startsWith(GenPrefix))
+          name.stripPrefix(GenPrefix).toLong
+        } catch {
+          case _: IllegalArgumentException => // bad prefix OR non-numeric
+            throw new java.io.IOException(
+              s"$root/$Pointer is corrupt: '$name' is not a generation name")
+        }
       if (!fs.exists(new Path(root, name)))
         throw new java.io.IOException(
           s"$root/$Pointer names $name but that generation does not exist")

@@ -67,6 +67,11 @@ class GenerationsSpec extends SparkSpec {
     val stray = root + "/rebuild"
     new java.io.File(stray).mkdirs()
     intercept[IllegalArgumentException](Generations.publish(spark, root, stray))
+
+    // a corrupt pointer is reported loudly, never treated as absent
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "CURRENT"), "gen-bogus\n")
+    intercept[java.io.IOException](Generations.current(spark, root))
   }
 
   test("prune keeps the newest window and never the live generation") {
