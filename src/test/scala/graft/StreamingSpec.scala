@@ -104,6 +104,47 @@ class StreamingSpec extends SparkSpec {
       (4L, "d", "p2"), (5L, "e", "p3")))
   }
 
+  test("streaming Count-Min heavy hitters: merged micro-batch sketches equal the one-pass batch sketch exactly") {
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.functions._
+    // stage the documents fixture TWICE -> two micro-batches, so the
+    // equality below exercises a real cross-batch merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        dir.resolve(s"docs_$n.parquet"))
+    }
+    val docsSchema = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").schema
+    val termStream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+
+    val hh = new graft.streaming.StreamingHeavyHitters("term")
+    val q = hh.attach(termStream)
+    try q.processAllAvailable() finally q.stop()
+
+    // one-pass batch sketch over the SAME rows (fixture x2)
+    val batchDf = spark.read.parquet(dir.toString)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val batchCms = batchDf.stat.countMinSketch("term", 0.0005, 0.99, 42)
+
+    // linearity: estimates agree EXACTLY for every distinct term, and
+    // never under the true count
+    import spark.implicits._
+    val terms = batchDf.groupBy("term").count()
+      .as[(String, Long)].collect()
+    assert(terms.nonEmpty)
+    terms.foreach { case (term, n) =>
+      val se = hh.sketch.estimateCount(term)
+      val be = batchCms.estimateCount(term)
+      assert(se == be, s"'$term': streamed $se != batch $be")
+      assert(se >= n, s"'$term': estimate $se under true count $n")
+    }
+    assert(hh.sketch.totalCount() == batchCms.totalCount())
+  }
+
   test("stream-stream funnel join matches the batch plan over the same data") {
     val batchEv = EventsStream.withTimestamp(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
