@@ -223,7 +223,38 @@ object BenchScale {
         require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")
         ivfServingModel = rep.model // the model now serving ivf_idx
       }
-      Seq(fitT, buildT, appendT, probeT, rebuildT)
+
+      // the same lifecycle under the catalog-pointer generation
+      // discipline (Generations): healthy tick should price like the
+      // bare health probe (the pointer adds one small-file read), and
+      // a rotate should price like the delete+rename rebuild (the
+      // atomic flip is one rename) — the reader-safety upgrade is
+      // free if these rows track their unversioned twins
+      val vroot = s"$tmp/ivf_root"
+      val vBuildT = once("ivf_versioned_build_publish") {
+        graft.ops.Ivf.writeIndexVersioned(spark, embBig, model, vroot)
+        ()
+      }
+      graft.ops.Ivf.appendIndex( // same drift, untimed setup
+        embBig.where(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + lit(10L * embRows)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = 0, x + 10f, x))")
+              .as("embedding"),
+            col("label")),
+        model, graft.ops.Generations.livePath(spark, vroot))
+      val vHealthyT = time("ivf_versioned_healthy_tick") {
+        val rep = graft.ops.Ivf.maintainVersioned(spark, vroot, "vec_id",
+          model, nLists = 16, threshold = 1e9)
+        require(!rep.rebuilt)
+      }
+      val vRotateT = once("ivf_versioned_rotate") {
+        val rep = graft.ops.Ivf.maintainVersioned(spark, vroot, "vec_id",
+          model, nLists = 16, threshold = 1.0, iterations = 2,
+          fitSample = 0.02)
+        require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")
+      }
+      Seq(fitT, buildT, appendT, probeT, rebuildT, vBuildT, vHealthyT,
+        vRotateT)
     }
 
     // IVF x PQ two-level index on the same corpus: the codes-only
