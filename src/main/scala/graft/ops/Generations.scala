@@ -126,6 +126,13 @@ object Generations {
     * for in-flight readers that resolved just before a flip. The live
     * generation is never deleted regardless of `keep`. Leftover
     * pointer temp files from crashed publishes go with them.
+    *
+    * Caveat: the window counts generation NUMBERS, so a
+    * committed-but-never-published generation left by a crashed
+    * rotation (skipped forward over, see ShardedBloom) occupies one
+    * slot and shortens the previous live generation's grace by one
+    * flip. If rotations crash often enough for that to matter, raise
+    * `keep`.
     */
   def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1, "keep must be >= 1")
