@@ -68,10 +68,105 @@ class GenerationsSpec extends SparkSpec {
     new java.io.File(stray).mkdirs()
     intercept[IllegalArgumentException](Generations.publish(spark, root, stray))
 
-    // a corrupt pointer is reported loudly, never treated as absent
+    // a NON-CANONICAL generation name is refused up front: publishing
+    // 'gen-7' would commit a pointer that livePath reconstructs as
+    // 'gen-000007' and cannot serve
+    val unpadded = root + "/gen-7"
+    new java.io.File(unpadded).mkdirs()
+    intercept[IllegalArgumentException](Generations.publish(spark, root, unpadded))
+
+    // a corrupt manifest entry is reported loudly, never skipped
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "CURRENT"), "gen-bogus\n")
+      java.nio.file.Paths.get(root, "_ptr", "bogus-entry"), "gen-000001\n")
     intercept[java.io.IOException](Generations.current(spark, root))
+  }
+
+  test("legacy CURRENT pointer: still resolved, corrupt forms still loud") {
+    // a root published before the manifest log existed: CURRENT only
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_leg").toString
+    new java.io.File(root + "/gen-000001").mkdirs()
+    Generations.publish(spark, root, root + "/gen-000001",
+      Generations.RenameOverwrite)
+    assert(new java.io.File(root, "CURRENT").isFile)
+    assert(Generations.livePath(spark, root).endsWith("gen-000001"))
+
+    // upgrading mid-life: a manifest publish supersedes the legacy file
+    new java.io.File(root + "/gen-000002").mkdirs()
+    Generations.publish(spark, root, root + "/gen-000002")
+    assert(Generations.livePath(spark, root).endsWith("gen-000002"))
+    // ...and once the log exists, a legacy write is refused (it would
+    // be silently out-voted by the log)
+    intercept[IllegalArgumentException](Generations.publish(spark, root,
+      root + "/gen-000001", Generations.RenameOverwrite))
+
+    // corrupt legacy pointer on a legacy-only root: loud, not absent
+    val root2 = java.nio.file.Files.createTempDirectory("graft_gen_leg2").toString
+    new java.io.File(root2 + "/gen-000001").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root2, "CURRENT"), "gen-bogus\n")
+    intercept[java.io.IOException](Generations.current(spark, root2))
+    // non-canonical name in a legacy pointer (hand-written 'gen-1'):
+    // loud, because livePath would reconstruct 'gen-000001'
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root2, "CURRENT"), "gen-1\n")
+    intercept[java.io.IOException](Generations.current(spark, root2))
+  }
+
+  test("RenameOverwrite is refused on object-store schemes") {
+    // rename on s3 is copy+delete: the legacy strategy must refuse it
+    // up front (before touching the filesystem) rather than commit a
+    // pointer that can vanish mid-flip
+    val e = intercept[IllegalArgumentException](Generations.publish(
+      spark, "s3a://bucket/idx", "s3a://bucket/idx/gen-000001",
+      Generations.RenameOverwrite))
+    assert(e.getMessage.contains("ManifestLog"))
+  }
+
+  test("manifest commit atomicity: every intermediate state resolves old or new, never torn") {
+    // Walk the exact filesystem states the ManifestLog commit passes
+    // through, as a crash/concurrent-reader would observe them on a
+    // store with no atomic rename. The commit is ONE new-object
+    // creation, and resolution never reads entry content — so there
+    // is no state in which a reader sees a missing or torn pointer.
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_atom").toString
+    new java.io.File(root + "/gen-000001").mkdirs()
+    new java.io.File(root + "/gen-000002").mkdirs()
+    Generations.publish(spark, root, root + "/gen-000001")
+    assert(Generations.livePath(spark, root).endsWith("gen-000001"))
+
+    // state 1: crashed publish left temp debris in the log dir
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_ptr", ".tmp-crashed"), "gen-000002")
+    assert(Generations.livePath(spark, root).endsWith("gen-000001"))
+
+    // state 2: the new entry object exists but its CONTENT is torn
+    // (zero bytes durable — the worst a non-atomic store can surface).
+    // Resolution is name-only, so the flip still reads cleanly.
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "_ptr", "ptr-000000000002.gen-000002"))
+    assert(Generations.livePath(spark, root).endsWith("gen-000002"))
+
+    // state 3: prune sweeps the crash debris, head entry survives
+    Generations.prune(spark, root, keep = 2)
+    assert(!new java.io.File(root + "/_ptr/.tmp-crashed").exists)
+    assert(Generations.livePath(spark, root).endsWith("gen-000002"))
+
+    // the old generation stays resolvable-by-path for in-flight readers
+    assert(new java.io.File(root + "/gen-000001").isDirectory)
+  }
+
+  test("prune trims the manifest log but never its head entry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gen_ptrim").toString
+    (1 to 5).foreach { n =>
+      new java.io.File(root + f"/gen-$n%06d").mkdirs()
+      Generations.publish(spark, root, root + f"/gen-$n%06d")
+    }
+    Generations.prune(spark, root, keep = 2)
+    val entries = new java.io.File(root + "/_ptr").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(entries == Seq(
+      "ptr-000000000004.gen-000004", "ptr-000000000005.gen-000005"), entries)
+    assert(Generations.livePath(spark, root).endsWith("gen-000005"))
   }
 
   test("prune keeps the newest window and never the live generation") {
