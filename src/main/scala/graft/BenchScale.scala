@@ -544,6 +544,26 @@ object BenchScale {
         graft.ops.Contamination.gramDocFrequency(docsBig, "doc_id", "text",
           n = 3, minDf = 2L, twoPass = false).count()
       },
+      time("heavy_hitters_cms_onepass") {
+        // q112's production shape at scale: sketch + total count in
+        // ONE aggregation over the exploded tokens (no cache needed —
+        // a single scan feeds both)
+        val toks = docsBig.select(
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+        val r = toks.agg(
+          expr("count_min_sketch(term, 0.0005d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("total")).head()
+        require(r.getLong(1) > 0L)
+      },
+      time("heavy_hitters_mg_enum") {
+        // q113's production path at scale: Misra-Gries enumeration —
+        // <= k-entry partial per partition, tree-merged shuffle-free,
+        // O(k) driver state regardless of token cardinality
+        val toks = docsBig.select(
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+        val mg = graft.ops.FrequentKeys.summarize(toks, "term", 29)
+        require(mg.scanned > 0L && mg.estimates.nonEmpty)
+      },
       time("profile_onepass") {
         // q84's shape at 2x the column count: one scan, Expand x9
         graft.ops.Profile.profileNumericOnePass(liBig,
