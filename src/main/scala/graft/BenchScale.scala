@@ -218,7 +218,7 @@ object BenchScale {
         // CONDITIONAL behavior is spec'd (IvfSpec); here we time the
         // expensive branch: probe + sample refit + full reassign +
         // partitioned rewrite + swap
-        val rep = graft.ops.Ivf.maintain(spark, idx, "vec_id", model,
+        val rep = graft.ops.Ivf.maintainInPlace(spark, idx, "vec_id", model,
           nLists = 16, threshold = 1.0, iterations = 2, fitSample = 0.02)
         require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")
         ivfServingModel = rep.model // the model now serving ivf_idx
@@ -243,12 +243,12 @@ object BenchScale {
             col("label")),
         model, graft.ops.Generations.livePath(spark, vroot))
       val vHealthyT = time("ivf_versioned_healthy_tick") {
-        val rep = graft.ops.Ivf.maintainVersioned(spark, vroot, "vec_id",
+        val rep = graft.ops.Ivf.maintain(spark, vroot, "vec_id",
           model, nLists = 16, threshold = 1e9)
         require(!rep.rebuilt)
       }
       val vRotateT = once("ivf_versioned_rotate") {
-        val rep = graft.ops.Ivf.maintainVersioned(spark, vroot, "vec_id",
+        val rep = graft.ops.Ivf.maintain(spark, vroot, "vec_id",
           model, nLists = 16, threshold = 1.0, iterations = 2,
           fitSample = 0.02)
         require(rep.rebuilt, s"drifted index must trip: ${rep.imbalance}")

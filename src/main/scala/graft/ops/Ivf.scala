@@ -292,23 +292,26 @@ object Ivf {
     * (one cheap aggregation is the entire cost of a healthy tick);
     * past it, REFIT the quantizer on the current corpus and rebuild.
     *
-    * The rebuild writes to `path + ".rebuild"` while the live index
-    * stays readable (the fit/assign job only reads `path`), then swaps
-    * directories. The swap itself is two filesystem metadata ops —
-    * delete + rename — NOT atomic to concurrent readers; a production
-    * deployment puts the generation pointer in a catalog entry or
-    * symlink and flips that instead, which this function stands in
-    * for. Append + maintain + [[searchIndex]] under the returned model
-    * is exactly a from-scratch [[fit]] + [[writeIndex]] over the same
-    * corpus (fit is deterministic), so correctness never depends on
-    * WHEN the cadence fires — only probe cost does. Spec: IvfSpec.
+    * LEGACY single-directory variant: the rebuild writes to `path +
+    * ".rebuild"` while the live index stays readable (the fit/assign
+    * job only reads `path`), then swaps directories. The swap itself
+    * is two filesystem metadata ops — delete + rename — NOT atomic to
+    * concurrent readers: one that listed files pre-swap can hit
+    * FileNotFound mid-probe. [[maintain]] (the default cadence,
+    * generation-rooted) closes that window with a pointer flip; use
+    * this entry point only where the single-dir layout is a hard
+    * requirement and no probe can overlap a tick. Append + maintain +
+    * [[searchIndex]] under the returned model is exactly a
+    * from-scratch [[fit]] + [[writeIndex]] over the same corpus (fit
+    * is deterministic), so correctness never depends on WHEN the
+    * cadence fires — only probe cost does. Spec: IvfSpec.
     *
     * At 100 TB: the health probe is one pruned-scan aggregation; the
     * rebuild is fit on a sample (pass `fitSample` < 1.0) + one
     * full-corpus narrow assign + partitioned write — the same cost
     * profile as the initial index build, amortized over the cadence.
     */
-  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+  def maintainInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
                idCol: String, model: Model, nLists: Int,
                threshold: Double = 3.0, iterations: Int = 3,
                initOversample: Int = 8,
@@ -346,12 +349,15 @@ object Ivf {
     gen
   }
 
-  /** [[maintain]] against a generation root: healthy tick probes the
-    * live generation and touches nothing; a trip refits, rebuilds
-    * into the next generation, flips `CURRENT`, and prunes old
-    * generations beyond `keep`. Same report contract as [[maintain]].
+  /** The DEFAULT maintain cadence, against a generation root: healthy
+    * tick probes the live generation and touches nothing; a trip
+    * refits, rebuilds into the next generation, flips the pointer,
+    * and prunes old generations beyond `keep`. Concurrent probes of
+    * the superseded generation stay valid through the keep window —
+    * no reader ever sees a half-swapped directory (the gap
+    * [[maintainInPlace]], the legacy single-dir variant, documents).
     */
-  def maintainVersioned(spark: org.apache.spark.sql.SparkSession,
+  def maintain(spark: org.apache.spark.sql.SparkSession,
                         root: String, idCol: String, model: Model,
                         nLists: Int, threshold: Double = 3.0,
                         iterations: Int = 3, initOversample: Int = 8,

@@ -137,19 +137,21 @@ object IvfPq {
       .select(col("q_id"), col("rnk"), col(idCol), col("d2"))
   }
 
-  /** One [[Ivf.maintain]]-style cadence tick, refitting BOTH levels:
-    * measure cell imbalance on the index; below `threshold`, touch
-    * nothing (one aggregation over the codes table is the whole cost);
-    * past it, refit coarse + codebooks on the current corpus, rebuild
-    * to `path + ".rebuild"` while the live index stays readable, and
-    * swap via [[Ivf.checkedSwap]]. Codebooks MUST refit with the
-    * coarse model — after a drift big enough to trip the cadence, the
-    * subspace geometry the old codebooks quantize is stale too.
+  /** One cadence tick, refitting BOTH levels: measure cell imbalance
+    * on the index; below `threshold`, touch nothing (one aggregation
+    * over the codes table is the whole cost); past it, refit coarse +
+    * codebooks on the current corpus and rebuild. Codebooks MUST
+    * refit with the coarse model — after a drift big enough to trip
+    * the cadence, the subspace geometry the old codebooks quantize is
+    * stale too. [[maintain]] (generation-rooted pointer flip) is the
+    * default; [[maintainInPlace]] is the legacy single-dir variant
+    * with [[Ivf.maintainInPlace]]'s documented reader FileNotFound
+    * window across its delete+rename swap.
     */
   final case class MaintenanceReport(imbalance: Double, rebuilt: Boolean,
                                      model: Model)
 
-  def maintain(spark: SparkSession, path: String, corpus: DataFrame,
+  def maintainInPlace(spark: SparkSession, path: String, corpus: DataFrame,
                idCol: String, model: Model, nLists: Int, m: Int, k: Int,
                threshold: Double = 3.0, oversample: Int = 8,
                fitSample: Double = 1.0): MaintenanceReport = {
@@ -181,12 +183,13 @@ object IvfPq {
     gen
   }
 
-  /** [[maintain]] against a generation root: rebuilds (both levels
-    * refit together) land in a new generation and become visible via
-    * one pointer flip — concurrent probes of the old generation stay
-    * valid until [[Generations.prune]]'s keep window passes them by.
+  /** The DEFAULT maintain cadence, against a generation root:
+    * rebuilds (both levels refit together) land in a new generation
+    * and become visible via one pointer flip — concurrent probes of
+    * the old generation stay valid until [[Generations.prune]]'s keep
+    * window passes them by.
     */
-  def maintainVersioned(spark: SparkSession, root: String,
+  def maintain(spark: SparkSession, root: String,
                         corpus: DataFrame, idCol: String, model: Model,
                         nLists: Int, m: Int, k: Int,
                         threshold: Double = 3.0, oversample: Int = 8,

@@ -202,7 +202,7 @@ class GenerationsSpec extends SparkSpec {
     assert(viaPtr == inMemory)
 
     // healthy tick: no new generation, pointer unmoved
-    val tick0 = Ivf.maintainVersioned(spark, root, "vec_id", model0,
+    val tick0 = Ivf.maintain(spark, root, "vec_id", model0,
       nLists = 4, threshold = 2.0)
     assert(!tick0.rebuilt && Generations.livePath(spark, root) == gen1)
 
@@ -214,7 +214,7 @@ class GenerationsSpec extends SparkSpec {
     Ivf.appendIndex(drift, model0, Generations.livePath(spark, root))
     val rowsBefore = spark.read.parquet(gen1).count()
 
-    val tick1 = Ivf.maintainVersioned(spark, root, "vec_id", model0,
+    val tick1 = Ivf.maintain(spark, root, "vec_id", model0,
       nLists = 4, threshold = 2.0)
     assert(tick1.rebuilt)
     val gen2 = Generations.livePath(spark, root)
@@ -257,10 +257,10 @@ class GenerationsSpec extends SparkSpec {
 
     // healthy tick holds the pointer; forced trip flips to gen-2 and
     // serves exactly a fresh fit + build (both levels refit)
-    val healthy = IvfPq.maintainVersioned(spark, root, clustered, "vec_id",
+    val healthy = IvfPq.maintain(spark, root, clustered, "vec_id",
       model, nLists = 4, m = 4, k = 4, threshold = 1e9)
     assert(!healthy.rebuilt && Generations.livePath(spark, root) == gen1)
-    val rep = IvfPq.maintainVersioned(spark, root, clustered, "vec_id",
+    val rep = IvfPq.maintain(spark, root, clustered, "vec_id",
       model, nLists = 4, m = 4, k = 4, threshold = 0.0)
     assert(rep.rebuilt && Generations.livePath(spark, root).endsWith("gen-000002"))
     val freshModel = IvfPq.fit(clustered, "vec_id", nLists = 4, m = 4, k = 4)

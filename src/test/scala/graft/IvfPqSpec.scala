@@ -127,13 +127,13 @@ class IvfPqSpec extends SparkSpec {
 
     // healthy tick: nothing rebuilt, model unchanged, directory intact
     val before = new java.io.File(inc).lastModified()
-    val healthy = IvfPq.maintain(spark, inc, clustered, "vec_id", model,
+    val healthy = IvfPq.maintainInPlace(spark, inc, clustered, "vec_id", model,
       nLists = 4, m = 4, k = 4, threshold = 1e9)
     assert(!healthy.rebuilt && healthy.model == model)
 
     // forced rebuild (threshold below any real imbalance): the swapped
     // index under the refit model serves exactly a fresh fit + build
-    val rep = IvfPq.maintain(spark, inc, clustered, "vec_id", model,
+    val rep = IvfPq.maintainInPlace(spark, inc, clustered, "vec_id", model,
       nLists = 4, m = 4, k = 4, threshold = 0.0)
     assert(rep.rebuilt)
     val freshModel = IvfPq.fit(clustered, "vec_id", nLists = 4, m = 4, k = 4)

@@ -112,7 +112,7 @@ class IvfSpec extends SparkSpec {
     Ivf.writeIndex(clustered, model0, s"$base/idx")
 
     // healthy: below threshold -> nothing moves, same model serves
-    val tick0 = Ivf.maintain(spark, s"$base/idx", "vec_id", model0,
+    val tick0 = Ivf.maintainInPlace(spark, s"$base/idx", "vec_id", model0,
       nLists = 4, threshold = 2.0)
     assert(!tick0.rebuilt && tick0.model == model0 && tick0.imbalance < 2.0)
 
@@ -124,7 +124,7 @@ class IvfSpec extends SparkSpec {
     }.reduce(_ unionAll _)
     Ivf.appendIndex(drift, model0, s"$base/idx")
 
-    val tick1 = Ivf.maintain(spark, s"$base/idx", "vec_id", model0,
+    val tick1 = Ivf.maintainInPlace(spark, s"$base/idx", "vec_id", model0,
       nLists = 4, threshold = 2.0)
     assert(tick1.rebuilt, s"imbalance ${tick1.imbalance} must trip threshold 2.0")
     assert(tick1.imbalance > 2.0)
