@@ -492,16 +492,17 @@ object BenchScale {
     } ++ {
       // ---- streaming segment dedup against XL standing history: the
       // fps store pre-seeded with the 120M-fp history as epoch 1, the
-      // family built over it as epoch 2 — then two 2k-doc micro-batches
-      // ride the file-backed probe + tiny delta join (single-run: the
-      // loop appends to its own store)
+      // family built + published as the first generation (loop epoch
+      // 2) — then two 2k-doc micro-batches ride the file-backed probe
+      // + tiny delta join (single-run: the loop appends to its own
+      // store)
       val segRoot = s"$tmp/segstream"
       incHistXl.select(col("fp").as("seg_fp")).withColumn("epoch", lit(1))
         .write.mode("overwrite").partitionBy("epoch")
         .parquet(s"$segRoot/fps")
-      graft.ops.ShardedBloom.buildToPath(
+      graft.ops.ShardedBloom.buildToPathVersioned(
         spark.read.parquet(s"$segRoot/fps").select("seg_fp"), "seg_fp",
-        expectedItems = xlRows * 13 / 10, dir = s"$segRoot/bloom/epoch2",
+        expectedItems = xlRows * 13 / 10, root = s"$segRoot/bloom",
         fpp = 0.01, numShards = 8)
       Seq(
         timeOnce("segdedup_stream_sharded_xlhist") {

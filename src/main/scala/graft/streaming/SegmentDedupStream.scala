@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{IncrementalDedup, SegmentDedup, ShardedBloom}
+import graft.ops.{Generations, IncrementalDedup, SegmentDedup, ShardedBloom}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -89,30 +89,45 @@ object SegmentDedupStream {
     * {{{
     *   fps/epoch=K/    accepted segment fps (long fp60), partitioned
     *                   by the family epoch they arrived DURING
-    *   bloom/epochK/   the sharded family built over every fp accepted
-    *                   BEFORE epoch K began (shard files, immutable)
+    *   bloom/          a [[Generations]] root: gen-N dirs hold the
+    *                   sharded families (immutable shard files), the
+    *                   pointer log names the served one
     * }}}
     *
-    * Per batch at epoch K: fps covered by the family (`epoch < K`)
-    * are routed through the file-backed probe — bloom-NO rows skip the
-    * join entirely, maybe-dups resolve exactly against the covered
-    * partitions; fps accepted SINCE the family was built (`epoch = K`,
-    * the delta — small by the rotation bound) resolve by a broadcast
-    * anti-join. Exactness is the [[IncrementalDedup]] contract: the
-    * bloom only routes, joins decide, and the delta join closes the
-    * family's blind spot for post-epoch fingerprints — no false
-    * negative at any point in the cadence.
+    * The family lifecycle is the ONE lifecycle idiom every versioned
+    * index in this engine uses — [[Generations]] — not a parallel
+    * epoch-listing discipline: the current epoch K is the live
+    * generation number + 1 (no generation published => bootstrap
+    * epoch 1, no family to probe), re-derived per batch from the
+    * pointer (restart-safe, no driver state), and a family becomes
+    * servable only by the atomic pointer flip inside
+    * [[ShardedBloom.buildToPathVersioned]].
     *
-    * Rotation (the [[ShardedBloom.maintainEpoch]] discipline, keyed on
-    * delta growth rather than realized fpp — a FILE family never
-    * admits in place, so its fpp cannot drift; what grows is the
-    * unbloomed delta): when the delta passes `rotateDeltaRows`, the
-    * whole store rebuilds into `bloom/epoch(K+1)` via
-    * [[ShardedBloom.buildToPath]] (task-to-disk, never assembled in a
-    * JVM, sized for the store with 1.3x headroom) and subsequent fps
-    * land in `fps/epoch=K+1`. Old epochs stay intact — restart-safe
-    * (the current epoch is re-derived from the bloom root) and
-    * concurrent-reader-safe (immutable shard files).
+    * Per batch at epoch K: fps covered by the family (`epoch < K`)
+    * are routed through the file-backed probe of the LIVE generation —
+    * bloom-NO rows skip the join entirely, maybe-dups resolve exactly
+    * against the covered partitions; fps accepted SINCE the family was
+    * built (`epoch = K`, the delta — small by the rotation bound)
+    * resolve by a broadcast anti-join. Exactness is the
+    * [[IncrementalDedup]] contract: the bloom only routes, joins
+    * decide, and the delta join closes the family's blind spot for
+    * post-epoch fingerprints — no false negative at any point in the
+    * cadence.
+    *
+    * Rotation (the [[ShardedBloom.maintainEpochVersioned]] discipline,
+    * keyed on delta growth rather than realized fpp — a FILE family
+    * never admits in place, so its fpp cannot drift; what grows is
+    * the unbloomed delta): when the delta passes `rotateDeltaRows`,
+    * the whole store rebuilds into the next generation (task-to-disk,
+    * never assembled in a JVM, sized for the store with 1.3x
+    * headroom), the pointer flips, and subsequent fps land in
+    * `fps/epoch=K+1`. Crash recovery is inherited wholesale:
+    * uncommitted debris (no `_meta`) is cleared and reused by the
+    * rebuild, a committed-but-unpublished generation (crash between
+    * `_meta` commit and pointer flip) is skipped forward, and the
+    * pointer never names a half-built family. Superseded generations
+    * stay probe-able through [[Generations.prune]]'s keep window
+    * (pruned here with keep=2 after each rotation).
     */
   def startSharded(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int, storeRoot: String, outPath: String,
@@ -140,26 +155,15 @@ object SegmentDedupStream {
     val fpsDir = s"$storeRoot/fps"
     val bloomRoot = s"$storeRoot/bloom"
 
-    // current epoch = highest COMMITTED family (re-derived per batch
-    // from the filesystem: restart-safe, no driver state). Committed
-    // means `_meta` exists — it is written LAST by buildToPath, so a
-    // rotation that crashed mid-build leaves a directory that must
-    // NOT be selected (its shard set is incomplete; probing it would
-    // throw on the missing _meta and wedge every subsequent batch).
-    // The debris is cleared by buildToPath's freshness enforcement
-    // when the rotation re-fires.
-    val epoch = {
-      val root = new org.apache.hadoop.fs.Path(bloomRoot)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) 1
-      else fs.listStatus(root).map(_.getPath).collect {
-        case p if p.getName.startsWith("epoch") &&
-          p.getName.stripPrefix("epoch").forall(_.isDigit) &&
-          p.getName.length > 5 &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_meta")) =>
-          p.getName.stripPrefix("epoch").toInt
-      }.foldLeft(1)(math.max)
-    }
+    // current epoch = live generation + 1, re-derived per batch from
+    // the Generations pointer (restart-safe, no driver state). Only a
+    // PUBLISHED family is ever served: a rotation that crashed before
+    // its pointer flip leaves the epoch unchanged, and its debris is
+    // cleared or skipped by the next rotation (buildToPathVersioned's
+    // convergence rules) — the old hand-rolled highest-committed-dir
+    // listing is gone.
+    val epoch = Generations.current(spark, bloomRoot)
+      .map(_ + 1).getOrElse(1L).toInt
 
     val segs = SegmentDedup.segments(batch, idCol, textCol, segTokens)
     val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
@@ -187,7 +191,7 @@ object SegmentDedupStream {
         inBatch
       } else
         IncrementalDedup.dedupAgainstShardedPath(inBatch, covered,
-          "seg_fp", s"$bloomRoot/epoch$epoch")
+          "seg_fp", Generations.livePath(spark, bloomRoot))
     val kept = vsCovered
       .join(broadcast(delta.distinct()), Seq("seg_fp"), "left_anti")
       .localCheckpoint(true)
@@ -199,14 +203,17 @@ object SegmentDedupStream {
 
     // rotation cadence: the delta (post-append) is what the per-batch
     // broadcast join pays for; fold it into a fresh family once it
-    // outgrows the bound
+    // outgrows the bound. buildToPathVersioned commits the family
+    // (shards, then _meta) and publishes it with one atomic pointer
+    // flip; prune keeps one superseded generation of reader grace.
     val deltaRows = spark.read.parquet(fpsDir)
       .where(col("epoch") === epoch).count()
     if (deltaRows > rotateDeltaRows) {
       val all = spark.read.parquet(fpsDir).select("seg_fp")
       val expected = math.max(math.ceil(all.count() * 1.3).toLong, 1L)
-      ShardedBloom.buildToPath(all, "seg_fp", expected,
-        s"$bloomRoot/epoch${epoch + 1}", numShards = numShards)
+      ShardedBloom.buildToPathVersioned(all, "seg_fp", expected,
+        bloomRoot, numShards = numShards)
+      Generations.prune(spark, bloomRoot, keep = 2)
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.SegmentDedup
+import graft.ops.{Generations, SegmentDedup}
 import graft.streaming.SegmentDedupStream
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,7 @@ class StreamingSegmentDedupSpec extends SparkSpec {
 
     val base = java.nio.file.Files.createTempDirectory("graft_segshard").toString
     val (root, out) = (s"$base/store", s"$base/out")
+    val bloomRoot = s"$root/bloom"
     // rotateDeltaRows tiny: batch 1's fps alone exceed it, so batch 2
     // runs at epoch 2 (file-backed probe + delta join) and batch 3 at
     // epoch 3 — the equivalence below spans two rotations
@@ -57,9 +58,12 @@ class StreamingSegmentDedupSpec extends SparkSpec {
       _, "doc_id", "text", 10, root, out, numShards = 4,
       rotateDeltaRows = 50L))
 
-    // rotations actually happened: epoch-2 and epoch-3 families exist
-    assert(new java.io.File(s"$root/bloom/epoch2/_meta").isFile)
-    assert(new java.io.File(s"$root/bloom/epoch3/_meta").isFile)
+    // three rotations happened under the ONE Generations lifecycle:
+    // the pointer serves gen-3, gen-2 survives as reader grace
+    // (keep=2), gen-1 was pruned
+    assert(Generations.livePath(spark, bloomRoot).endsWith("gen-000003"))
+    assert(new java.io.File(s"$bloomRoot/gen-000002/_meta").isFile)
+    assert(!new java.io.File(s"$bloomRoot/gen-000001").exists)
 
     val streamed = spark.read.parquet(out)
       .select("doc_id", "n_segs", "n_kept", "clean_fp")
@@ -71,29 +75,45 @@ class StreamingSegmentDedupSpec extends SparkSpec {
     // cross-batch dedup fired on the planted truncations
     assert(streamed.exists(r => r._1 >= 1000000L && r._3 < r._2))
 
-    // batch 3's own rotation committed epoch4 as well
-    assert(new java.io.File(s"$root/bloom/epoch4/_meta").isFile)
-
-    // crash-recovery: an UNCOMMITTED family dir (no _meta — a rotation
-    // that died mid-build) must not be selected as the serving epoch;
-    // the next batch keeps serving from the committed epoch4
+    // crash-recovery 1: UNCOMMITTED debris (a rotation that died
+    // mid-build: shard files, no _meta, no pointer flip) is never
+    // served — the pointer still names gen-3 and the next batch
+    // dedups correctly through it
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$root/bloom/epoch5"))
+      java.nio.file.Paths.get(s"$bloomRoot/gen-000004"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/bloom/epoch5/shard-00000.bloom"),
+      java.nio.file.Paths.get(s"$bloomRoot/gen-000004/shard-00000.bloom"),
       Array[Byte](9, 9, 9))
     val extra = docs.where(col("doc_id") % 7 === 3)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     SegmentDedupStream.applyBatchSharded(extra, "doc_id", "text", 10,
       root, out, numShards = 4, rotateDeltaRows = 1000000L)
+    assert(Generations.livePath(spark, bloomRoot).endsWith("gen-000003"))
     // the replayed docs are full duplicates of already-seen segments
     val after = spark.read.parquet(out)
       .where(col("doc_id") >= 2000000L)
       .select("n_kept").as[Long].collect()
     assert(after.nonEmpty && after.forall(_ == 0L),
-      "duplicate batch must be fully deduped through the committed epoch")
-    Seq(2, 3, 4).foreach(e =>
-      graft.ops.ShardedBloomFiles.invalidate(s"$root/bloom/epoch$e"))
+      "duplicate batch must be fully deduped through the published family")
+
+    // crash-recovery 2: a COMMITTED-but-unpublished family (died
+    // between _meta commit and pointer flip) is not served either,
+    // and the next rotation converges — clears and reuses the
+    // uncommitted gen-4 debris, publishes it — instead of wedging
+    graft.ops.ShardedBloom.buildToPath(
+      spark.read.parquet(s"$root/fps").select("seg_fp"), "seg_fp",
+      5000L, s"$bloomRoot/gen-000005", numShards = 4)
+    assert(Generations.livePath(spark, bloomRoot).endsWith("gen-000003"))
+    // fresh content (a unique prefix token shifts every segment) so
+    // fps land in the delta and the tiny bound trips a rotation
+    val fresh = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("uniq"), col("doc_id"), lit(" "), col("text")).as("text"))
+    SegmentDedupStream.applyBatchSharded(fresh, "doc_id", "text", 10,
+      root, out, numShards = 4, rotateDeltaRows = 1L)
+    assert(Generations.livePath(spark, bloomRoot).endsWith("gen-000004"))
+    (1 to 5).foreach(g => graft.ops.ShardedBloomFiles.invalidate(
+      f"$bloomRoot/gen-$g%06d"))
   }
 
   test("the foreachBatch wrapper drives the same loop end-to-end") {
