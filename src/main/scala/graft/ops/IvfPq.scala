@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -32,13 +32,24 @@ import org.apache.spark.sql.types.LongType
   * the SQL oracle (q110) replays fit, assignment, encode, probe,
   * shortlist, and re-rank bit-for-bit.
   *
-  * Codes are computed on the raw quantized vectors, not the cell
-  * residuals (the IVFFlat+PQ variant): residual encoding buys recall
-  * at equal m but makes codes a function of BOTH models, so a coarse
-  * refit invalidates every code. With [[maintain]] refitting both
-  * levels together the trade is available either way; the non-residual
-  * form keeps encode a pure function of one model and replays in SQL
-  * without a per-cell codebook join.
+  * Codes default to the raw quantized vectors, not the cell residuals:
+  * the non-residual form keeps encode a pure function of one model and
+  * replays in SQL without a per-cell codebook join (q110's oracle
+  * shape). The IVFFlat+PQ RESIDUAL variant — codes quantize
+  * `ei - centroid(cell)`, the standard deployment, buying recall at
+  * equal m because the codebooks spend their entries on within-cell
+  * structure instead of re-describing cell positions — ships behind
+  * `Model.residual`: the flag lives IN the model so an index can never
+  * be probed under the wrong interpretation, codes become a function
+  * of BOTH levels (any coarse refit invalidates them — [[maintain]]
+  * always refits both together, so the lifecycle already honors
+  * that), and the probe builds its ADC LUT per (query, probed cell)
+  * over the query's residual, since
+  * `|(q - c) - (x - c)|^2 = |q - x|^2`. Residuals stay on the same
+  * exact-integer micro grid (`quant(x) - quant(c)` is plain long
+  * subtraction), so determinism is preserved; what is given up is the
+  * single-model SQL replay, which is why the oracle path stays
+  * non-residual.
   *
   * Reference scope ends at exact/LSH/IVF search; IVF-PQ is extension
   * surface (SURVEY.md §2.4), like [[Pq]] itself.
@@ -46,31 +57,65 @@ import org.apache.spark.sql.types.LongType
 object IvfPq {
 
   /** Both levels of the index: the coarse cell quantizer and the
-    * per-subspace PQ codebooks, fit on the same corpus.
+    * per-subspace PQ codebooks, fit on the same corpus. `residual`
+    * records how codes are to be interpreted (raw-vector vs
+    * cell-residual quantization) — it is part of the model because an
+    * index written one way must never be probed the other.
     */
-  final case class Model(coarse: Ivf.QuantModel, pq: Pq.QuantCodebook)
+  final case class Model(coarse: Ivf.QuantModel, pq: Pq.QuantCodebook,
+                         residual: Boolean = false)
+
+  /** In-plan quantized centroid of the row's `cell` column. */
+  private def cellCentroid(coarse: Ivf.QuantModel): Column =
+    element_at(map(coarse.centroids.flatMap { case (cell, v) =>
+      Seq(lit(cell), lit(v.toArray)) }: _*), col("cell"))
+
+  /** Exact integer cell residual: `ei - centroid(cell)`, element-wise
+    * on the micro grid. Requires a `cell` column in scope.
+    */
+  private def residualEi(ei: Column, coarse: Ivf.QuantModel): Column =
+    zip_with(ei, cellCentroid(coarse), (x, c) => x - c)
 
   /** Fit both levels: coarse farthest-point cells, then PQ codebooks —
     * two corpus scans total, both driver-bounded (centroid pools
-    * only). Production fits on a sample; the operator takes whatever
-    * frame it's given.
+    * only). With `residual = true` the codebooks fit on the cell
+    * residuals (one extra narrow assign inside the second scan).
+    * Production fits on a sample; the operator takes whatever frame
+    * it's given.
     */
   def fit(corpus: DataFrame, idCol: String, nLists: Int, m: Int, k: Int,
-          oversample: Int = 8): Model =
-    Model(Ivf.fitQuantized(corpus, idCol, nLists, oversample),
-      Pq.fitQuantized(corpus, idCol, m, k, oversample))
+          oversample: Int = 8, residual: Boolean = false): Model = {
+    val coarse = Ivf.fitQuantized(corpus, idCol, nLists, oversample)
+    val pq =
+      if (!residual) Pq.fitQuantized(corpus, idCol, m, k, oversample)
+      else Pq.fitQuantizedEi(
+        Ivf.assignQuantized(corpus, coarse)
+          .withColumn("ei", residualEi(col("ei"), coarse)),
+        idCol, m, k, oversample)
+    Model(coarse, pq, residual)
+  }
+
+  /** Assign + encode under the model's declared interpretation —
+    * shared by [[writeIndex]] and [[appendIndex]] so the two can never
+    * diverge on the residual question.
+    */
+  private def encodeRows(assigned: DataFrame, idCol: String,
+                         model: Model): DataFrame = {
+    val enc =
+      if (model.residual) residualEi(col("ei"), model.coarse) else col("ei")
+    assigned.withColumn("codes", Pq.codesColumn(enc, model.pq))
+      .select(col(idCol), col("codes"), col("cell"))
+  }
 
   /** Materialize the two-level index: one corpus scan assigns cells
     * (narrow argmin over broadcast centroids) and encodes codes
-    * (narrow argmin per subspace), writing `(id, codes, cell)`
-    * hive-partitioned by cell. No full embedding reaches the index —
-    * that is the point.
+    * (narrow argmin per subspace, over the residual when the model
+    * says so), writing `(id, codes, cell)` hive-partitioned by cell.
+    * No full embedding reaches the index — that is the point.
     */
   def writeIndex(corpus: DataFrame, idCol: String, model: Model,
                  path: String): Unit =
-    Ivf.assignQuantized(corpus, model.coarse)
-      .withColumn("codes", Pq.codesColumn(col("ei"), model.pq))
-      .select(col(idCol), col("codes"), col("cell"))
+    encodeRows(Ivf.assignQuantized(corpus, model.coarse), idCol, model)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Incremental append, [[Ivf.appendIndex]]'s shape: assign + encode
@@ -82,9 +127,7 @@ object IvfPq {
     */
   def appendIndex(batch: DataFrame, idCol: String, model: Model,
                   path: String): Unit =
-    Ivf.assignQuantized(batch, model.coarse)
-      .withColumn("codes", Pq.codesColumn(col("ei"), model.pq))
-      .select(col(idCol), col("codes"), col("cell"))
+    encodeRows(Ivf.assignQuantized(batch, model.coarse), idCol, model)
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Probe the materialized index. `corpus` is the BASE table the
@@ -101,13 +144,18 @@ object IvfPq {
   def searchIndex(spark: SparkSession, path: String, corpus: DataFrame,
                   queries: DataFrame, idCol: String, model: Model,
                   topK: Int, nProbe: Int, refine: Int = 4): DataFrame = {
-    val q = Similarity.withQuantized(queries, "embedding")
-      .withColumn("lut", Pq.lutColumn(col("ei"), model.pq))
+    val probed = Similarity.withQuantized(queries, "embedding")
       .withColumn("probe",
         explode(slice(array_sort(
           Ivf.scoredCellsQ(col("ei"), model.coarse.centroids)), 1, nProbe)))
       .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
-        col("lut"), col("probe").getField("cell").as("cell"))
+        col("probe").getField("cell").as("cell"))
+    // residual models build the LUT per (query, probed cell) over the
+    // query's own cell residual: |(q-c) - (x-c)|^2 = |q-x|^2
+    val q = probed.withColumn("lut",
+      if (model.residual)
+        Pq.lutColumn(residualEi(col("qe"), model.coarse), model.pq)
+      else Pq.lutColumn(col("qe"), model.pq))
 
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -162,7 +210,8 @@ object IvfPq {
         if (fitSample < 1.0)
           corpus.sample(withReplacement = false, fitSample, seed = 7L)
         else corpus
-      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample)
+      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample,
+        residual = model.residual)
       val tmp = path + ".rebuild"
       writeIndex(corpus, idCol, refit, tmp)
       Ivf.checkedSwap(spark, path, tmp)
@@ -203,7 +252,8 @@ object IvfPq {
         if (fitSample < 1.0)
           corpus.sample(withReplacement = false, fitSample, seed = 7L)
         else corpus
-      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample)
+      val refit = fit(fitCorpus, idCol, nLists, m, k, oversample,
+        residual = model.residual)
       val next = Generations.nextPath(spark, root)
       writeIndex(corpus, idCol, refit, next)
       Generations.publish(spark, root, next)

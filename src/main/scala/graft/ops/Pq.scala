@@ -64,10 +64,20 @@ object Pq {
     * copies of [[Ivf.fitQuantized]]'s init, sharing one scan.
     */
   def fitQuantized(corpus: DataFrame, idCol: String, m: Int, k: Int,
-                   oversample: Int = 8): QuantCodebook = {
-    val spark = corpus.sparkSession
+                   oversample: Int = 8): QuantCodebook =
+    fitQuantizedEi(Similarity.withQuantized(corpus, "embedding"), idCol,
+      m, k, oversample)
+
+  /** [[fitQuantized]] over a frame that ALREADY carries the quantized
+    * `ei` column — the residual IVF-PQ fit path, where `ei` holds
+    * exact integer cell residuals rather than raw quantized vectors
+    * (residuals live on the same micro grid, so all the exact-integer
+    * arithmetic below applies unchanged).
+    */
+  private[ops] def fitQuantizedEi(q: DataFrame, idCol: String, m: Int,
+                                  k: Int, oversample: Int): QuantCodebook = {
+    val spark = q.sparkSession
     import spark.implicits._
-    val q = Similarity.withQuantized(corpus, "embedding")
     val dim = q.select(size(col("ei"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val w = dim / m

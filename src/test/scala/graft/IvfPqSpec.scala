@@ -149,4 +149,69 @@ class IvfPqSpec extends SparkSpec {
     assert(viaMaintained == viaFresh)
     assert(before > 0L) // directory existed before the cadence ticked
   }
+
+  test("residual codes: recall@k at refine=1 >= non-residual at equal m; lifecycle round-trips the flag") {
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val mNon = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4)
+    val mRes = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4,
+      residual = true)
+    // same coarse level; only the codebooks (and their interpretation)
+    // differ
+    assert(mRes.residual && !mNon.residual && mRes.coarse == mNon.coarse)
+
+    val pNon = tmpIdx("res_non"); val pRes = tmpIdx("res_res")
+    IvfPq.writeIndex(corpus, "vec_id", mNon, pNon)
+    IvfPq.writeIndex(corpus, "vec_id", mRes, pRes)
+    // the codes-only storage contract is interpretation-independent
+    assert(spark.read.parquet(pRes).columns.sorted.toSeq ==
+      Seq("cell", "codes", "vec_id"))
+
+    val vecs = Similarity.withQuantized(corpus, "embedding")
+      .select(col("vec_id"), col("ei")).as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def exactTopK(q: Long, k: Int): Seq[Long] =
+      vecs.collect { case (id, v) if id != q => (d2(vecs(q), v), id) }
+        .toSeq.sorted.take(k).map(_._2)
+
+    // refine=1 makes the ADC shortlist THE final set, so recall here
+    // measures code fidelity (the quantity residual encoding buys),
+    // not the re-rank's rescue
+    def recall(path: String, model: IvfPq.Model): Double = {
+      val got = IvfPq.searchIndex(spark, path, corpus, queries, "vec_id",
+        model, topK = 10, nProbe = 4, refine = 1)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      got.map { case (q, ids) => (ids & exactTopK(q, 10).toSet).size }
+        .sum.toDouble / (10 * got.size)
+    }
+    val rNon = recall(pNon, mNon)
+    val rRes = recall(pRes, mRes)
+    assert(rRes >= rNon, s"residual recall $rRes < non-residual $rNon")
+
+    // exact re-rank distances stay exact under residual codes (stage 3
+    // never touches codes)
+    val d2s = IvfPq.searchIndex(spark, pRes, corpus, queries, "vec_id",
+      mRes, topK = 3, nProbe = 2).select("q_id", "vec_id", "d2")
+      .as[(Long, Long, Long)].collect()
+    assert(d2s.nonEmpty)
+    d2s.foreach { case (q, id, d) => assert(d == d2(vecs(q), vecs(id))) }
+
+    // forced maintain refits BOTH levels, keeps the flag, and the
+    // refit codes are residuals of the NEW coarse level: the
+    // maintained index serves exactly a fresh residual fit + build
+    val rep = IvfPq.maintainInPlace(spark, pRes, corpus, "vec_id", mRes,
+      nLists = 4, m = 4, k = 4, threshold = 0.0)
+    assert(rep.rebuilt && rep.model.residual)
+    assert(rep.model == IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4,
+      k = 4, residual = true))
+    val fresh = tmpIdx("res_fresh")
+    IvfPq.writeIndex(corpus, "vec_id", rep.model, fresh)
+    val a = IvfPq.searchIndex(spark, pRes, corpus, queries, "vec_id",
+      rep.model, topK = 5, nProbe = 2).orderBy("q_id", "rnk").collect().toSeq
+    val b = IvfPq.searchIndex(spark, fresh, corpus, queries, "vec_id",
+      rep.model, topK = 5, nProbe = 2).orderBy("q_id", "rnk").collect().toSeq
+    assert(a == b)
+  }
 }
