@@ -261,11 +261,16 @@ object Dedup {
     * the LSH recipe (banding recalls candidates cheaply; this
     * confirms them exactly before any destructive dedup decision).
     *
-    * Scale shape: the pair set is tiny relative to the corpus, so
-    * both joins are broadcast-size on the pair side and the corpus's
+    * Scale shape: the pair set is tiny relative to the corpus (LSH
+    * banding + bucket caps bound it), so both joins BROADCAST the
+    * pair side — hinted explicitly, not left to size estimation,
+    * because the pair frame's post-LSH statistics are opaque to the
+    * estimator and a silent fallback to a shuffle join would move
+    * every corpus shingle array at 100 TB. The corpus's
     * distinct-shingle arrays move only for docs that actually appear
     * in a pair. Per-pair cost is one in-row array_intersect — no
-    * shuffle of shingle rows, no quadratic stage anywhere.
+    * shuffle of shingle rows, no quadratic stage anywhere. The hinted
+    * shape is pinned by PlanAuditSpec (red if the hints go).
     */
   def verifyCandidatePairs(corpus: DataFrame, idCol: String, textCol: String,
                            pairs: DataFrame, shingleWidth: Int,
@@ -275,8 +280,8 @@ object Dedup {
       .where(size(col("tk")) >= shingleWidth)
       .select(col(idCol),
         expr(s"array_distinct(${shingleExpr(shingleWidth)})").as("shs"))
-    pairs
-      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa")), "doc_a")
+    broadcast(broadcast(pairs)
+      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa")), "doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard_milli",

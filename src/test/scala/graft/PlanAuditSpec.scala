@@ -39,6 +39,54 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache() // q60's corpus-clean persists its stages
   }
 
+  test("scale-critical dedup/index plan shapes are pinned (broadcast hints, static prune)") {
+    // With auto-broadcast OFF, a BroadcastHashJoin can only come from
+    // an explicit broadcast() hint — so these asserts go red the
+    // moment a refactor drops the hints the scaladocs promise, instead
+    // of the regression surfacing as a full-corpus shuffle at scale.
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // q103/q106: exact-Jaccard verification must broadcast the
+      // (contract: LSH-bounded) pair side on both joins
+      Seq("q103_verified_neardup_pairs", "q106_neardup_quarantine")
+        .foreach { name =>
+          val plan = SparkEntry.queries(name)(spark, dir)
+            .queryExecution.executedPlan.toString
+          assert(plan.contains("BroadcastHashJoin"),
+            s"$name lost its broadcast pair-side verification joins")
+          assert(!plan.contains("CartesianProduct"), name)
+        }
+
+      // q77's pair lineage (shared with q103/q106): bucket-local pair
+      // explosion is JOIN-FREE — nothing that could degrade into an
+      // all-pairs product. (The size-adaptive component resolution on
+      // top is contract-tested in DedupSpec: both paths, same labels.)
+      val sig = graft.ops.Dedup.minhashSignatures(
+        Tables(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 8, shingleWidth = 3)
+      val pairsPlan = graft.ops.Dedup
+        .lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+        .queryExecution.executedPlan.toString
+      assert(!pairsPlan.contains("Join") && !pairsPlan.contains("CartesianProduct"),
+        s"LSH candidate pairs grew a join:\n$pairsPlan")
+
+      // q110: the probe must carry a STATIC cell partition filter
+      // (guaranteed pruning) and hint-broadcast both the query side
+      // and the shortlist re-rank side
+      val plan110 = SparkEntry.queries("q110_ivfpq_index")(spark, dir)
+        .queryExecution.executedPlan.toString
+      val scanLines = plan110.split("\n").filter(_.contains("PartitionFilters"))
+      assert(scanLines.exists(l => l.contains("cell") &&
+        (l.contains(" IN ") || l.contains("INSET"))),
+        s"q110 lost its static cell prune:\n${scanLines.mkString("\n")}")
+      assert(plan110.contains("BroadcastHashJoin"),
+        "q110 lost its hinted broadcast probe/re-rank joins")
+      assert(!plan110.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a query without an oracle silently downgrades to a rows-only
     // check in the driver's gate; this pins the 1:1 contract forever
