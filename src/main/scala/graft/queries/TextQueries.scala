@@ -561,6 +561,62 @@ object TextQueries {
         }.toDF("term", "n_exact", "mg_contract")
           .orderBy(col("n_exact").desc, col("term"))
       } finally { toks.unpersist(); () }
+    }),
+
+    // fuzzy vocabulary self-join: every term pair within edit
+    // distance 2 over the combined document + part-name vocabulary —
+    // the spelling-variant / typo-cluster detector. Candidates come
+    // from q-gram count-filter blocking (never all pairs); exact
+    // levenshtein verifies candidates only. See ops/FuzzyJoin.
+    "q114_fuzzy_vocab" -> ((s, dir) => {
+      val docTerms = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val partTerms = t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("term"))
+      val vocab = docTerms.unionAll(partTerms)
+        .where(length(col("term")) >= 3 && col("term").rlike("^[a-z]+$"))
+      graft.ops.FuzzyJoin.selfJoin(vocab, "term", maxDist = 2)
+        .orderBy("a", "b")
+    }),
+
+    // BM25 ranked retrieval (Okapi, k1=1.2, b=0.75, Lucene-style
+    // idf = ln(1 + (N-df+0.5)/(df+0.5))) for a fixed 3-term query.
+    // Per-term contributions are rounded to micro-units BEFORE the
+    // per-doc sum, so the score is an exact integer — deterministic
+    // under any aggregation order and bit-identical to the oracle
+    // (the repo's dec/micro idiom). df is a tiny per-term frame
+    // (broadcast join); doc lengths and tf are one tokenization scan.
+    "q115_bm25" -> ((s, dir) => {
+      val qts = Seq("join", "data", "spark")
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val dl = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("dl"))
+      val stats = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_len"))
+      val tf = toks.where(col("term").isin(qts: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("total_len").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))))
+        .withColumn("contrib_micro",
+          round(col("idf") * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+            * lit(1000000.0)).cast(LongType))
+      scored.groupBy("doc_id")
+        .agg(sum(col("contrib_micro")).as("score_micro"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
     }))
 
   // ---- oracle SQL -------------------------------------------------
@@ -1096,5 +1152,48 @@ object TextQueries {
            TRUE AS mg_contract
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
                FROM documents)
-         GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""")
+         GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""",
+
+    "q114_fuzzy_vocab" ->
+      """WITH v AS (
+           SELECT DISTINCT term FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             FROM documents
+             UNION ALL
+             SELECT unnest(string_split(p_name, ' ')) AS term FROM part)
+           WHERE len(term) >= 3 AND regexp_matches(term, '^[a-z]+$'))
+         SELECT a.term AS a, b.term AS b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+         FROM v a JOIN v b ON a.term < b.term
+         WHERE levenshtein(a.term, b.term) <= 2
+         ORDER BY a, b""",
+
+    "q115_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+             AS total_len FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('join', 'data', 'spark') GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT t.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                      / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS contrib_micro
+           FROM tf t JOIN df f ON f.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, stats s)
+         SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         FROM scored GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 20""")
 }

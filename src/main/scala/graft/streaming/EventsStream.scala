@@ -36,10 +36,19 @@ object EventsStream {
   /** The directory's actual on-disk schema (one batch footer read —
     * the file-stream source itself requires a user-provided schema);
     * [[rawSchema]] if the dir can't be read yet (not yet populated).
+    * Only the expected not-yet-populated shapes fall back — an empty
+    * or missing path ([[AnalysisException]]) or a transient IO error
+    * listing it; genuine corruption, permission failures surfaced as
+    * runtime exceptions, and fatal JVM errors all propagate rather
+    * than silently starting the stream on the possibly-wrong
+    * [[rawSchema]].
     */
   def storedSchema(spark: SparkSession, dir: String): StructType =
     try spark.read.parquet(dir).schema
-    catch { case _: Throwable => rawSchema }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => rawSchema
+      case _: java.io.FileNotFoundException => rawSchema
+    }
 
   /** Normalize `ts` to a proper timestamp whatever the stored form:
     * ns-long (nanosAsLong) truncates to µs — the same truncation
