@@ -514,6 +514,55 @@ object Relational {
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("p_us") - col("c_us")).as("delta_us"))
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // grouped top-k via the bounded mergeable aggregator
+    // (functions/TopK.scala): per nation, the 3 customers with the
+    // highest account balance (ties by custkey). Equivalent to the
+    // row_number window form the oracle uses, but shuffles only <= k
+    // candidates per group per map partition instead of every row —
+    // the partial-aggregation shape that survives a 100x scale-up.
+    "q116_grouped_topk" -> ((s, dir) => {
+      val topk = udaf(graft.functions.TopKAgg(3))
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast(LongType).as("c_nationkey"),
+          (dec(col("c_acctbal")) * 100).cast(LongType).as("bal_cents"),
+          col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(topk(col("bal_cents"), col("c_custkey")).as("top"))
+        .select(col("c_nationkey"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("c_nationkey"), (col("pos") + 1).cast(LongType).as("rnk"),
+          col("e._2").as("c_custkey"), col("e._1").as("bal_cents"))
+        .orderBy("c_nationkey", "rnk")
+    }),
+
+    // sketch ROLLUP: per-day Datasketches-HLL sketches of distinct
+    // users, then a cross-day distinct via hll_union_agg over the
+    // (tiny) sketch column — the pattern that makes distinct-count
+    // rollups cheap at 100 TB: sketch each partition/day once at
+    // ingest, answer any later union (week, month, all-time) by
+    // merging kilobyte summaries instead of rescanning raw events.
+    // Oracle shape follows q35: exact counts are the differential
+    // check; the sketch's accuracy contract is a boolean (lgK=14
+    // => 0.8% rsd; bound 5% + 1 absolute for tiny groups).
+    "q117_hll_rollup" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day").agg(
+        hll_sketch_agg(col("user_id"), 14).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      val dayRows = daily.select(
+        col("day").cast("string").as("scope"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+          <= col("exact_users") * lit(0.05) + lit(1)).as("sketch_within_5pct"))
+      val allRow = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("approx"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("ALL").as("scope"), col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= col("exact_users") * lit(0.05) + lit(1)).as("sketch_within_5pct"))
+      dayRows.unionByName(allRow).orderBy("scope")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -836,5 +885,26 @@ object Relational {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND epoch_us(p.ts) > epoch_us(c.ts)
            AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-         ORDER BY c.user_id, click_id, purchase_id""")
+         ORDER BY c.user_id, click_id, purchase_id""",
+
+    "q116_grouped_topk" ->
+      """SELECT c_nationkey, rnk, c_custkey, bal_cents FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+                 c_custkey) AS BIGINT) AS rnk
+           FROM customer)
+         WHERE rnk <= 3 ORDER BY c_nationkey, rnk""",
+
+    "q117_hll_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         d AS (SELECT CAST(day AS VARCHAR) AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM e GROUP BY day),
+         a AS (SELECT 'ALL' AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM e)
+         SELECT scope, exact_users, TRUE AS sketch_within_5pct
+         FROM (SELECT * FROM d UNION ALL SELECT * FROM a)
+         ORDER BY scope""")
 }

@@ -145,6 +145,47 @@ class StreamingSpec extends SparkSpec {
     assert(hh.sketch.totalCount() == batchCms.totalCount())
   }
 
+  test("streaming HLL distinct counter: idempotent under re-delivery, matches exact count") {
+    import org.apache.spark.sql.functions._
+    // the SAME events file staged twice -> two micro-batches carrying
+    // identical user_ids: a set-semantics accumulator must absorb the
+    // replay (estimate unchanged), where a linear counter would double
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_stream")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve(s"ev_$n.parquet"))
+    }
+    val evSchema = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").schema
+    val userStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("user_id"))
+
+    val dc = new graft.streaming.StreamingDistinctCounter("user_id")
+    val q = dc.attach(userStream)
+    try q.processAllAvailable() finally q.stop()
+
+    val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(exact > 0)
+    assert(math.abs(dc.estimate - exact) <= exact * 0.05 + 1,
+      s"streamed ${dc.estimate} vs exact $exact")
+
+    // idempotence: one-copy batch sketch unioned alone gives the SAME
+    // register state, so the two-copy streamed estimate equals it
+    val single = new graft.streaming.StreamingDistinctCounter("user_id")
+    single.addBatch(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id"))
+    assert(dc.estimate == single.estimate,
+      s"replay inflated the estimate: ${dc.estimate} vs ${single.estimate}")
+
+    // the serialized union round-trips through datasketches heapify
+    val back = org.apache.datasketches.hll.HllSketch.heapify(dc.sketchBytes)
+    assert(back.getEstimate == dc.estimate)
+  }
+
   test("stream-stream funnel join matches the batch plan over the same data") {
     val batchEv = EventsStream.withTimestamp(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
