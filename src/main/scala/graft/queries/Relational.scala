@@ -563,6 +563,28 @@ object Relational {
           (abs(col("approx") - col("exact_users"))
             <= col("exact_users") * lit(0.05) + lit(1)).as("sketch_within_5pct"))
       dayRows.unionByName(allRow).orderBy("scope")
+    }),
+
+    // z-order layout analytics: Morton-interleave (l_partkey,
+    // l_suppkey), group by the level-3 quadtree bucket (top 6 z bits
+    // — a pure projection, NO global sort), and emit each bucket's
+    // min-max box plus whether a fixed 2-D box predicate could skip
+    // it entirely. This is the data-skipping math behind
+    // ops/ZOrder.clusterBy: tight min-max on BOTH dims at once.
+    "q118_zorder_skipping" -> ((s, dir) => {
+      val bits = 16
+      val z = graft.ops.ZOrder.zValue2(col("l_partkey"), col("l_suppkey"), bits)
+      t(s, dir, "lineitem")
+        .select(graft.ops.ZOrder.zBucket(z, bits, 3).as("bucket"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_x"), max("l_partkey").as("max_x"),
+          min("l_suppkey").as("min_y"), max("l_suppkey").as("max_y"))
+        .withColumn("prunable",
+          col("max_x") < 100 || col("min_x") > 300 ||
+            col("max_y") < 10 || col("min_y") > 30)
+        .orderBy("bucket")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -906,5 +928,17 @@ object Relational {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM e)
          SELECT scope, exact_users, TRUE AS sketch_within_5pct
          FROM (SELECT * FROM d UNION ALL SELECT * FROM a)
-         ORDER BY scope""")
+         ORDER BY scope""",
+
+    "q118_zorder_skipping" -> {
+      val zSql = graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey", 16)
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+           ($zSql) >> 26 AS bucket FROM lineitem)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+           MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y,
+           (MAX(l_partkey) < 100 OR MIN(l_partkey) > 300
+             OR MAX(l_suppkey) < 10 OR MIN(l_suppkey) > 30) AS prunable
+         FROM z GROUP BY bucket ORDER BY bucket"""
+    })
 }

@@ -87,4 +87,63 @@ object JdbcSource {
       .option("truncate", "true")
       .mode("overwrite")
       .save()
+
+  // ---- warehouse bulk load via COPY ... FORMAT AS PARQUET ----------
+
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def ident(kind: String, v: String): String = {
+    require(IdentRe.matches(v),
+      s"$kind '$v' is not a plain SQL identifier — refusing to splice" +
+        " it into a statement")
+    v
+  }
+
+  private def sqlString(v: String): String =
+    "'" + v.replace("'", "''") + "'"
+
+  /** The warehouse-native bulk-load statement the reference issues
+    * (utils/redshift_operations.py:144-149): parquet files are loaded
+    * by the warehouse's own COPY, not row-by-row JDBC inserts — the
+    * only shape that scales past a few million rows. `manifest=true`
+    * names an explicit file manifest (the atomic-set idiom) rather
+    * than a prefix. Identifiers are validated, values quoted —
+    * nothing caller-supplied is spliced raw.
+    */
+  def copyStatement(schema: String, table: String, location: String,
+                    iamRole: String, manifest: Boolean = false): String = {
+    val m = if (manifest) " MANIFEST" else ""
+    s"COPY ${ident("schema", schema)}.${ident("table", table)}" +
+      s" FROM ${sqlString(location)}" +
+      s" IAM_ROLE ${sqlString(iamRole)}" +
+      s" FORMAT AS PARQUET$m"
+  }
+
+  /** TRUNCATE + COPY + count reconcile, expressed over an abstract
+    * statement executor so the orchestration is testable without a
+    * warehouse: `exec` runs a DDL/COPY statement, `count` evaluates a
+    * scalar COUNT query. Returns the post-load row count. The same
+    * idempotency contract as [[overwrite]] (SURVEY.md §7.3): re-runs
+    * replace, never append.
+    */
+  def bulkLoadParquet(schema: String, table: String, location: String,
+                      iamRole: String, manifest: Boolean,
+                      exec: String => Unit, count: String => Long): Long = {
+    val target = s"${ident("schema", schema)}.${ident("table", table)}"
+    exec(s"TRUNCATE ${target}")
+    exec(copyStatement(schema, table, location, iamRole, manifest))
+    count(s"SELECT COUNT(*) FROM ${target}")
+  }
+
+  /** Live-connection wiring of [[bulkLoadParquet]]. */
+  def bulkLoadParquet(conn: java.sql.Connection, schema: String, table: String,
+                      location: String, iamRole: String,
+                      manifest: Boolean): Long =
+    bulkLoadParquet(schema, table, location, iamRole, manifest,
+      sql => { val st = conn.createStatement()
+        try { st.execute(sql); () } finally st.close() },
+      sql => { val st = conn.createStatement()
+        try { val rs = st.executeQuery(sql)
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally st.close() })
 }

@@ -77,4 +77,34 @@ class JdbcE2eSpec extends SparkSpec {
       s"expected pushed JDBC filter:\n$plan")
     assert(scanned.count() == 5)
   }
+
+  test("O-11 COPY statement: warehouse-native parquet bulk load") {
+    val got = JdbcSource.copyStatement("analytics", "fact_orders",
+      "s3://bucket/prefix/part-", "arn:aws:iam::0:role/loader")
+    assert(got == "COPY analytics.fact_orders FROM 's3://bucket/prefix/part-'" +
+      " IAM_ROLE 'arn:aws:iam::0:role/loader' FORMAT AS PARQUET")
+    assert(JdbcSource.copyStatement("s", "t", "s3://b/m.manifest", "r",
+      manifest = true).endsWith("FORMAT AS PARQUET MANIFEST"))
+    // quotes in VALUES are escaped; hostile IDENTIFIERS are refused
+    assert(JdbcSource.copyStatement("s", "t", "s3://it's", "r")
+      .contains("'s3://it''s'"))
+    assertThrows[IllegalArgumentException](
+      JdbcSource.copyStatement("s; DROP TABLE x", "t", "l", "r"))
+    assertThrows[IllegalArgumentException](
+      JdbcSource.copyStatement("s", "t\"", "l", "r"))
+  }
+
+  test("O-11 bulkLoadParquet orchestration: TRUNCATE then COPY then reconcile") {
+    val issued = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = JdbcSource.bulkLoadParquet("analytics", "fact_orders",
+      "s3://b/manifest.json", "role", manifest = true,
+      exec = issued += _,
+      count = { q => issued += q; 42L })
+    assert(n == 42L)
+    assert(issued.toList == List(
+      "TRUNCATE analytics.fact_orders",
+      "COPY analytics.fact_orders FROM 's3://b/manifest.json'" +
+        " IAM_ROLE 'role' FORMAT AS PARQUET MANIFEST",
+      "SELECT COUNT(*) FROM analytics.fact_orders"))
+  }
 }
