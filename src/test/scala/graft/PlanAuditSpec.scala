@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     "q78_tfidf_topk",          // single-row n_docs scalar cross join
     "q91_unigram_nll",         // single-row n_total scalar cross join
     "q96_quality_gate",        // single-row n_total scalar cross join (q91 shape)
-    "q98_mixture_resample")    // single-row n_total scalar cross join (q91 shape)
+    "q98_mixture_resample",    // single-row n_total scalar cross join (q91 shape)
+    "q114_fuzzy_vocab",        // bounded short-string stratum, both sides broadcast
+    "q115_bm25",               // single-row corpus-stats scalar cross join
+    "q117_hll_rollup")         // single-row sketch-union x exact-count scalar join
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
