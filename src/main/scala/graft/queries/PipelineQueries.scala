@@ -166,6 +166,38 @@ object PipelineQueries {
         .orderBy("lang", "rn")
     }),
 
+    // KLL quantile sketch (functions/Kll — native
+    // TypedImperativeAggregate over Datasketches KLL): the mergeable
+    // quantile path beside q94's GK approx_percentile. Exact
+    // `percentile` values are the differential check (q94 pattern);
+    // the sketch's contract is a boolean — its q-quantile estimate
+    // must land between the EXACT quantiles at q∓0.03, i.e. within
+    // the sketch's ~1.65% normalized rank error with margin. Prices
+    // go through cent-exact longs first (dec idiom).
+    "q119_kll_quantiles" -> ((s, dir) => {
+      import graft.functions.Kll
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (dec(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("p50_exact"),
+          expr("percentile(cents, 0.95)").as("p95_exact"),
+          expr("percentile(cents, 0.47)").as("p50_lo"),
+          expr("percentile(cents, 0.53)").as("p50_hi"),
+          expr("percentile(cents, 0.92)").as("p95_lo"),
+          expr("percentile(cents, 0.98)").as("p95_hi"),
+          Kll.sketchAgg(col("cents")).as("sk"))
+        .select(col("l_returnflag"), col("n"), col("p50_exact"),
+          col("p95_exact"),
+          (Kll.quantileUdf(col("sk"), lit(0.5))
+              .between(col("p50_lo"), col("p50_hi")) &&
+            Kll.quantileUdf(col("sk"), lit(0.95))
+              .between(col("p95_lo"), col("p95_hi")))
+            .as("kll_within_rank_eps"))
+        .orderBy("l_returnflag")
+    }),
+
     // the FineWeb-style composite gate: length + repetition + LM
     // signals joined per doc, each with its own verdict column so the
     // gate is auditable (which filter fired), `keep` = all pass.
@@ -375,5 +407,15 @@ object PipelineQueries {
            (n_tokens >= 20 AND dup_gram_milli <= 50
              AND nll_per_tok_micro BETWEEN 3390000 AND 3415000) AS keep
          FROM nll JOIN rep ON rep.doc_id = nll.doc_id
-         ORDER BY nll.doc_id""")
+         ORDER BY nll.doc_id""",
+
+    "q119_kll_quantiles" ->
+      """WITH c AS (SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(cents, 0.5) AS p50_exact,
+           quantile_cont(cents, 0.95) AS p95_exact,
+           TRUE AS kll_within_rank_eps
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
