@@ -327,6 +327,31 @@ object BenchScale {
         val w = Window.partitionBy("l_partkey").orderBy(col("l_extendedprice").desc)
         liBig.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).count()
       },
+      // same job via the mergeable bounded aggregator (q116): the
+      // shuffle carries <= 3 candidates per key per map partition
+      // instead of the window's full 12M-row exchange + sort
+      time("topk_agg3_per_key") {
+        val topk = udaf(graft.functions.TopKAgg(3))
+        liBig.select(col("l_partkey"),
+            (col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_orderkey"))
+          .groupBy("l_partkey")
+          .agg(topk(col("cents"), col("l_orderkey")).as("top"))
+          .select(explode(col("top"))).count()
+      },
+      // quantiles over 12M rows: exact percentile (full-width sort
+      // state) vs the KLL mergeable sketch (O(k log n) per partial)
+      time("percentile_exact_12M") {
+        liBig.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))"))
+          .collect()
+      },
+      time("kll_sketch_12M") {
+        liBig.groupBy("l_returnflag")
+          .agg(graft.functions.Kll.sketchAgg(col("l_extendedprice")).as("sk"))
+          .select(graft.functions.Kll.quantileUdf(col("sk"), lit(0.95)))
+          .collect()
+      },
       time("broadcast_join_agg") {
         liBig.join(broadcast(part), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand").agg(sum("l_quantity")).collect()

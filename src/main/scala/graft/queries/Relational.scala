@@ -585,6 +585,25 @@ object Relational {
           col("max_x") < 100 || col("min_x") > 300 ||
             col("max_y") < 10 || col("min_y") > 30)
         .orderBy("bucket")
+    }),
+
+    // weighted PageRank over the event-type transition graph (edge
+    // u->v = "v follows u in a user's stream", weight = frequency):
+    // 8 damped power iterations in exact integer micro-arithmetic —
+    // the oracle replays the identical recurrence as unrolled CTEs,
+    // so the iterative distributed computation hash-matches SQL.
+    "q120_pagerank_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("dst", lead("event_type", 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+      val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.ops.PageRank.run(edges, 8)
+        .select(col("node").as("event_type"), col("pr").as("pr_micro"))
+        .orderBy("event_type")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -940,5 +959,19 @@ object Relational {
            (MAX(l_partkey) < 100 OR MIN(l_partkey) > 300
              OR MAX(l_suppkey) < 10 OR MIN(l_suppkey) > 30) AS prunable
          FROM z GROUP BY bucket ORDER BY bucket"""
-    })
+    },
+
+    "q120_pagerank_transitions" ->
+      s"""WITH pairs AS (SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS dst
+           FROM events),
+         edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+           FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         outw AS (SELECT src AS node, SUM(w) AS outw FROM edges GROUP BY 1),
+         ${graft.ops.PageRank.recurrenceSql(8)}
+         SELECT node AS event_type, pr AS pr_micro FROM r8
+         ORDER BY event_type""")
 }
