@@ -242,9 +242,21 @@ object IncrementalDedup {
       !mightContain(col(fpCol)))
     val maybeDup = batch.where(col(fpCol).isNotNull &&
       mightContain(col(fpCol)))
-    val probeFps = maybeDup.select(fpCol).distinct()
+    // ONE action sizes the probe set AND captures it: take(max+1)
+    // both decides the route and, on the broadcast path, becomes the
+    // probe relation itself — so the final plan never re-derives
+    // probeFps from the batch (the old count()-then-rebuild shape
+    // paid the batch scan + distinct twice per ingest). The driver
+    // round-trip is the same bytes the broadcast would ship anyway.
+    val probeHead = maybeDup.select(fpCol).distinct()
+      .take(math.min(maxBroadcastProbe, Int.MaxValue - 2L).toInt + 1)
     val resolved =
-      if (probeFps.count() <= maxBroadcastProbe) {
+      if (probeHead.length <= maxBroadcastProbe) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val probeFps = spark
+          .createDataset(probeHead.map(_.getLong(0)).toIndexedSeq)
+          .toDF(fpCol)
         val dupFps = history.select(fpCol)
           .join(broadcast(probeFps), Seq(fpCol), "left_semi").distinct()
         maybeDup.join(broadcast(dupFps), Seq(fpCol), "left_anti")
