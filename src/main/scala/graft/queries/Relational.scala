@@ -604,6 +604,51 @@ object Relational {
       graft.ops.PageRank.run(edges, 8)
         .select(col("node").as("event_type"), col("pr").as("pr_micro"))
         .orderBy("event_type")
+    }),
+
+    // theta-sketch SET ALGEBRA over user segments: heavy clickers (A)
+    // vs heavy purchasers (B) as per-segment sketches, then
+    // |A∩B| / |A\B| / |A∪B| answered from the KB summaries alone —
+    // the q117 rollup pattern extended to intersections, which HLL
+    // cannot express. Exact counts are the differential; each theta
+    // estimate must land within 5%+2 of exact (below k entries the
+    // sketch is literally exact). q113-style driver composition: the
+    // sketches and the exact counts each come from ONE aggregation
+    // over the same persisted per-user frame.
+    "q121_theta_segments" -> ((s, dir) => {
+      import graft.functions.Theta
+      def within(est: Double, exact: Long): Boolean =
+        math.abs(est - exact) <= exact * 0.05 + 2
+      val cc = events(s, dir).groupBy("user_id").agg(
+        count(when(col("event_type") === "click", 1)).as("nc"),
+        count(when(col("event_type") === "purchase", 1)).as("np"))
+        .persist()
+      try {
+        val sk = cc.agg(
+          Theta.sketchAgg(when(col("nc") >= 16, col("user_id"))).as("ska"),
+          Theta.sketchAgg(when(col("np") >= 16, col("user_id"))).as("skb"))
+          .head()
+        val (ska, skb) =
+          (sk.getAs[Array[Byte]]("ska"), sk.getAs[Array[Byte]]("skb"))
+        val ex = cc.agg(
+          count(when(col("nc") >= 16, 1)).as("a"),
+          count(when(col("np") >= 16, 1)).as("b"),
+          count(when(col("nc") >= 16 && col("np") >= 16, 1)).as("ab"))
+          .head()
+        val (a, b, ab) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+        import s.implicits._
+        Seq(
+          ("a_heavy_clickers", a, within(Theta.estimate(ska), a)),
+          ("b_heavy_purchasers", b, within(Theta.estimate(skb), b)),
+          ("a_intersect_b", ab,
+            within(Theta.estimate(Theta.intersect(ska, skb)), ab)),
+          ("a_minus_b", a - ab,
+            within(Theta.estimate(Theta.aNotB(ska, skb)), a - ab)),
+          ("a_union_b", a + b - ab,
+            within(Theta.estimate(Theta.union(ska, skb)), a + b - ab)))
+          .toDF("set_op", "exact_users", "theta_within")
+          .orderBy("set_op")
+      } finally { cc.unpersist(); () }
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -973,5 +1018,23 @@ object Relational {
          outw AS (SELECT src AS node, SUM(w) AS outw FROM edges GROUP BY 1),
          ${graft.ops.PageRank.recurrenceSql(8)}
          SELECT node AS event_type, pr AS pr_micro FROM r8
-         ORDER BY event_type""")
+         ORDER BY event_type""",
+
+    "q121_theta_segments" ->
+      """WITH cc AS (SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS nc,
+           count(*) FILTER (WHERE event_type = 'purchase') AS np
+         FROM events GROUP BY 1),
+         agg AS (SELECT
+           CAST(count(*) FILTER (WHERE nc >= 16) AS BIGINT) AS a,
+           CAST(count(*) FILTER (WHERE np >= 16) AS BIGINT) AS b,
+           CAST(count(*) FILTER (WHERE nc >= 16 AND np >= 16) AS BIGINT) AS ab
+         FROM cc)
+         SELECT set_op, exact_users, TRUE AS theta_within FROM (
+           SELECT 'a_heavy_clickers' AS set_op, a AS exact_users FROM agg
+           UNION ALL SELECT 'b_heavy_purchasers', b FROM agg
+           UNION ALL SELECT 'a_intersect_b', ab FROM agg
+           UNION ALL SELECT 'a_minus_b', a - ab FROM agg
+           UNION ALL SELECT 'a_union_b', a + b - ab FROM agg)
+         ORDER BY set_op""")
 }
