@@ -649,6 +649,34 @@ object Relational {
           .toDF("set_op", "exact_users", "theta_within")
           .orderBy("set_op")
       } finally { cc.unpersist(); () }
+    }),
+
+    // interval-overlap join via time-bin bucketing (ops/IntervalJoin):
+    // cross-user session pairs that overlap in wall-clock time. The
+    // non-equi overlap predicate becomes a bin equi-join (lossless:
+    // overlapping intervals share a bin) with algebraic first-shared-
+    // bin dedup — no CartesianProduct, no post-join distinct. The
+    // oracle is the quadratic form, exact at fixture scale.
+    "q122_session_overlaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+      val run = Window.partitionBy("user_id").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = events(s, dir)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("sess", sum("new_s").over(run))
+        .groupBy("user_id", "sess")
+        .agg(min("us").as("st"), max("us").as("en"))
+        .where(col("en") > col("st"))
+      graft.ops.IntervalJoin
+        .overlapJoin(sess, sess, "st", "en", 1800000000L,
+          col("a_user_id") < col("b_user_id"))
+        .select(col("a_user_id"), col("a_sess"), col("b_user_id"),
+          col("b_sess"), col("overlap_us"))
+        .orderBy("a_user_id", "a_sess", "b_user_id", "b_sess")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -1036,5 +1064,24 @@ object Relational {
            UNION ALL SELECT 'a_intersect_b', ab FROM agg
            UNION ALL SELECT 'a_minus_b', a - ab FROM agg
            UNION ALL SELECT 'a_union_b', a + b - ab FROM agg)
-         ORDER BY set_op""")
+         ORDER BY set_op""",
+
+    "q122_session_overlaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         g AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sess
+           FROM f),
+         sess AS (SELECT user_id, CAST(sess AS BIGINT) AS sess,
+             MIN(us) AS st, MAX(us) AS en
+           FROM g GROUP BY 1, 2 HAVING MAX(us) > MIN(us))
+         SELECT a.user_id AS a_user_id, a.sess AS a_sess,
+           b.user_id AS b_user_id, b.sess AS b_sess,
+           least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+         ORDER BY a_user_id, a_sess, b_user_id, b_sess""")
 }
