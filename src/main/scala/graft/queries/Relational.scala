@@ -677,6 +677,22 @@ object Relational {
         .select(col("a_user_id"), col("a_sess"), col("b_user_id"),
           col("b_sess"), col("overlap_us"))
         .orderBy("a_user_id", "a_sess", "b_user_id", "b_sess")
+    }),
+
+    // SLIDING windows (1h window, 15min slide): each event lands in
+    // exactly 4 overlapping windows via Spark's native window()
+    // generator — the same plan fragment Structured Streaming
+    // executes incrementally (q33's tumbling shape, generalized).
+    // The oracle replays the window arithmetic explicitly: start =
+    // floor15(ts) - o*15min for o in 0..3.
+    "q123_sliding_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(expr("unix_micros(w.start)").as("wstart_us"),
+          col("n_events"), col("n_users"))
+        .orderBy("wstart_us")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -1083,5 +1099,14 @@ object Relational {
            least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
          FROM sess a JOIN sess b
            ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
-         ORDER BY a_user_id, a_sess, b_user_id, b_sess""")
+         ORDER BY a_user_id, a_sess, b_user_id, b_sess""",
+
+    "q123_sliding_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+         w AS (SELECT us, user_id,
+             (us // 900000000) * 900000000 - o * CAST(900000000 AS BIGINT) AS wstart_us
+           FROM e, (SELECT unnest([0, 1, 2, 3]) AS o))
+         SELECT wstart_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w GROUP BY wstart_us ORDER BY wstart_us""")
 }
