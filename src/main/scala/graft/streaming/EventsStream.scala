@@ -69,6 +69,17 @@ object EventsStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** SLIDING 1-hour windows on a 15-minute slide, mode-agnostic (the
+    * q123 shape): each event contributes to exactly four overlapping
+    * windows; under streaming the watermark closes a window 2 hours
+    * after its end, so state is O(open windows x slide density).
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("wstart"), col("n_events"))
+
   /** Streaming read over a DIRECTORY of events parquet files (the
     * file-stream source tails the directory for new files — the batch
     * fixture file must be staged into one).

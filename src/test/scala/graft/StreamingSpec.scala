@@ -33,6 +33,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg matches the batch plan over the same data") {
+    val batch = EventsStream.slidingAgg(
+      EventsStream.withTimestamp(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
+      .orderBy("wstart").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventsStream.slidingAgg(
+        EventsStream.readStream(spark, dir.toString)
+          .withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out").orderBy("wstart").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids across micro-batches") {
     // the same fixture staged TWICE: every event id arrives in two
     // different files; maxFilesPerTrigger=1 forces separate
