@@ -693,6 +693,35 @@ object Relational {
         .select(expr("unix_micros(w.start)").as("wstart_us"),
           col("n_events"), col("n_users"))
         .orderBy("wstart_us")
+    }),
+
+    // ingest-volume anomaly detection: per-day event counts scored by
+    // z-score against the corpus mean/std — the pipeline-monitoring
+    // primitive ("did yesterday's crawl drop?"). Moments accumulate
+    // as exact long sums (order-independent); the mean/std/z are a
+    // FIXED sequence of double ops + one sqrt (IEEE correctly-rounded
+    // in both engines), micro-rounded — so the score hash-matches SQL
+    // bit for bit. Degenerate corpora (one day, zero variance) pin z
+    // to 0 identically on both sides.
+    "q124_volume_anomaly" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.agg(count(lit(1)).as("d"),
+        sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("ss"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn("mean", expr("CAST(s AS DOUBLE) / CAST(d AS DOUBLE)"))
+        .withColumn("variance", expr(
+          "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+            " / CAST(d AS DOUBLE)) / CAST(d - 1 AS DOUBLE)"))
+        .withColumn("z_micro", expr(
+          "CASE WHEN d <= 1 OR variance <= 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST(round((CAST(n_events AS DOUBLE) - mean)" +
+            " / sqrt(variance) * 1000000.0) AS BIGINT) END"))
+        .select(col("day").cast("string").as("day"), col("n_events"),
+          col("z_micro"), (abs(col("z_micro")) >= 2000000L).as("anomaly"))
+        .orderBy("day")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -1108,5 +1137,26 @@ object Relational {
            FROM e, (SELECT unnest([0, 1, 2, 3]) AS o))
          SELECT wstart_us, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM w GROUP BY wstart_us ORDER BY wstart_us""")
+         FROM w GROUP BY wstart_us ORDER BY wstart_us""",
+
+    "q124_volume_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+           CAST(SUM(n_events) AS BIGINT) AS s,
+           CAST(SUM(n_events * n_events) AS BIGINT) AS ss FROM daily),
+         z AS (SELECT day, n_events,
+           CASE WHEN d <= 1
+                  OR (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(d AS DOUBLE)) / CAST(d - 1 AS DOUBLE) <= 0
+             THEN CAST(0 AS BIGINT)
+             ELSE CAST(round((CAST(n_events AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(d AS DOUBLE)) / CAST(d - 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) END AS z_micro
+           FROM daily, st)
+         SELECT CAST(day AS VARCHAR) AS day, n_events, z_micro,
+           abs(z_micro) >= 2000000 AS anomaly
+         FROM z ORDER BY day""")
 }
