@@ -722,6 +722,43 @@ object Relational {
         .select(col("day").cast("string").as("day"), col("n_events"),
           col("z_micro"), (abs(col("z_micro")) >= 2000000L).as("anomaly"))
         .orderBy("day")
+    }),
+
+    // grouped OLS trend via SUFFICIENT STATISTICS: per event type,
+    // regress event value on day index in ONE aggregation — n, Σx,
+    // Σy, Σx², Σxy accumulate as exact longs (micro-scaled y, small
+    // day ints), so the normal-equation numerator/denominator are
+    // exact integers and the slope/intercept are single fixed-order
+    // double divisions, micro-rounded. Distributed regression with
+    // no iteration and no data movement beyond one partial agg —
+    // the moments pattern (q58/q124) extended to model fitting.
+    "q125_trend_ols" -> ((s, dir) => {
+      // centered normal-equation form: num/den computed in DOUBLE
+      // from the exact long sums (all < 2^53, so the conversions are
+      // exact and no long product can overflow at any fixture SF),
+      // fixed op order => bit-identical to the SQL replay
+      val base = events(s, dir).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2026-01-01")).cast(LongType).as("x"),
+        expr("CAST(round(value * 1000.0) AS BIGINT)").as("y"))
+      base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("num", expr(
+          "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)"))
+        .withColumn("den", expr(
+          "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)"))
+        .withColumn("slope_milli", expr(
+          "CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST(round(num / den) AS BIGINT) END"))
+        .withColumn("intercept_milli", expr(
+          "CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST(round((CAST(sy AS DOUBLE) - num / den" +
+            " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) END"))
+        .select("event_type", "n", "slope_milli", "intercept_milli")
+        .orderBy("event_type")
     }))
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
@@ -1158,5 +1195,29 @@ object Relational {
            FROM daily, st)
          SELECT CAST(day AS VARCHAR) AS day, n_events, z_micro,
            abs(z_micro) >= 2000000 AS anomaly
-         FROM z ORDER BY day""")
+         FROM z ORDER BY day""",
+
+    "q125_trend_ols" ->
+      """WITH b AS (SELECT event_type,
+           CAST(date_diff('day', DATE '2026-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+           CAST(round(value * 1000.0) AS BIGINT) AS y
+         FROM events),
+         m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM b GROUP BY 1),
+         d AS (SELECT *,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS num,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE) AS den
+           FROM m)
+         SELECT event_type, n,
+           CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(round(num / den) AS BIGINT) END AS slope_milli,
+           CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(round((CAST(sy AS DOUBLE) - num / den
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) END
+             AS intercept_milli
+         FROM d ORDER BY event_type""")
 }
