@@ -107,6 +107,27 @@ object BenchScale {
       println(f"ROW $name $sec%.3f")
       name -> sec
     }
+    // shuffle-WRITE megabytes of one action: on local[32] wall time
+    // hides exchange volume (shuffles hit page cache), but at 1000
+    // executors bytes-over-the-wire IS the cost model — so claims of
+    // the form "operator X moves less data than operator Y" are
+    // measured here directly via task metrics, not inferred
+    def shuffleMb(name: String)(action: => Unit): (String, Double) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { action; Thread.sleep(1500) } // drain the listener bus
+      finally spark.sparkContext.removeSparkListener(l)
+      val mb = acc.get() / 1e6
+      println(f"ROW $name $mb%.3f")
+      name -> mb
+    }
 
     // daily-ingest dedup, STEADY STATE: history = one fingerprint per
     // lineitem row (12M at x20 — far past auto-broadcast, the
@@ -336,6 +357,44 @@ object BenchScale {
             (col("l_extendedprice") * 100).cast("long").as("cents"),
             col("l_orderkey"))
           .groupBy("l_partkey")
+          .agg(topk(col("cents"), col("l_orderkey")).as("top"))
+          .select(explode(col("top"))).count()
+      },
+      // the scale-relevant half of the comparison: exchange VOLUME,
+      // in BOTH group-density regimes. The aggregator's partial keeps
+      // <= k rows per group per map partition, so its reduction
+      // factor is k / (rows-per-group-per-partition): with ~40k
+      // partkeys (sparse groups, ~9 rows/group/partition) the partial
+      // barely reduces and its struct buffers compress worse than the
+      // window's raw columnar rows — the window form measures SMALLER
+      // there, honestly. With ~2k suppkeys (dense groups, ~190
+      // rows/group/partition) the partial collapses the exchange.
+      // Pick the operator by this measured crossover, not by slogan.
+      shuffleMb("window_top3_partkey_shuffle_mb") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_partkey").orderBy(col("l_extendedprice").desc)
+        liBig.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).count()
+      },
+      shuffleMb("topk_agg3_partkey_shuffle_mb") {
+        val topk = udaf(graft.functions.TopKAgg(3))
+        liBig.select(col("l_partkey"),
+            (col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_orderkey"))
+          .groupBy("l_partkey")
+          .agg(topk(col("cents"), col("l_orderkey")).as("top"))
+          .select(explode(col("top"))).count()
+      },
+      shuffleMb("window_top3_suppkey_shuffle_mb") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
+        liBig.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).count()
+      },
+      shuffleMb("topk_agg3_suppkey_shuffle_mb") {
+        val topk = udaf(graft.functions.TopKAgg(3))
+        liBig.select(col("l_suppkey"),
+            (col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_orderkey"))
+          .groupBy("l_suppkey")
           .agg(topk(col("cents"), col("l_orderkey")).as("top"))
           .select(explode(col("top"))).count()
       },

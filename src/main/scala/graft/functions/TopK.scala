@@ -20,6 +20,14 @@ import org.apache.spark.sql.Encoder
   * O(groups x k x map-partitions) — the same partial-aggregation
   * shape that makes `sum` scale.
   *
+  * MEASURED caveat (BenchScale topk/window shuffle_mb rows): the
+  * reduction factor is k / (rows per group per map partition). With
+  * sparse groups (that ratio near or below k) the partial barely
+  * drops rows and its serialized buffers compress WORSE than the
+  * window's raw columnar shuffle — the window form moves fewer bytes
+  * there. Prefer this aggregator for dense groups (few groups or few
+  * wide partitions); prefer the window when groups ≈ rows.
+  *
   * Semantics: top k by `key` DESCENDING, ties broken by `id`
   * ASCENDING — a total order, so the result is deterministic under
   * any partitioning and exactly equals the window form with the same
