@@ -61,4 +61,54 @@ object QualitySignals {
         expr("(n_grams - n_distinct) * 1000 DIV n_grams").as("dup_gram_milli"),
         expr("_t.top_c * 1000 DIV n_grams").as("top_gram_milli"))
   }
+
+  /** Per-document LEXICAL ENTROPY: the Shannon entropy of the
+    * document's unigram distribution, in micro-nats per token — the
+    * information-theoretic quality signal (machine-generated spam and
+    * template pages have low entropy; natural prose sits in a narrow
+    * band). Complements [[repetitionMetrics]]: repetition catches
+    * verbatim n-gram copying, entropy catches skewed vocabularies
+    * with no literal repeats.
+    *
+    * Same narrow shape as [[repetitionMetrics]]: tokens are sorted
+    * per-row and ONE `aggregate` HOF run-length-scans the sorted
+    * array, emitting each distinct token's term
+    * `round(c * ln(n/c) * 1e6)` as an exact integer — the q91 NLL
+    * rounding convention, so the per-doc sum is order-independent and
+    * replays bit-for-bit in any engine. Zero shuffles, zero row
+    * explosion; at 100 TB this is a map inside the corpus scan where
+    * the explode + groupBy(doc, token) formulation would shuffle the
+    * full token volume.
+    *
+    * Output: idCol, n_tokens, n_distinct, ttr_milli (type-token
+    * ratio), entropy_micro_per_tok (= sum(term) DIV n). Empty docs
+    * (no tokens) are excluded.
+    */
+  def lexicalEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // run-length scan of the sorted token array; on each run boundary
+    // (and once at finish) add the closed run's micro-nat term
+    val entScan =
+      """aggregate(st,
+        |  named_struct('prev', cast(null as string),
+        |               'run', cast(0 as bigint),
+        |               'acc', cast(0 as bigint)),
+        |  (acc, x) -> IF(x = acc.prev,
+        |    named_struct('prev', x, 'run', acc.run + 1, 'acc', acc.acc),
+        |    named_struct('prev', x, 'run', cast(1 as bigint),
+        |      'acc', acc.acc + IF(acc.run = 0, cast(0 as bigint),
+        |        cast(round(acc.run * ln(cast(n_tokens as double) / cast(acc.run as double))
+        |          * 1000000d) as bigint)))),
+        |  acc -> acc.acc + IF(acc.run = 0, cast(0 as bigint),
+        |    cast(round(acc.run * ln(cast(n_tokens as double) / cast(acc.run as double))
+        |      * 1000000d) as bigint)))""".stripMargin
+    df.where(length(trim(col(textCol))) > 0) // split("") is [""], not []
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), expr("array_sort(tk)").as("st"),
+        size(col("tk")).cast("long").as("n_tokens"))
+      .withColumn("n_distinct", size(array_distinct(col("st"))).cast("long"))
+      .withColumn("entropy_sum_micro", expr(entScan))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        expr("n_distinct * 1000 DIV n_tokens").as("ttr_milli"),
+        expr("entropy_sum_micro DIV n_tokens").as("entropy_micro_per_tok"))
+  }
 }

@@ -115,6 +115,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // lexical entropy quality signal: per-doc unigram Shannon entropy
+    // in micro-nats/token + type-token ratio — low-entropy docs are
+    // machine-generated/keyword-stuffed. NARROW like q85: one in-row
+    // run-length scan over sorted tokens, zero shuffles (q91's
+    // corpus-wide NLL needs the global vocab; this is the per-doc
+    // complement that runs inside the scan).
+    "q128_lexical_entropy" -> ((s, dir) => {
+      QualitySignals.lexicalEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // corpus shape report: document token-count histogram in
     // 8-token buckets (one tiny aggregation over the corpus)
     "q92_token_histogram" -> ((s, dir) => {
@@ -353,6 +364,22 @@ object PipelineQueries {
            CAST(CAST(SUM(nll_micro) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS BIGINT)
              AS nll_per_tok_micro
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "q128_lexical_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+               FROM c GROUP BY 1),
+         e AS (SELECT c.doc_id,
+                 CAST(SUM(CAST(round(c * ln(CAST(n_tokens AS DOUBLE)
+                   / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS se
+               FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY 1)
+         SELECT n.doc_id, n_tokens, n_distinct,
+           CAST(n_distinct * 1000 // n_tokens AS BIGINT) AS ttr_milli,
+           CAST(se // n_tokens AS BIGINT) AS entropy_micro_per_tok
+         FROM n JOIN e ON e.doc_id = n.doc_id ORDER BY n.doc_id""",
     "q92_token_histogram" ->
       """WITH d AS (SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
                       AS n_tokens FROM documents)

@@ -606,6 +606,24 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // triangle counting over the part co-purchase graph (edge = two
+    // parts appearing in the same order): per-part triangle counts
+    // via degree-ordered edge orientation — exact, no sampling, and
+    // the wedge join is bounded by m^1.5 regardless of degree skew
+    // (see ops/Triangles). Top 20 parts by triangle participation,
+    // the "densely co-bought" cohesion signal.
+    "q127_triangle_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Triangles.perNode(e, "src", "dst")
+        .orderBy(desc("n_triangles"), asc("node"))
+        .limit(20)
+        .select(col("node").as("part"), col("n_triangles"))
+    }),
+
     // theta-sketch SET ALGEBRA over user segments: heavy clickers (A)
     // vs heavy purchasers (B) as per-segment sketches, then
     // |A∩B| / |A\B| / |A∪B| answered from the KB summaries alone —
@@ -1129,6 +1147,27 @@ object Relational {
          ${graft.ops.PageRank.recurrenceSql(8)}
          SELECT node AS event_type, pr AS pr_micro FROM r8
          ORDER BY event_type""",
+
+    // ground truth enumerates each triangle once as a < b < c over
+    // the canonical (u < v) edge set, then fans each out to its
+    // three corners — orientation-free, so it cross-checks the
+    // degree-ordered orientation in ops/Triangles
+    "q127_triangle_parts" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON b.l_orderkey = a.l_orderkey
+                     AND b.l_partkey > a.l_partkey),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e3.v AS c
+                 FROM e e1
+                 JOIN e e3 ON e3.u = e1.u AND e3.v > e1.v
+                 JOIN e e2 ON e2.u = e1.v AND e2.v = e3.v),
+         pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY 1)
+         SELECT node AS part, n_triangles FROM pn
+         ORDER BY n_triangles DESC, part LIMIT 20""",
 
     "q121_theta_segments" ->
       """WITH cc AS (SELECT user_id,

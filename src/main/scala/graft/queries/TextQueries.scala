@@ -617,6 +617,56 @@ object TextQueries {
         .agg(sum(col("contrib_micro")).as("score_micro"),
           count(lit(1)).as("n_terms_hit"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+    }),
+
+    // EXACT Jaccard-threshold near-dup self-join via prefix filtering
+    // (the AllPairs/PPJoin shape): every pair at >= 0.4 Jaccard over
+    // distinct 3-gram shingles, with NO recall loss — the lossless
+    // complement to the banded-LSH path (q45/q103). Candidates come
+    // only from shared LOW-df prefix shingles; exact verification on
+    // candidates only. The oracle is the quadratic ground truth, so a
+    // single missed pair (a broken filter theorem) fails the hash.
+    "q126_setjoin_prefix" -> ((s, dir) => {
+      graft.ops.PrefixJoin.selfJoin(t(s, dir, "documents"),
+          "doc_id", "text", shingleWidth = 3, minJaccardMilli = 400)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // token co-occurrence PMI with a-priori support pruning: frequent
+    // tokens (df >= minDf — a tiny broadcast frame) generate in-row
+    // ordered pairs per doc; pair counts + document frequencies give
+    // pointwise mutual information in exact micro-nats (q91 rounding
+    // convention). The support prune is the scale lever: pair volume
+    // is bounded by (frequent types per doc)², never (vocab)².
+    "q129_pmi_pairs" -> ((s, dir) => {
+      val minDf = 25L
+      val minPair = 10L
+      val d = t(s, dir, "documents")
+      val types = d.select(col("doc_id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("ts"))
+      val dfT = types.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val freq = dfT.where(col("df") >= minDf)
+      val ft = types.select(col("doc_id"), explode(col("ts")).as("tok"))
+        .join(broadcast(freq.select("tok")), "tok")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("tok"))).as("fs"))
+      val pairs = ft.select(explode(expr(
+          "flatten(transform(fs, (x, i) -> " +
+            "transform(slice(fs, i + 2, size(fs)), y -> struct(x, y))))"))
+          .as("p"))
+        .select(col("p.x").as("a"), col("p.y").as("b"))
+      val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= minPair)
+      cab
+        .join(broadcast(freq.select(col("tok").as("a"), col("df").as("c_a"))), "a")
+        .join(broadcast(freq.select(col("tok").as("b"), col("df").as("c_b"))), "b")
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("pmi_micro",
+          round(log(col("c_ab").cast("double") * col("n_docs").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double")))
+            * lit(1000000.0)).cast(LongType))
+        .select("a", "b", "c_ab", "c_a", "c_b", "pmi_micro")
+        .orderBy(col("pmi_micro").desc, col("a"), col("b")).limit(30)
     }))
 
   // ---- oracle SQL -------------------------------------------------
@@ -1195,5 +1245,49 @@ object TextQueries {
          SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit
          FROM scored GROUP BY doc_id
-         ORDER BY score_micro DESC, doc_id LIMIT 20""")
+         ORDER BY score_micro DESC, doc_id LIMIT 20""",
+
+    // ground truth for the prefix-filtered exact similarity join is
+    // the QUADRATIC join itself: every pair sharing >= 1 shingle,
+    // exact floor-division Jaccard, threshold filter. Losslessness of
+    // the prefix filter is exactly what the hash compare proves.
+    "q126_setjoin_prefix" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+                FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+                WHERE len(tk) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON b.sh = a.sh AND b.doc_id > a.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000 // (sa.sz + sb.sz - n_common) AS BIGINT)
+             AS jaccard_milli
+         FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+                 JOIN sz sb ON sb.doc_id = ov.doc_b
+         WHERE n_common * 1000 // (sa.sz + sb.sz - n_common) >= 400
+         ORDER BY doc_a, doc_b""",
+
+    "q129_pmi_pairs" ->
+      """WITH ts AS (SELECT doc_id,
+           unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+           FROM documents),
+         df AS (SELECT tok, COUNT(*) AS df FROM ts GROUP BY 1),
+         freq AS (SELECT tok, df FROM df WHERE df >= 25),
+         ft AS (SELECT t.doc_id, t.tok FROM ts t JOIN freq f ON f.tok = t.tok),
+         pairs AS (SELECT x.tok AS a, y.tok AS b
+                   FROM ft x JOIN ft y
+                     ON y.doc_id = x.doc_id AND y.tok > x.tok),
+         cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(fa.df AS BIGINT) AS c_a, CAST(fb.df AS BIGINT) AS c_b,
+           CAST(round(ln(CAST(c_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+             / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))) * 1000000.0)
+             AS BIGINT) AS pmi_micro
+         FROM cab JOIN freq fa ON fa.tok = cab.a
+                  JOIN freq fb ON fb.tok = cab.b, n
+         ORDER BY pmi_micro DESC, a, b LIMIT 30""")
 }

@@ -37,6 +37,35 @@ class PipelineOps3Spec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("lexicalEntropy: degenerate, uniform, and mixed distributions") {
+    val df = Seq(
+      (1L, "same same same same"),         // H = 0
+      (2L, "a b c d"),                     // uniform: H = ln(4)
+      (3L, "a a b"),                       // 2/3·ln(3/2) + 1/3·ln(3)
+      (4L, " ")                            // no tokens -> excluded
+    ).toDF("id", "text")
+    val out = QualitySignals.lexicalEntropy(df, "id", "text")
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("entropy_micro_per_tok") == 0L)
+    assert(out(0).getAs[Long]("ttr_milli") == 250L)
+    // uniform over 4 types: each term = round(1·ln(4)·1e6) = 1386294;
+    // sum 5545176 DIV 4 = 1386294
+    assert(out(1).getAs[Long]("entropy_micro_per_tok") == 1386294L)
+    assert(out(1).getAs[Long]("ttr_milli") == 1000L)
+    // mixed: round(2·ln(3/2)·1e6) + round(1·ln(3)·1e6) = 810930 +
+    // 1098612 = 1909542 DIV 3 = 636514
+    assert(out(2).getAs[Long]("entropy_micro_per_tok") == 636514L)
+    assert(out(2).getAs[Long]("n_distinct") == 2L)
+  }
+
+  test("lexicalEntropy plan is narrow: no Exchange") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = QualitySignals.lexicalEntropy(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("contamination check finds planted overlap and nothing else") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val corpus = Seq(
