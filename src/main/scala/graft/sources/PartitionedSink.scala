@@ -107,6 +107,17 @@ object PartitionedSink {
     * boundaries (approx_percentile) — same interleave, different
     * bucketing. The z-value is a pure per-row expression: the write
     * costs one range shuffle, identical to any clustered write.
+    *
+    * File boundaries are TILE-aligned: the range shuffle keys on a
+    * coarse z-tile id (the top bits of the z-value, a 2^g x 2^g
+    * grid slightly finer than nFiles), not on the raw z-value.
+    * Range partitioning never splits rows with an equal key, so
+    * every output file is a union of whole grid tiles no matter
+    * where the partitioner's SAMPLED bounds land — without this,
+    * sample noise (seeded by RDD id, i.e. by whatever ran earlier
+    * in the session) can put a file boundary mid-tile and quietly
+    * halve the box-filter skip rate. Within a file rows still sort
+    * by the full-resolution z-value, so row-group stats stay tight.
     */
   def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
                     nFiles: Int, bits: Int = 10): Unit = {
@@ -135,10 +146,19 @@ object PartitionedSink {
       shiftleft(shiftright(ra, i).bitwiseAND(1), 2 * i)
         .bitwiseOR(shiftleft(shiftright(rb, i).bitwiseAND(1), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    // g: per-dimension tile bits — one notch finer than the 4^k >=
+    // nFiles grid, so files pack a few whole tiles (equi-depth-ish)
+    // while boundaries stay on tile edges.
+    val g = {
+      var k = 0
+      while ((1L << (2 * k)) < nFiles) k += 1
+      math.min(k + 1, bits)
+    }
     df.withColumn("_z", z)
-      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("_z"))
+      .withColumn("_zt", shiftright(col("_z"), 2 * (bits - g)))
+      .repartitionByRange(nFiles, col("_zt"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+      .drop("_zt", "_z")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q114_fuzzy_vocab",        // bounded short-string stratum, both sides broadcast
     "q115_bm25",               // single-row corpus-stats scalar cross join
     "q117_hll_rollup",         // single-row sketch-union x exact-count scalar join
-    "q124_volume_anomaly")     // single-row corpus-moments scalar cross join
+    "q124_volume_anomaly",     // single-row corpus-moments scalar cross join
+    "q129_pmi_pairs")          // single-row n_docs scalar cross join (q91 shape)
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
