@@ -227,6 +227,52 @@ object Ivf {
       .select(col("q_id"), col("rnk"), col(idCol), col("sim_micro"))
   }
 
+  /** FILTERED (predicate-constrained) ANN — the retrieval shape every
+    * production vector store ends up needing: "nearest neighbors of q
+    * AMONG rows whose metadata matches" (same language, same tenant,
+    * same license class). `matchCols` are metadata equality columns
+    * carried by BOTH sides; they ride the equi-join key alongside
+    * `cell`, so the constraint is enforced as a hash-join key — never
+    * a post-ranking filter (post-filtering silently starves top-k when
+    * the predicate is selective) and never a residual predicate on an
+    * exploded join.
+    *
+    * This is PRE-filtering at equal nProbe: identical to running
+    * [[searchQuantized]] against the metadata-matching subset of the
+    * corpus under the SAME model (cell assignment is corpus-global, so
+    * the filter cannot move anyone's cell). A very selective predicate
+    * thins probed cells rather than mis-routing vectors; raise nProbe
+    * to recover recall, exactly as IVF theory prescribes.
+    *
+    * Same exact-integer math as [[searchQuantized]] — bit-replicable
+    * in SQL (q130).
+    */
+  def searchQuantizedFiltered(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, model: QuantModel, k: Int,
+                              nProbe: Int, matchCols: Seq[String]): DataFrame = {
+    require(matchCols.nonEmpty, "matchCols must name at least one metadata column")
+    val c = Similarity.withQuantized(corpus, "embedding")
+      .withColumn("cell",
+        array_min(scoredCellsQ(col("ei"), model.centroids)).getField("cell"))
+
+    val qc = Similarity.withQuantized(queries, "embedding")
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCellsQ(col("ei"), model.centroids)),
+          1, nProbe)))
+      .select(col(idCol).as("q_id") +: col("ei").as("qe") +: col("nn").as("qn") +:
+        col("probe").getField("cell").as("cell") +: matchCols.map(col): _*)
+
+    val w = Window.partitionBy("q_id").orderBy(col("sim_micro").desc, col(idCol))
+    c.join(broadcast(qc), "cell" +: matchCols)
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("sim_micro",
+        Similarity.cosineMicro(Similarity.dotLong(col("ei"), col("qe")),
+          col("nn"), col("qn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("sim_micro"))
+  }
+
   /** Materialize the IVF index: the corpus written once, hive-
     * partitioned by cell. This is the 100 TB deployment shape — the
     * assignment pass runs once (narrow map, see [[assign]]), and every
@@ -430,6 +476,46 @@ object Ivf {
       .collect().map(_.getInt(0)).sorted
     val corpusCells = spark.read.parquet(path)
       .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("sim", floatCosine(col("embedding"), col("qe")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col("sim"))
+  }
+
+  /** Filtered probe against a MATERIALIZED index ([[writeIndex]]
+    * stores every corpus column, so metadata rides in the index):
+    * `pred` is a plain Column predicate over index columns, applied
+    * to the probed-cells scan — Catalyst pushes it into the parquet
+    * reader (PushedFilters, row-group stats skipping), so a selective
+    * metadata constraint cuts index I/O instead of post-filtering
+    * ranked results. Composes with the static `cell IN (...)`
+    * partition prune: at 100 TB a probe reads nProbe/nLists of the
+    * index FURTHER thinned by the predicate's row groups.
+    *
+    * Pre-filtering semantics, like [[searchQuantizedFiltered]]:
+    * equivalent to [[search]] over `corpus.where(pred)` under the
+    * same model (spec-pinned in IvfSpec).
+    */
+  def searchIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queries: DataFrame, idCol: String,
+                          model: Model, k: Int, nProbe: Int,
+                          pred: Column): DataFrame = {
+    val queryCells = queries
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCells(col("embedding"), model.centroids)),
+          1, nProbe)))
+      .select(col(idCol).as("q_id"), col("embedding").as("qe"),
+        col("probe").getField("cell").as("cell"))
+
+    val probedCells = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusCells = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .where(pred)
 
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol))
     corpusCells.join(broadcast(queryCells), Seq("cell"))

@@ -76,4 +76,65 @@ object PrefixJoin {
     Dedup.verifyCandidatePairs(docs, idCol, textCol, cand,
       shingleWidth, minJaccardMilli)
   }
+
+  /** Exact CONTAINMENT self-join: every DIRECTED pair (doc_a, doc_b)
+    * with `|S_a ∩ S_b| / |S_a| >= t` — "a's shingles are mostly
+    * inside b". The asymmetric complement to [[selfJoin]]: Jaccard
+    * misses a short document swallowed by a long one (the union is
+    * dominated by the long side), but containment is exactly the
+    * partial-duplicate signal a curation pipeline needs for quote
+    * extraction, boilerplate wrappers, and subset-article detection.
+    *
+    * Filter theorem (containment form): with the same global
+    * (df asc, shingle) order, if `|S_a ∩ S_b| >= ceil(t*|S_a|)` then
+    * at most `|S_a| - ceil(t*|S_a|)` of a's ordered shingles precede
+    * the first shared one, so it sits inside a's prefix of length
+    * `|S_a| - ceil(t*|S_a|) + 1`. Only the PROBE side (a) is
+    * prefix-truncated; the indexed side (b) must carry all its
+    * shingles — containment puts no lower bound on where the shared
+    * shingle falls in b's order. Lossless.
+    *
+    * Scale shape: identical machinery to [[selfJoin]] — the b-side
+    * posting list probed for a prefix shingle has length df(sh), and
+    * prefixes hold each document's RAREST shingles, so probed lists
+    * are short by construction. Candidate volume is
+    * sum over prefix entries of df — linear in the index for
+    * bounded-df prefixes, never |docs|².
+    */
+  def containmentSelfJoin(docs: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int, minContainMilli: Long): DataFrame = {
+    require(minContainMilli >= 1 && minContainMilli <= 1000,
+      s"minContainMilli must be in [1, 1000] (got $minContainMilli)")
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= shingleWidth)
+      .select(col(idCol),
+        expr(s"array_distinct(${Dedup.shingleExpr(shingleWidth)})").as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
+    val posts = sh.select(col(idCol), col("sz"), explode(col("shs")).as("sh"))
+    val dfT = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefixes = posts.join(dfT, "sh")
+      .groupBy(col(idCol), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .withColumn("plen",
+        (col("sz") - expr(s"(sz * $minContainMilli + 999) DIV 1000") + 1)
+          .cast("int"))
+      .select(col(idCol).as("doc_a"),
+        explode(expr("slice(ordered, 1, plen)")).as("pe"))
+      .select(col("doc_a"), col("pe.sh").as("psh"))
+    val cand = prefixes
+      .join(posts.select(col(idCol).as("doc_b"), col("sh")),
+        col("psh") === col("sh") && col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    broadcast(broadcast(cand)
+      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa"),
+        col("sz").as("sz_a")), "doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("contain_milli", expr("n_common * 1000 DIV sz_a"))
+      .where(col("contain_milli") >= minContainMilli)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("contain_milli"))
+  }
 }

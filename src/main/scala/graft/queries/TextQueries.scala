@@ -632,6 +632,16 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // EXACT directed containment at >= 0.6 over distinct 3-gram
+    // shingles — the asymmetric partial-duplicate signal (short doc
+    // swallowed by long doc) Jaccard structurally misses; prefix
+    // filter on the contained side only, lossless (quadratic oracle)
+    "q131_containment_join" -> ((s, dir) => {
+      graft.ops.PrefixJoin.containmentSelfJoin(t(s, dir, "documents"),
+          "doc_id", "text", shingleWidth = 3, minContainMilli = 600)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // token co-occurrence PMI with a-priori support pruning: frequent
     // tokens (df >= minDf — a tiny broadcast frame) generate in-row
     // ordered pairs per doc; pair counts + document frequencies give
@@ -1267,6 +1277,22 @@ object TextQueries {
          FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
                  JOIN sz sb ON sb.doc_id = ov.doc_b
          WHERE n_common * 1000 // (sa.sz + sb.sz - n_common) >= 400
+         ORDER BY doc_a, doc_b""",
+
+    "q131_containment_join" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+                FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+                WHERE len(tk) >= 3),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000 // sa.sz AS BIGINT) AS contain_milli
+         FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+         WHERE n_common * 1000 // sa.sz >= 600
          ORDER BY doc_a, doc_b""",
 
     "q129_pmi_pairs" ->

@@ -42,6 +42,21 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // FILTERED ANN: q61's probe constrained to same-label corpus rows
+    // — the metadata predicate rides the hash-join key next to cell
+    // (pre-filter at equal nProbe: identical to probing the filtered
+    // corpus under the same model; a post-ranking filter would starve
+    // top-k instead). The production twin over a materialized index
+    // (predicate pushed into the probed-cells parquet scan) is
+    // Ivf.searchIndexFiltered, spec-pinned for pushdown + parity.
+    "q130_ann_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      graft.ops.Ivf.searchQuantizedFiltered(e, e.where(col("vec_id") < 5),
+          "vec_id", model, k = 5, nProbe = 2, matchCols = Seq("label"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // product-quantization ADC probe, refined (the IVF-PQ deployment
     // shape): 4 subspaces x 4 codes fit by exact-integer farthest
     // point, corpus encoded to 4 codes/vector, ADC LUT ranks a
@@ -397,6 +412,37 @@ object VectorQueries {
          qdots AS (SELECT cp.q_id, cp.vec_id, SUM(fq.v * fc.v) AS dot FROM (
                      SELECT p.q_id, a.vec_id FROM probes p
                      JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id) cp
+                   JOIN flat fq ON fq.vec_id = cp.q_id
+                   JOIN flat fc ON fc.vec_id = cp.vec_id AND fc.i = fq.i
+                   GROUP BY 1, 2),
+         sims AS (SELECT q_id, d.vec_id,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM qdots d JOIN norms nq ON nq.vec_id = d.q_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id)
+         SELECT q_id, rnk, vec_id, sim_micro FROM (
+           SELECT q_id, vec_id, sim_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_micro DESC, vec_id) AS BIGINT) AS rnk
+           FROM sims)
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // q61's replay with the label-equality constraint applied at
+    // candidate generation (pre-filter), exactly where the Spark side
+    // puts it in the join key
+    "q130_ann_filtered" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         qdots AS (SELECT cp.q_id, cp.vec_id, SUM(fq.v * fc.v) AS dot FROM (
+                     SELECT p.q_id, a.vec_id FROM probes p
+                     JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+                     JOIN lab lq ON lq.vec_id = p.q_id
+                     JOIN lab lc ON lc.vec_id = a.vec_id AND lc.label = lq.label) cp
                    JOIN flat fq ON fq.vec_id = cp.q_id
                    JOIN flat fc ON fc.vec_id = cp.vec_id AND fc.i = fq.i
                    GROUP BY 1, 2),

@@ -158,4 +158,44 @@ class IvfSpec extends SparkSpec {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall == 1.0, s"recall $recall")
   }
+
+  test("filtered probe: pre-filter parity and predicate pushdown into the index scan") {
+    val corpus = clustered.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val model = Ivf.fit(corpus, "vec_id", nLists = 4, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString + "/idx"
+    Ivf.writeIndex(corpus, model, path)
+
+    // pre-filter semantics: identical to the unfiltered probe over the
+    // pre-filtered corpus under the SAME model (assignment is a pure
+    // function of the model, so the filter cannot move anyone's cell)
+    val filtered = Ivf.searchIndexFiltered(spark, path, queries, "vec_id",
+      model, k = 5, nProbe = 2, col("label") === 1)
+    val want = Ivf.search(corpus.where($"label" === 1), queries, "vec_id",
+      model, k = 5, nProbe = 2)
+    assert(filtered.orderBy("q_id", "rnk").collect().toSeq ==
+      want.orderBy("q_id", "rnk").collect().toSeq)
+
+    // the metadata predicate must reach the parquet reader, not hang
+    // post-scan: a selective filter then cuts index I/O via row-group
+    // stats instead of decoding every probed cell
+    val scanLine = filtered.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLine.contains("label"),
+      s"expected label filter pushed into the index scan:\n$scanLine")
+
+    // quantized twin (the q130 oracle path): matchCols equality equals
+    // running the unfiltered quantized probe against each label's
+    // corpus slice with that label's queries
+    val qm = Ivf.fitQuantized(corpus, "vec_id", nLists = 4)
+    val got = Ivf.searchQuantizedFiltered(corpus, queries, "vec_id", qm,
+        k = 5, nProbe = 2, matchCols = Seq("label"))
+      .orderBy("q_id", "rnk").collect().toSeq
+    val wantQ = (0 until 3).flatMap { l =>
+      Ivf.searchQuantized(corpus.where($"label" === l),
+          queries.where($"label" === l), "vec_id", qm, k = 5, nProbe = 2)
+        .collect().toSeq
+    }.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(got == wantQ)
+  }
 }

@@ -68,4 +68,55 @@ class PrefixJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- containment (asymmetric) variant ---------------------------
+
+  private def shingleSets(docs: DataFrame, w: Int): Map[Long, Set[String]] =
+    docs.select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= w)
+      .select(col("doc_id"),
+        expr(s"array_distinct(${Dedup.shingleExpr(w)})").as("shs"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, shs) => id -> shs.toSet }.toMap
+
+  private def bruteContain(docs: DataFrame, w: Int, m: Long): Set[(Long, Long, Long, Long)] = {
+    val ss = shingleSets(docs, w)
+    (for {
+      (a, sa) <- ss.toSeq; (b, sb) <- ss.toSeq if a != b
+      nc = (sa & sb).size.toLong
+      cm = nc * 1000L / sa.size if cm >= m
+    } yield (a, b, nc, cm)).toSet
+  }
+
+  test("containment equals brute force on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (w <- Seq(2, 3); m <- Seq(400L, 600L, 900L)) {
+      val got = PrefixJoin.containmentSelfJoin(docs, "doc_id", "text", w, m)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = bruteContain(docs, w, m)
+      assert(got == want, s"w=$w m=$m: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("containment is directed: the subset doc is contained, the superset is not") {
+    // doc 1's shingles are a strict subset of doc 2's
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val got = PrefixJoin.containmentSelfJoin(docs, "doc_id", "text", 2, 900L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // 1 -> 2 at containment 1.0; nothing else reaches 0.9
+    assert(got == Set((1L, 2L, 1000L)), got.toString)
+    // and the same corpus under brute force agrees at every threshold
+    for (m <- Seq(100L, 300L, 1000L)) {
+      val g = PrefixJoin.containmentSelfJoin(docs, "doc_id", "text", 2, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(g == bruteContain(docs, 2, m), s"m=$m")
+    }
+  }
 }
