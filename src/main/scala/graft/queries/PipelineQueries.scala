@@ -214,6 +214,26 @@ object PipelineQueries {
     // gate is auditable (which filter fired), `keep` = all pass.
     // Thresholds are corpus-relative constants; the oracle replays
     // the identical computation, so the comparison is exact at any SF.
+    // declarative data-quality constraint suite (the Deequ shape):
+    // five single-table rules lowered into ONE aggregation pass over
+    // orders + referential integrity vs customer as one left join —
+    // a verdict row per rule, exact-integer milli fractions, one rule
+    // (the price range) deliberately violated so the fail path is
+    // exercised end to end
+    "q132_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      evaluate(o, Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        RowCount(1L, 100000000L)))
+        .unionByName(foreignKey(o, "o_custkey", c, "c_custkey"))
+        .orderBy("rule", "col_name")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -403,6 +423,40 @@ object PipelineQueries {
                  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rn
                FROM p)
          SELECT lang, rn, doc_id FROM r WHERE rn <= 20 ORDER BY lang, rn""",
+    "q132_expectations" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+           COUNT(*) - COUNT(o_custkey) AS v_notnull,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
+           SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 300000)
+               THEN 1 ELSE 0 END) AS v_range,
+           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END) AS v_set,
+           CASE WHEN COUNT(*) BETWEEN 1 AND 100000000 THEN 0 ELSE 1 END AS v_rows
+           FROM orders),
+         fk AS (SELECT COUNT(*) AS n,
+                  SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.pk IS NULL
+                      THEN 1 ELSE 0 END) AS v
+                FROM orders o LEFT JOIN
+                  (SELECT DISTINCT c_custkey AS pk FROM customer) c
+                  ON c.pk = o.o_custkey),
+         rows_ AS (
+           SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+             v_notnull AS n_violations, n, 0 AS threshold_milli FROM s
+           UNION ALL SELECT 'unique', 'o_orderkey', v_unique, n, 0 FROM s
+           UNION ALL SELECT 'in_range', 'o_totalprice', v_range, n, 0 FROM s
+           UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, n, 0 FROM s
+           UNION ALL SELECT 'row_count', '*', v_rows, n, 0 FROM s
+           UNION ALL SELECT 'foreign_key', 'o_custkey', v, n, 0 FROM fk)
+         SELECT rule, col_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n = 0 THEN n_violations * 1000
+                ELSE n_violations * 1000 // n END AS BIGINT) AS metric_milli,
+           CAST(threshold_milli AS BIGINT) AS threshold_milli,
+           (CASE WHEN n = 0 THEN n_violations * 1000
+            ELSE n_violations * 1000 // n END) <= threshold_milli AS pass
+         FROM rows_ ORDER BY rule, col_name""",
+
     "q96_quality_gate" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
                      FROM documents),
