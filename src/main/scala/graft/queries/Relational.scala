@@ -624,6 +624,23 @@ object Relational {
         .select(col("node").as("part"), col("n_triangles"))
     }),
 
+    // community detection over the part co-purchase graph: 4 rounds
+    // of deterministic synchronous label propagation (most-frequent
+    // neighbor label, ties -> smallest) — the densely-knit-cluster
+    // signal between connected components (q77, too coarse) and
+    // triangle counts (q127, per-node only). Oracle replays the
+    // unrolled recurrence CTE-for-CTE.
+    "q133_lpa_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.LabelPropagation.run(e, iters = 4)
+        .select(col("node").as("part"), col("community"))
+        .orderBy("part")
+    }),
+
     // theta-sketch SET ALGEBRA over user segments: heavy clickers (A)
     // vs heavy purchasers (B) as per-segment sketches, then
     // |A∩B| / |A\B| / |A∪B| answered from the KB summaries alone —
@@ -1152,6 +1169,16 @@ object Relational {
     // the canonical (u < v) edge set, then fans each out to its
     // three corners — orientation-free, so it cross-checks the
     // degree-ordered orientation in ops/Triangles
+    "q133_lpa_communities" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON b.l_orderkey = a.l_orderkey
+                     AND b.l_partkey > a.l_partkey),
+         adj AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         ${graft.ops.LabelPropagation.recurrenceSql(4)}
+         SELECT node AS part, CAST(lbl AS BIGINT) AS community
+         FROM l4 ORDER BY part""",
+
     "q127_triangle_parts" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                     FROM lineitem a JOIN lineitem b
