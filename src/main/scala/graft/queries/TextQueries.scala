@@ -642,6 +642,23 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // exact positional phrase search end-to-end over a MATERIALIZED
+    // inverted index: postings (term, doc, tf, positions) written
+    // hive-partitioned by term-hash bucket, probe reads ONLY the
+    // phrase terms' buckets (static prune) with the term set pushed
+    // into the scan, then the n-way positional equi-join on
+    // (doc, anchor) counts adjacent-ordered occurrences — no regex,
+    // no corpus re-scan. Oracle recomputes occurrences positionally
+    // from the raw text.
+    "q134_phrase_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_q134")
+        .resolve("idx").toString
+      graft.ops.InvertedIndex.writeIndex(d, "doc_id", "text", idx)
+      graft.ops.InvertedIndex.phraseSearchIndex(s, idx, Seq("table", "hash"))
+        .orderBy("doc")
+    }),
+
     // token co-occurrence PMI with a-priori support pruning: frequent
     // tokens (df >= minDf — a tiny broadcast frame) generate in-row
     // ordered pairs per doc; pair counts + document frequencies give
@@ -1294,6 +1311,16 @@ object TextQueries {
          FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
          WHERE n_common * 1000 // sa.sz >= 600
          ORDER BY doc_a, doc_b""",
+
+    "q134_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+         occ AS (SELECT doc_id,
+                   len(list_filter(range(1, len(tk)),
+                     i -> tk[i] = 'table' AND tk[i+1] = 'hash')) AS n
+                 FROM tk WHERE len(tk) >= 2)
+         SELECT doc_id AS doc, CAST(n AS BIGINT) AS n_occurrences
+         FROM occ WHERE n > 0 ORDER BY doc""",
 
     "q129_pmi_pairs" ->
       """WITH ts AS (SELECT doc_id,
