@@ -48,11 +48,51 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"), sort_array(collect_list("pos")).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
 
-  /** Materialize the index, hive-partitioned by term-hash bucket. */
+  /** Materialize the index, hive-partitioned by term-hash bucket.
+    * Beside the postings the index carries a `_doclen` sidecar —
+    * (doc, dl), the per-document token count (Lucene's norms file):
+    * BM25 needs document lengths and corpus averages, and reading
+    * |docs| tiny rows from the sidecar beats re-tokenizing the corpus
+    * per query. The underscore prefix hides the sidecar from the
+    * partitioned postings read.
+    */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-                 path: String, nBuckets: Int = DefaultBuckets): Unit =
+                 path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    // postings first: their overwrite clears the whole dir, sidecar after
     build(docs, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    docs.select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(path + "/_doclen")
+  }
+
+  /** Incremental append for NEW documents only (the [[Ivf.appendIndex]]
+    * contract — re-adding an existing doc id would split its postings
+    * across files): tokenize just the batch, append its postings under
+    * their bucket directories and its lengths to the sidecar. O(batch).
+    */
+  def appendIndex(batch: DataFrame, idCol: String, textCol: String,
+                  path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    build(batch, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    batch.select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("append").parquet(path + "/_doclen")
+  }
+
+  /** Generation-rooted write (the [[Generations]] lifecycle all four
+    * other index families use): build into the next generation dir,
+    * flip the CURRENT pointer once. Probe with
+    * `Generations.livePath(spark, root)` as the index path.
+    */
+  def writeIndexVersioned(spark: SparkSession, docs: DataFrame,
+                          idCol: String, textCol: String, root: String,
+                          nBuckets: Int = DefaultBuckets): String = {
+    val gen = Generations.nextPath(spark, root)
+    writeIndex(docs, idCol, textCol, gen, nBuckets)
+    Generations.publish(spark, root, gen)
+    gen
+  }
 
   /** Exact phrase occurrences per document from a postings frame:
     * (doc, n_occurrences), docs with zero occurrences absent.
@@ -73,23 +113,81 @@ object InvertedIndex {
                    phrase: Seq[String]): DataFrame =
     phraseFromPostings(build(docs, idCol, textCol), phrase)
 
+  /** Pruned + pushed postings read for a term set: only the terms'
+    * buckets are listed (static partition prune — bucket ids are a
+    * pure driver-side function of the terms) and the exact `term IN`
+    * filter reaches the parquet scan.
+    */
+  private def probePostings(spark: SparkSession, path: String,
+                            terms: Seq[String], nBuckets: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketOf(col("term"), nBuckets)).as[Int].collect()
+      .toSeq.distinct.sorted
+    spark.read.parquet(path)
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("term").isin(terms: _*))
+  }
+
   /** Phrase search against a MATERIALIZED index: reads only the
     * phrase terms' buckets (static partition prune) with the exact
     * term set pushed into the scan.
     */
   def phraseSearchIndex(spark: SparkSession, path: String,
                         phrase: Seq[String],
-                        nBuckets: Int = DefaultBuckets): DataFrame = {
-    // bucket ids are a pure driver-side function of the phrase — no
-    // corpus access, so the prune is static (literal IN list)
-    val spark2 = spark
-    import spark2.implicits._
-    val buckets = phrase.toDF("term")
-      .select(bucketOf(col("term"), nBuckets)).as[Int].collect()
-      .toSeq.distinct.sorted
-    val postings = spark.read.parquet(path)
-      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      .where(col("term").isin(phrase: _*))
-    phraseFromPostings(postings, phrase)
+                        nBuckets: Int = DefaultBuckets): DataFrame =
+    phraseFromPostings(probePostings(spark, path, phrase.distinct, nBuckets),
+      phrase)
+
+  /** Okapi BM25 scoring tail (k1=1.2, b=0.75, Lucene idf), shared by
+    * the corpus-scan composition (q115) and [[bm25SearchIndex]]:
+    * `tf(doc_id, term, tf)` are the query terms' postings,
+    * `dfreq(term, df)` the document frequencies, `dl(doc_id, dl)` the
+    * document lengths, `stats` one row (n_docs, total_len).
+    * Per-term contributions round to micro BEFORE the per-doc sum
+    * (exact-integer scores, order-independent — the q115 oracle
+    * convention, bit-replicable in SQL).
+    */
+  def bm25Score(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+                stats: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib_micro",
+        round(col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+          * lit(1000000.0)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** BM25 top-k against a MATERIALIZED index — why the index exists:
+    * the corpus-scan path (q115) re-tokenizes every document per
+    * query; this probe touches only the query terms' postings (pruned
+    * + pushed, a vanishing fraction of the index) plus the |docs|-row
+    * `_doclen` sidecar. df is one tiny aggregation over the pruned
+    * postings; corpus stats one aggregation over the sidecar.
+    */
+  def bm25SearchIndex(spark: SparkSession, path: String,
+                      terms: Seq[String], k: Int,
+                      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val tf = probePostings(spark, path, terms.distinct, nBuckets)
+      .select(col("doc").as("doc_id"), col("term"), col("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val doclen = spark.read.parquet(path + "/_doclen")
+    val dl = doclen.select(col("doc").as("doc_id"), col("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    bm25Score(tf, dfreq, dl, stats, k)
   }
 }

@@ -599,24 +599,22 @@ object TextQueries {
       val tf = toks.where(col("term").isin(qts: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("total_len").cast("double") / col("n_docs").cast("double"))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5))))
-        .withColumn("contrib_micro",
-          round(col("idf") * (col("tf").cast("double") * lit(2.2))
-            / (col("tf").cast("double")
-              + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-            * lit(1000000.0)).cast(LongType))
-      scored.groupBy("doc_id")
-        .agg(sum(col("contrib_micro")).as("score_micro"),
-          count(lit(1)).as("n_terms_hit"))
-        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      graft.ops.InvertedIndex.bm25Score(tf, dfreq, dl, stats, k = 20)
+    }),
+
+    // the same BM25 contract answered from the MATERIALIZED inverted
+    // index instead of a corpus re-scan: probe touches only the query
+    // terms' postings (bucket prune + pushed term filter) plus the
+    // |docs|-row _doclen sidecar — the production retrieval path the
+    // index exists for (shared scoring tail with q115, so the two
+    // paths cannot drift)
+    "q135_bm25_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_q135")
+        .resolve("idx").toString
+      graft.ops.InvertedIndex.writeIndex(d, "doc_id", "text", idx)
+      graft.ops.InvertedIndex.bm25SearchIndex(s, idx,
+        Seq("merge", "stream", "vector"), k = 15)
     }),
 
     // EXACT Jaccard-threshold near-dup self-join via prefix filtering
@@ -1273,6 +1271,38 @@ object TextQueries {
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit
          FROM scored GROUP BY doc_id
          ORDER BY score_micro DESC, doc_id LIMIT 20""",
+
+    // identical recurrence to q115 with the q135 term set and k; the
+    // index is an access-path optimization, not a semantics change —
+    // which is exactly what sharing this oracle shape proves
+    "q135_bm25_index" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+             AS total_len FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('merge', 'stream', 'vector') GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT t.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                      / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS contrib_micro
+           FROM tf t JOIN df f ON f.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, stats s)
+         SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         FROM scored GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 15""",
 
     // ground truth for the prefix-filtered exact similarity join is
     // the QUADRATIC join itself: every pair sharing >= 1 shingle,

@@ -60,6 +60,60 @@ class InvertedIndexSpec extends SparkSpec {
       s"expected term filter pushed into the postings scan:\n$pushed")
   }
 
+  test("BM25 over the index equals the corpus-scan composition") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_inv_bm").toString + "/idx"
+    InvertedIndex.writeIndex(d, "doc_id", "text", path)
+
+    val qts = Seq("join", "data", "spark")
+    val toks = d.select(col("doc_id"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+    val dl = d.select(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("total_len"))
+    val tf = toks.where(col("term").isin(qts: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scan = InvertedIndex.bm25Score(tf, dfreq, dl, stats, k = 20)
+      .collect().toSeq
+    val idx = InvertedIndex.bm25SearchIndex(spark, path, qts, k = 20)
+      .collect().toSeq
+    assert(idx == scan)
+  }
+
+  test("append new docs + versioned lifecycle: probe equals a full rebuild") {
+    val first = docs.where(col("doc_id") <= 3L)
+    val more = docs.where(col("doc_id") > 3L)
+    val root = java.nio.file.Files.createTempDirectory("graft_inv_gen").toString
+
+    val gen1 = InvertedIndex.writeIndexVersioned(spark, first, "doc_id", "text", root)
+    assert(graft.ops.Generations.livePath(spark, root) == gen1)
+    InvertedIndex.appendIndex(more, "doc_id", "text", gen1)
+
+    val full = java.nio.file.Files.createTempDirectory("graft_inv_full").toString + "/idx"
+    InvertedIndex.writeIndex(docs, "doc_id", "text", full)
+
+    for (p <- Seq(Seq("cat", "sat"), Seq("a", "a"))) {
+      val a = InvertedIndex.phraseSearchIndex(spark,
+        graft.ops.Generations.livePath(spark, root), p)
+        .as[(Long, Long)].collect().toMap
+      val b = InvertedIndex.phraseSearchIndex(spark, full, p)
+        .as[(Long, Long)].collect().toMap
+      assert(a == b, s"phrase=$p")
+    }
+    // BM25 sees the appended docs and sidecar rows too
+    val a = InvertedIndex.bm25SearchIndex(spark,
+      graft.ops.Generations.livePath(spark, root), Seq("cat", "dog"), 5).collect().toSeq
+    val b = InvertedIndex.bm25SearchIndex(spark, full, Seq("cat", "dog"), 5).collect().toSeq
+    assert(a == b)
+
+    // a rebuild publishes the next generation; readers of gen1 were
+    // never disturbed
+    val gen2 = InvertedIndex.writeIndexVersioned(spark, docs, "doc_id", "text", root)
+    assert(gen2 != gen1 && graft.ops.Generations.livePath(spark, root) == gen2)
+  }
+
   test("postings carry tf and sorted positions") {
     val p = InvertedIndex.build(docs, "doc_id", "text")
       .where(col("term") === "cat" && col("doc") === 2L)

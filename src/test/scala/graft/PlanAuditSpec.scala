@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q98_mixture_resample",    // single-row n_total scalar cross join (q91 shape)
     "q114_fuzzy_vocab",        // bounded short-string stratum, both sides broadcast
     "q115_bm25",               // single-row corpus-stats scalar cross join
+    "q135_bm25_index",         // single-row corpus-stats scalar cross join (q115 shape)
     "q117_hll_rollup",         // single-row sketch-union x exact-count scalar join
     "q124_volume_anomaly",     // single-row corpus-moments scalar cross join
     "q129_pmi_pairs")          // single-row n_docs scalar cross join (q91 shape)
