@@ -63,23 +63,35 @@ object Expectations {
     case _ => 0L
   }
 
+  /** One rule's violation-count aggregate (shared with the streaming
+    * twin, which folds these per micro-batch). [[RowCount]] is
+    * special: its "violation" is a verdict on the TOTAL count, so the
+    * batch path evaluates it in-agg while the streaming twin
+    * re-derives it from the cumulative count at report time.
+    */
+  private[graft] def violationAgg(r: Rule): org.apache.spark.sql.Column =
+    r match {
+      case NotNull(c, _) =>
+        count(lit(1)) - count(col(c))
+      case Unique(cs) =>
+        count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+      case InRange(c, lo, hi) =>
+        count_if(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case InSet(c, vs) =>
+        count_if(col(c).isNotNull && !col(c).isin(vs.map(v => v: Any): _*))
+      case RowCount(lo, hi) =>
+        when(count(lit(1)).between(lo, hi), lit(0L)).otherwise(lit(1L))
+    }
+
+  private[graft] def ruleNamePublic(r: Rule): String = ruleName(r)
+  private[graft] def ruleColPublic(r: Rule): String = ruleCol(r)
+  private[graft] def thresholdPublic(r: Rule): Long = threshold(r)
+
   /** Evaluate all `rules` over `df` in ONE aggregation pass. */
   def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val violAggs = rules.zipWithIndex.map { case (r, i) =>
-      val v = r match {
-        case NotNull(c, _) =>
-          count(lit(1)) - count(col(c))
-        case Unique(cs) =>
-          count(lit(1)) - countDistinct(struct(cs.map(col): _*))
-        case InRange(c, lo, hi) =>
-          count_if(col(c).isNotNull && (col(c) < lo || col(c) > hi))
-        case InSet(c, vs) =>
-          count_if(col(c).isNotNull && !col(c).isin(vs.map(v => v: Any): _*))
-        case RowCount(lo, hi) =>
-          when(count(lit(1)).between(lo, hi), lit(0L)).otherwise(lit(1L))
-      }
-      v.cast("long").as(s"v__$i")
+      violationAgg(r).cast("long").as(s"v__$i")
     }
     val wide = df.agg((count(lit(1)).cast("long").as("n__") +: violAggs).head,
       (count(lit(1)).cast("long").as("n__") +: violAggs).tail: _*)
