@@ -663,6 +663,67 @@ object BenchScale {
             "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
           groupSize = 2).count()
       },
+      // the retrieval access-path claim, measured: BM25 from a corpus
+      // re-scan (tokenize everything per query) vs the same contract
+      // answered from the materialized positional index (query terms'
+      // buckets + _doclen sidecar only). Build priced separately.
+      timeOnce("inverted_index_build") {
+        graft.ops.InvertedIndex.writeIndex(docsBig, "doc_id", "text",
+          s"$tmp/invidx")
+      },
+      time("bm25_corpus_scan") {
+        val toks = docsBig.select(col("doc_id"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+        val dl = docsBig.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("dl"))
+        val stats = docsBig.agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("total_len"))
+        val tf = toks.where(col("term").isin("join", "data", "spark"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        require(graft.ops.InvertedIndex.bm25Score(tf, dfreq, dl, stats, 20)
+          .collect().length == 20)
+      },
+      time("bm25_index_probe") {
+        require(graft.ops.InvertedIndex.bm25SearchIndex(spark, s"$tmp/invidx",
+          Seq("join", "data", "spark"), 20).collect().length == 20)
+      },
+      time("phrase_index_probe") {
+        require(graft.ops.InvertedIndex.phraseSearchIndex(spark,
+          s"$tmp/invidx", Seq("table", "hash")).count() > 0)
+      },
+      time("containment_prefix_join") {
+        // df-ordered prefixes on the web-like gram corpus: replicas'
+        // rarest shingles are their replica-unique tagged tokens, so
+        // cross-replica candidate pairs are suppressed by the filter
+        // itself — the property that keeps this lossless join linear
+        // on singleton-dominated df distributions
+        graft.ops.PrefixJoin.containmentSelfJoin(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"),
+          "doc_id", "text", shingleWidth = 3, minContainMilli = 700).count()
+      },
+      time("lpa_2rounds_copurchase") {
+        // iterative-graph cost per round at scale: 2 synchronous LPA
+        // rounds over the part co-purchase graph (one node-keyed join
+        // + two aggs per round, argmax map-side combined)
+        val pairs = liBig.select("l_orderkey", "l_partkey")
+        val e = pairs.as("a").join(pairs.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        require(graft.ops.LabelPropagation.run(e, iters = 2).count() > 0)
+      },
+      time("expectations_onepass") {
+        // the q132 gate at scale: six-rule verdict over 12M rows in
+        // one aggregation pass + one FK left join
+        import graft.ops.Expectations._
+        val v = evaluate(liBig, Seq(
+          NotNull("l_partkey"), Unique(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 0.0, 100.0),
+          InSet("l_linestatus", Seq("O", "F")),
+          RowCount(1L, 10000000000L))).collect()
+        require(v.length == 5)
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,
