@@ -25,6 +25,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter join pruning, explicit: a selective dim
+      // filter is pushed to the FACT side's scan as a bloom probe, so
+      // the big side sheds rows before the shuffle — at 100 TB this is
+      // a first-order scan/exchange reduction. The 10 GB application-
+      // side threshold means local fixtures never trigger it (correct:
+      // the filter costs a pass over the dim side), RuntimeFilterSpec
+      // pins the injection with thresholds lowered.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events fixture has TIMESTAMP(NANOS); read as long, convert in-plan
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
