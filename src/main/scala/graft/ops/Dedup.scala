@@ -148,6 +148,29 @@ object Dedup {
       .distinct()
   }
 
+  /** CROSS-corpus LSH candidates — the fuzzy-decontamination / A-vs-B
+    * near-dup shape: probe-side documents (a benchmark set, a
+    * blocklist — the SMALL side, broadcast by contract) against
+    * corpus-side documents sharing any band bucket. No within-side
+    * pairs are generated, so corpus-side bucket density never
+    * quadratically explodes the candidate set: volume is
+    * Σ_buckets |probe∩bucket| · |corpus∩bucket| — linear in corpus
+    * postings for a bounded probe set, which is why this variant
+    * needs no `maxBucketSize` guard. Verify every candidate exactly
+    * afterwards ([[verifyCandidatePairs]] over the union corpus),
+    * same contract as the within-corpus path.
+    */
+  def lshCandidatePairsAcross(sigProbe: DataFrame, sigCorpus: DataFrame,
+                              idCol: String, bands: Int,
+                              rowsPerBand: Int): DataFrame = {
+    val p = bandKeys(sigProbe, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("doc_a"), col("band"), col("bandsig"))
+    val c = bandKeys(sigCorpus, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("doc_b"), col("band"), col("bandsig"))
+    broadcast(p).join(c, Seq("band", "bandsig"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Connectivity-preserving variant of [[lshCandidatePairs]] for the
     * components/dedup path: per bucket emit STAR edges (min id ->
     * every other id), n-1 edges instead of C(n,2) pairs. Within a

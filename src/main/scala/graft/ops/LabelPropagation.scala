@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.LongType
   * either way and the oracle replays it bit-for-bit).
   *
   * Scale shape: per round ONE equi-join adj⋈labels (both sides keyed
-  * by node id) and TWO aggregations — (node, label) counts, then the
-  * per-node argmax as `max(struct(count, -label))`, an aggregation
-  * rather than a window so the argmax is map-side combined and never
-  * materializes per-node label lists. `localCheckpoint` per round
-  * keeps plan depth O(1). Nothing ever reaches the driver.
+  * by node id) and the per-node argmax as a TWO-STEP aggregation —
+  * max count per node, filter the count frame to its max, min label —
+  * rather than a window (no per-node label lists) or a struct-max
+  * (whose immutable buffer demotes the whole aggregate to
+  * SortAggregate; these are all primitive-buffer HashAggregates,
+  * map-side combined). The counts frame is persisted for the round so
+  * the two consumers share one computation. `localCheckpoint` per
+  * round keeps plan depth O(1). Nothing ever reaches the driver.
   */
 object LabelPropagation {
 
@@ -50,10 +53,14 @@ object LabelPropagation {
         val nbrCounts = adj.join(labels, adj("v") === labels("node"))
           .select(col("u"), col("lbl").as("nl"))
           .groupBy("u", "nl").agg(count(lit(1)).as("c"))
-        labels = nbrCounts.groupBy("u")
-          .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
-          .select(col("u").as("node"), (-col("m.neg")).cast(LongType).as("lbl"))
+          .persist()
+        val mc = nbrCounts.groupBy("u").agg(max("c").as("mc"))
+        labels = nbrCounts.join(mc, "u")
+          .where(col("c") === col("mc"))
+          .groupBy("u").agg(min("nl").cast(LongType).as("lbl"))
+          .select(col("u").as("node"), col("lbl"))
           .localCheckpoint() // truncate lineage: O(1) plan depth
+        nbrCounts.unpersist()
       }
       labels.select(col("node"), col("lbl").as("community"))
     } finally { adj.unpersist(); () }

@@ -184,6 +184,54 @@ object TextQueries {
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
+    // SURVIVORSHIP: q77's clusters resolved into a per-cluster keep
+    // decision — keep the LONGEST member (most-complete-version
+    // heuristic), ties to the smallest id. Argmax as the two-step
+    // hash aggregation (max, filter-to-max, min — the LabelPropagation
+    // idiom): never a window over member lists, never a struct-max
+    // (SortAggregate demotion). The curation step that turns "these
+    // are dups" into "retire these, keep that".
+    "q136_cluster_survivorship" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val sig = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        k = 8, shingleWidth = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      val comps = Dedup.connectedComponents(pairs)
+      val qual = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val members = comps.join(qual, "id")
+      val tops = members.groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("n_tokens").as("keeper_tokens"))
+      members.join(tops, "component")
+        .where(col("n_tokens") === col("keeper_tokens"))
+        .groupBy("component", "n_members", "keeper_tokens")
+        .agg(min("id").as("keeper_id"))
+        .select("component", "n_members", "keeper_tokens", "keeper_id")
+        .orderBy("component")
+    }),
+
+    // FUZZY decontamination: benchmark docs vs corpus near-dups at
+    // >= 0.3 distinct-shingle Jaccard — catches paraphrased/truncated
+    // leakage q86's verbatim n-gram overlap misses. Cross-corpus LSH
+    // (probe side broadcast, no within-side pairs -> no bucket
+    // quadratics), exact verification on candidates only.
+    "q137_fuzzy_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val tkSql = "split(lower(trim(text)), '\\\\s+')"
+      val corpus = d.where(col("doc_id") % 50 =!= 0).select("doc_id", "text")
+        .unionAll(bench.select((col("doc_id") + 1000000L).as("doc_id"),
+          expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+            .as("text")))
+      val sb = Dedup.minhashSignatures(bench, "doc_id", "text", k = 8, shingleWidth = 3)
+      val sc = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 8, shingleWidth = 3)
+      val cand = Dedup.lshCandidatePairsAcross(sb, sc, "doc_id",
+        bands = 4, rowsPerBand = 2)
+      Dedup.verifyCandidatePairs(bench.unionAll(corpus), "doc_id", "text",
+          cand, shingleWidth = 3, minJaccardMilli = 300)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q46_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(sampledDupCorpus(s, dir), "doc_id", "text",
         blockCol = "lang", shingleWidth = 2, minJaccardMilli = 300)
@@ -842,6 +890,89 @@ object TextQueries {
          comp AS (SELECT src AS id, least(src, MIN(dst)) AS component
                   FROM reach GROUP BY src)
          SELECT id, component FROM comp ORDER BY id""",
+
+    // q77's closure + per-cluster keep-longest argmax (ties -> min id)
+    "q136_cluster_survivorship" ->
+      s"""WITH RECURSIVE $corpusCte,
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                     AND a.doc_id < b.doc_id
+                   JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         comp AS (SELECT src AS id, least(src, MIN(dst)) AS component
+                  FROM reach GROUP BY src),
+         qual AS (SELECT doc_id,
+                    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                      AS n_tokens FROM corpus),
+         ranked AS (SELECT c.component, q.doc_id, q.n_tokens,
+                      ROW_NUMBER() OVER (PARTITION BY c.component
+                        ORDER BY q.n_tokens DESC, q.doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY c.component) AS n_members
+                    FROM comp c JOIN qual q ON q.doc_id = c.id)
+         SELECT component, CAST(n_members AS BIGINT) AS n_members,
+           n_tokens AS keeper_tokens, doc_id AS keeper_id
+         FROM ranked WHERE rn = 1 ORDER BY component""",
+
+    // one signature chain over bench ∪ corpus, bucket-joined ACROSS
+    // sides only (no within-side pairs — mirroring
+    // lshCandidatePairsAcross), exact Jaccard on candidates
+    "q137_fuzzy_contamination" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id,
+                      array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+                    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                          FROM documents WHERE doc_id % 50 = 0)),
+         all_ AS (SELECT * FROM bench UNION ALL SELECT * FROM corpus),
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM all_),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r
+                WHERE len(tk) >= 3),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                  WHERE a.doc_id % 50 = 0 AND a.doc_id < 1000000
+                    AND NOT (b.doc_id % 50 = 0 AND b.doc_id < 1000000)),
+         shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY 1),
+         ov AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+                  JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000 // (sa.sz + sb.sz - n_common) AS BIGINT)
+             AS jaccard_milli
+         FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+                 JOIN sz sb ON sb.doc_id = ov.doc_b
+         WHERE n_common * 1000 // (sa.sz + sb.sz - n_common) >= 300
+         ORDER BY doc_a, doc_b""",
     "q45_minhash_pairs" ->
       s"""WITH $corpusCte,
          toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),

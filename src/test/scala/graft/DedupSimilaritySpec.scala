@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((2L, 5L)))
   }
 
+  test("cross-corpus LSH: only across-side pairs, probe side broadcast") {
+    val probe = docs.where(col("doc_id").isin(1L, 3L)) // "benchmark" side
+    val corpus = docs.where(!col("doc_id").isin(1L, 3L))
+    val sp = Dedup.minhashSignatures(probe, "doc_id", "text", k = 8)
+    val sc = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 8)
+    val cand = Dedup.lshCandidatePairsAcross(sp, sc, "doc_id",
+      bands = 4, rowsPerBand = 2)
+
+    val pairs = cand.as[(Long, Long)].collect().toSet
+    // each benchmark doc finds its corpus near-dup; never a
+    // within-side pair (1,3 are both probe; 2,4,5 all corpus)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)), pairs.toString)
+    assert(pairs.forall { case (a, b) => Set(1L, 3L)(a) && !Set(1L, 3L)(b) })
+
+    // equals the within-corpus pair set restricted to across-side
+    // pairs (no bucket cap on this path — volume is probe-bounded)
+    val all = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, "doc_id", "text", k = 8),
+        "doc_id", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val wantAcross = all.collect {
+      case (a, b) if Set(1L, 3L)(a) != Set(1L, 3L)(b) =>
+        if (Set(1L, 3L)(a)) (a, b) else (b, a)
+    }
+    assert(pairs == wantAcross, s"$pairs vs $wantAcross")
+
+    // plan: the probe (benchmark) side must broadcast
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("star candidate edges yield identical components to full pairs") {
     // 3-way duplicate clusters: base + two copy generations
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")
