@@ -88,6 +88,22 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // recall@5 of the nProbe=1 IVF probe against brute-force ground
+    // truth — the tuning measurement behind every nProbe/nLists
+    // decision, as frame algebra (one join + one agg, driver-free);
+    // nProbe=1 is the setting that genuinely loses recall, so the
+    // evaluation is exercised on a non-trivial gap
+    "q138_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val approx = graft.ops.Ivf.searchQuantized(e, e.where(col("vec_id") < 5),
+        "vec_id", model, k = 5, nProbe = 1)
+      val exact = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+        "vec_id", k = 5)
+      graft.ops.AnnEval.recallAtK(approx, exact, "q_id", "vec_id", k = 5)
+        .orderBy("q_id")
+    }),
+
     // full-corpus embedding near-dup via LSH buckets: pairwise cosine
     // only WITHIN a bucket (1/2^p of all pairs) — the unsampled scale
     // path complementing q50's sampled exact sweep
@@ -458,6 +474,57 @@ object VectorQueries {
                ORDER BY sim_micro DESC, vec_id) AS BIGINT) AS rnk
            FROM sims)
          WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // q61's chain at nProbe=1 (approx) + q48's chain (exact ground
+    // truth), intersected per query — the recall evaluation replayed
+    "q138_ann_recall" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 1),
+         qdots AS (SELECT cp.q_id, cp.vec_id, SUM(fq.v * fc.v) AS dot FROM (
+                     SELECT p.q_id, a.vec_id FROM probes p
+                     JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id) cp
+                   JOIN flat fq ON fq.vec_id = cp.q_id
+                   JOIN flat fc ON fc.vec_id = cp.vec_id AND fc.i = fq.i
+                   GROUP BY 1, 2),
+         isims AS (SELECT q_id, d.vec_id,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM qdots d JOIN norms nq ON nq.vec_id = d.q_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id),
+         approx AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim_micro DESC, vec_id) AS rnk
+                     FROM isims) WHERE rnk <= 5),
+         bdots AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot
+                   FROM flat q JOIN flat c ON q.i = c.i
+                     AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+                   GROUP BY 1, 2),
+         bsims AS (SELECT q_id, d.vec_id,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM bdots d JOIN norms nq ON nq.vec_id = d.q_id
+                    JOIN norms nc ON nc.vec_id = d.vec_id),
+         exact AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY sim_micro DESC, vec_id) AS rnk
+                    FROM bsims) WHERE rnk <= 5)
+         SELECT q_id, n_exact, n_hits,
+           CAST(n_hits * 1000 // 5 AS BIGINT) AS recall_milli FROM (
+           SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+           FROM exact e LEFT JOIN approx a
+             ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY 1)
+         ORDER BY q_id""",
+
     "q48_ann_bruteforce" ->
       s"""WITH $quantCte,
          dots AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot
