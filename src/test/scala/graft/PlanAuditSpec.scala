@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q09_join_nonequi_bands",  // non-equi vs broadcast dimension
     "q48_ann_bruteforce",      // corpus x 5 broadcast query vectors
+    "q138_ann_recall",         // embeds q48's ground-truth brute force
     "q108_pq_adc",             // PQ codes x 5 broadcast query LUTs (q48 shape)
     "q50_embed_neardup",       // sampled quadratic stage (by design)
     "q78_tfidf_topk",          // single-row n_docs scalar cross join
