@@ -298,11 +298,7 @@ object Dedup {
   def verifyCandidatePairs(corpus: DataFrame, idCol: String, textCol: String,
                            pairs: DataFrame, shingleWidth: Int,
                            minJaccardMilli: Long): DataFrame = {
-    val sh = corpus
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= shingleWidth)
-      .select(col(idCol),
-        expr(s"array_distinct(${shingleExpr(shingleWidth)})").as("shs"))
+    val sh = shingleSets(corpus, idCol, textCol, shingleWidth)
     broadcast(broadcast(pairs)
       .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa")), "doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
@@ -312,6 +308,39 @@ object Dedup {
       .where(col("jaccard_milli") >= minJaccardMilli)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_milli"))
   }
+
+  /** SHUFFLED twin of [[verifyCandidatePairs]] for candidate sets
+    * with no smallness contract — the lossless prefix-filter joins
+    * ([[PrefixJoin]]), whose candidate volume is input-dependent and
+    * can exceed what a driver can broadcast (the hinted variant
+    * OOMs the broadcast build past a few million pairs; measured at
+    * the 20x gram corpus). Same semantics, same in-row exact
+    * verification; both joins shuffle on the doc-id key, which
+    * scales with the candidate set instead of driver memory.
+    */
+  def verifyCandidatePairsShuffled(corpus: DataFrame, idCol: String,
+                                   textCol: String, pairs: DataFrame,
+                                   shingleWidth: Int,
+                                   minJaccardMilli: Long): DataFrame = {
+    val sh = shingleSets(corpus, idCol, textCol, shingleWidth)
+    pairs
+      .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_milli",
+        expr("n_common * 1000 DIV (size(sa) + size(sb) - n_common)"))
+      .where(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_milli"))
+  }
+
+  /** Distinct shingle sets per doc (shared by the verify variants). */
+  private def shingleSets(corpus: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int): DataFrame =
+    corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= shingleWidth)
+      .select(col(idCol),
+        expr(s"array_distinct(${shingleExpr(shingleWidth)})").as("shs"))
 
   /** Per-document quarantine verdict over verified candidates: the
     * decision [[graft.streaming.NearDupStream]] makes per micro-batch,

@@ -73,7 +73,10 @@ object PrefixJoin {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    Dedup.verifyCandidatePairs(docs, idCol, textCol, cand,
+    // shuffled verify: prefix-filter candidates carry no smallness
+    // contract (unlike LSH's capped buckets), so the broadcast-hinted
+    // verify would OOM the driver past a few million pairs
+    Dedup.verifyCandidatePairsShuffled(docs, idCol, textCol, cand,
       shingleWidth, minJaccardMilli)
   }
 
@@ -127,9 +130,11 @@ object PrefixJoin {
         col("psh") === col("sh") && col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    broadcast(broadcast(cand)
+    // shuffled verify (see selfJoin): both joins key on doc id, cost
+    // scales with the candidate set instead of driver memory
+    cand
       .join(sh.select(col(idCol).as("doc_a"), col("shs").as("sa"),
-        col("sz").as("sz_a")), "doc_a"))
+        col("sz").as("sz_a")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shs").as("sb")), "doc_b")
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
