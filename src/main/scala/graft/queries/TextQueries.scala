@@ -210,6 +210,34 @@ object TextQueries {
         .orderBy("component")
     }),
 
+    // LEAKAGE-SAFE train/val/test split: the split unit is the
+    // near-dup CLUSTER (singletons split alone), so a document can
+    // never land in train while its near-duplicate sits in test —
+    // the eval-contamination failure mode a per-doc content split
+    // (q105) cannot prevent. The result carries the invariant
+    // in-band: leaked_pairs counts candidate near-dup pairs
+    // straddling splits, provably 0 under unit assignment, and the
+    // oracle recomputes it independently.
+    "q139_leakage_safe_split" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val sig = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        k = 8, shingleWidth = 3)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bands = 4, rowsPerBand = 2)
+      val comps = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      val units = corpus.select("doc_id")
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("unit", coalesce(col("component"), col("doc_id")))
+      val assigned = graft.ops.Sampling.assignSplit(units, "unit").persist()
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .agg(count_if(col("sa") =!= col("sb")).as("leaked_pairs"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("unit").as("n_units"))
+        .crossJoin(broadcast(leaks))
+        .orderBy("split")
+    }),
+
     // FUZZY decontamination: benchmark docs vs corpus near-dups at
     // >= 0.3 distinct-shingle Jaccard — catches paraphrased/truncated
     // leakage q86's verbatim n-gram overlap misses. Cross-corpus LSH
@@ -930,6 +958,52 @@ object TextQueries {
          SELECT component, CAST(n_members AS BIGINT) AS n_members,
            n_tokens AS keeper_tokens, doc_id AS keeper_id
          FROM ranked WHERE rn = 1 ORDER BY component""",
+
+    // q77's chain to components, unit = COALESCE(component, doc_id),
+    // q105's md5 split keyed by unit, leak count replayed from the
+    // same pair evidence
+    "q139_leakage_safe_split" ->
+      s"""WITH RECURSIVE $corpusCte,
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM corpus),
+         sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk)-1, 1))) AS i) r),
+         hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+                FROM sh),
+         mh AS (SELECT doc_id, s.seed, min((h1 + s.seed * h2) % 4294967296) AS h
+                FROM hx, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+         sig AS (SELECT doc_id, seed // 2 AS band,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bandsig
+                 FROM mh GROUP BY 1, 2),
+         ok_buckets AS (SELECT band, bandsig FROM sig GROUP BY 1, 2
+                        HAVING COUNT(*) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.band = b.band AND a.bandsig = b.bandsig
+                     AND a.doc_id < b.doc_id
+                   JOIN ok_buckets ob ON ob.band = a.band AND ob.bandsig = a.bandsig),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         comp AS (SELECT src AS id, least(src, MIN(dst)) AS component
+                  FROM reach GROUP BY src),
+         units AS (SELECT c2.doc_id, COALESCE(cp.component, c2.doc_id) AS unit
+                   FROM corpus c2 LEFT JOIN comp cp ON cp.id = c2.doc_id),
+         asg AS (SELECT doc_id, unit,
+                   CASE WHEN ('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+                          THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 8))::BIGINT % 1000 < 950
+                          THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM units)
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM pairs p JOIN asg a ON a.doc_id = p.doc_a
+              JOIN asg b ON b.doc_id = p.doc_b) AS leaked_pairs
+         FROM asg GROUP BY split ORDER BY split""",
 
     // one signature chain over bench ∪ corpus, bucket-joined ACROSS
     // sides only (no within-side pairs — mirroring

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q135_bm25_index",         // single-row corpus-stats scalar cross join (q115 shape)
     "q117_hll_rollup",         // single-row sketch-union x exact-count scalar join
     "q124_volume_anomaly",     // single-row corpus-moments scalar cross join
+    "q139_leakage_safe_split", // single-row leak-count scalar cross join
     "q129_pmi_pairs")          // single-row n_docs scalar cross join (q91 shape)
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
