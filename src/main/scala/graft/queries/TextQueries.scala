@@ -210,6 +210,27 @@ object TextQueries {
         .orderBy("component")
     }),
 
+    // Unicode canonicalization end-to-end: deterministic byte-level
+    // noise over the clean fixture (every 'a' gains a decomposed
+    // combining acute, every space doubles), then the native NFC
+    // expression recomposes, accent-strip + whitespace-collapse
+    // restore the canonical key — `restored` proves the round trip
+    // per document, and the length columns pin exactly how many code
+    // points each normalization stage removes
+    "q140_text_normalize" -> ((s, dir) => {
+      import graft.ops.TextNormalize._
+      val d = t(s, dir, "documents")
+      val noisy = regexp_replace(
+        regexp_replace(col("text"), "a", "a\u0301"), " ", "  ")
+      d.select(col("doc_id"),
+          length(noisy).as("len_noisy"),
+          length(nfc(noisy)).as("len_nfc"),
+          length(stripAccents(nfc(noisy))).as("len_stripped"),
+          (canonical(nfc(noisy)) === lower(collapseWhitespace(col("text"))))
+            .as("restored"))
+        .orderBy("doc_id")
+    }),
+
     // LEAKAGE-SAFE train/val/test split: the split unit is the
     // near-dup CLUSTER (singletons split alone), so a document can
     // never land in train while its near-duplicate sits in test —
@@ -958,6 +979,18 @@ object TextQueries {
          SELECT component, CAST(n_members AS BIGINT) AS n_members,
            n_tokens AS keeper_tokens, doc_id AS keeper_id
          FROM ranked WHERE rn = 1 ORDER BY component""",
+
+    "q140_text_normalize" ->
+      """WITH noisy AS (SELECT doc_id, text,
+           replace(replace(text, 'a', 'a' || chr(769)), ' ', '  ') AS noisy
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(noisy) AS BIGINT) AS len_noisy,
+           CAST(length(nfc_normalize(noisy)) AS BIGINT) AS len_nfc,
+           CAST(length(strip_accents(nfc_normalize(noisy))) AS BIGINT) AS len_stripped,
+           lower(trim(regexp_replace(strip_accents(nfc_normalize(noisy)), '[\p{Z}\s]+', ' ', 'g')))
+             = lower(trim(regexp_replace(text, '[\p{Z}\s]+', ' ', 'g'))) AS restored
+         FROM noisy ORDER BY doc_id""",
 
     // q77's chain to components, unit = COALESCE(component, doc_id),
     // q105's md5 split keyed by unit, leak count replayed from the
