@@ -234,6 +234,40 @@ object PipelineQueries {
         .orderBy("rule", "col_name")
     }),
 
+    // incremental rollup maintenance: the per-(day, event_type)
+    // aggregate table maintained by folding THREE disjoint ingest
+    // batches (split by user_id % 3, so every batch touches every
+    // day and the merge path genuinely runs) — never a rescan of
+    // prior batches. The oracle recomputes the same rollup as one
+    // GROUP BY over all events: the maintained table must equal the
+    // from-scratch aggregation exactly (mergeable-measure algebra).
+    "q141_incremental_rollup" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val e = events(s, dir).select(
+        to_date(col("ts")).cast("string").as("day"),
+        col("event_type"), col("user_id"),
+        expr("CAST(round(value * 1000.0) AS BIGINT)").as("v_milli"))
+      val path = java.nio.file.Files.createTempDirectory("graft_q141")
+        .resolve("rollup").toString
+      val keys = Seq("day", "event_type")
+      val ms = Seq(IncrementalAgg.count("n_events"),
+        IncrementalAgg.sum("v_milli", "sum_v_milli"),
+        IncrementalAgg.min("v_milli", "min_v_milli"),
+        IncrementalAgg.max("v_milli", "max_v_milli"))
+      (0 to 2).foreach { i =>
+        IncrementalAgg.updateTable(s, path,
+          e.where(col("user_id") % 3 === i), keys, ms, "day")
+      }
+      s.read.parquet(path)
+        .withColumn("avg_v_milli", expr(
+          "CAST(round(CAST(sum_v_milli AS DOUBLE)" +
+            " / CAST(n_events AS DOUBLE)) AS BIGINT)"))
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n_events"), col("sum_v_milli"), col("min_v_milli"),
+          col("max_v_milli"), col("avg_v_milli"))
+        .orderBy("day", "event_type")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -489,6 +523,19 @@ object PipelineQueries {
              AND nll_per_tok_micro BETWEEN 3390000 AND 3415000) AS keep
          FROM nll JOIN rep ON rep.doc_id = nll.doc_id
          ORDER BY nll.doc_id""",
+
+    "q141_incremental_rollup" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type, CAST(round(value * 1000.0) AS BIGINT) AS v_milli
+           FROM events)
+         SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_milli) AS BIGINT) AS sum_v_milli,
+           CAST(MIN(v_milli) AS BIGINT) AS min_v_milli,
+           CAST(MAX(v_milli) AS BIGINT) AS max_v_milli,
+           CAST(round(CAST(SUM(v_milli) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_v_milli
+         FROM e GROUP BY day, event_type
+         ORDER BY day, event_type""",
 
     "q119_kll_quantiles" ->
       """WITH c AS (SELECT l_returnflag,
