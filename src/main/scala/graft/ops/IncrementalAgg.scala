@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions.{col, lit}
   * to micro/milli longs at the mouth (the q125 convention) so
   * partial-aggregation order can never change a stored value and
   * the DuckDB oracle replays bit-for-bit.
+  *
+  * Streaming twin: [[graft.streaming.RollupStream]] folds each
+  * micro-batch through [[updateTable]] with batch-id replay markers
+  * (the fold is additive, so redelivery idempotence must be imposed,
+  * not assumed).
   */
 object IncrementalAgg {
 
@@ -105,10 +110,19 @@ object IncrementalAgg {
     require(keys.contains(partitionCol),
       s"partition column $partitionCol must be an aggregation key")
     val partial = aggregateBatch(batch, keys, measures)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      partial.write.partitionBy(partitionCol).parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "table exists" = has at least one data entry; metadata-only dirs
+    // (_applied markers, _SUCCESS) don't count — a stream whose first
+    // micro-batch was empty leaves exactly that shape behind
+    val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) {
+      // append, not create: the dir may already hold metadata-only
+      // entries (stream batch markers) that an overwrite would destroy
+      partial.write.mode("append").partitionBy(partitionCol).parquet(path)
       partial.select(partitionCol).distinct().count().toInt
     } else {
       val touched = partial.select(partitionCol).distinct().collect()

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.ops.IncrementalAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming rollup maintenance: the streaming half of
+  * [[graft.ops.IncrementalAgg]] — a continuously maintained
+  * materialized aggregate table fed by micro-batches, each folded in
+  * with one O(batch) partial aggregation and a touched-partition
+  * merge. The dashboard rollup stays fresh without EVER rescanning
+  * the event history.
+  *
+  * Unlike the keyed upsert ([[StreamingUpsert]]), a COUNT/SUM fold is
+  * NOT naturally idempotent: re-applying a replayed micro-batch
+  * (foreachBatch re-executes the last batch after a crash between
+  * sink commit and checkpoint commit) would double-count it. The
+  * sink therefore records each applied micro-batch id as a marker
+  * object under `<path>/_applied/` AFTER the fold commits, and skips
+  * any batch id already marked — the standard transactional-sink
+  * discipline, making the fold effectively exactly-once under
+  * at-least-once redelivery. (Marker write and fold are not one
+  * atomic commit: a crash BETWEEN them re-applies the batch. The
+  * window is one rename-sized op; closing it fully requires a
+  * transactional table format, documented trade.)
+  */
+object RollupStream {
+
+  private def markerDir(path: String) = s"$path/_applied"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fold one identified micro-batch into the rollup at `path`,
+    * skipping batch ids that have already been applied. Returns true
+    * if the batch was applied, false if recognized as a replay.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+                 keys: Seq[String], measures: Seq[IncrementalAgg.Measure],
+                 partitionCol: String): Boolean = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(markerDir(path),
+      s"batch-$batchId")
+    val fs = fsOf(spark, path)
+    if (fs.exists(marker)) false
+    else {
+      if (!batch.isEmpty) {
+        IncrementalAgg.updateTable(spark, path, batch, keys, measures,
+          partitionCol)
+      }
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      out.close()
+      true
+    }
+  }
+
+  /** Start maintaining the rollup at `path` from `rows` (a streaming
+    * DataFrame already carrying the key + measure source columns).
+    */
+  def start(rows: DataFrame, path: String, keys: Seq[String],
+            measures: Seq[IncrementalAgg.Measure], partitionCol: String,
+            checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, path, keys, measures, partitionCol)
+        ()
+      }
+      .start()
+}
