@@ -563,6 +563,101 @@ object Multimodal {
     })
   }
 
+  // ---- audio feature extraction ------------------------------------
+
+  /** Deterministic mono 16-bit PCM WAV muxer — the audio analogue of
+    * [[Mp4.build]]: fixture/oracle generator whose byte layout is
+    * fully predictable (44-byte canonical header, little-endian
+    * samples), so feature queries over REAL decoded bytes can be
+    * replayed arithmetically by the oracle (q142).
+    */
+  def buildWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** First-channel 16-bit samples of a WAV payload (RIFF walk shared
+    * with [[decodeWav]]'s hostile-input rules: lying/negative lengths
+    * stop the walk, data length clamps to bytes present). None for
+    * non-WAV or non-16-bit payloads.
+    */
+  private def pcm16(d: Array[Byte]): Option[Array[Short]] = {
+    val isWav = d.length >= 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
+      d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E'
+    if (!isWav) None
+    else {
+      val buf = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = 1; var bits = 16; var dataOff = -1; var dataLen = 0
+      var walking = true
+      while (walking && pos + 8 <= d.length) {
+        val id = new String(d, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0) walking = false
+        else {
+          if (id == "fmt " && pos + 24 <= d.length) {
+            channels = math.max(buf.getShort(pos + 10).toInt, 1)
+            bits = buf.getShort(pos + 22).toInt
+          } else if (id == "data") {
+            dataOff = pos + 8
+            dataLen = math.max(0, math.min(len, d.length - dataOff))
+          }
+          val next = pos.toLong + 8L + len + (len & 1)
+          if (next > d.length) walking = false else pos = next.toInt
+        }
+      }
+      if (dataOff < 0 || bits != 16) None
+      else {
+        val bytesPerFrame = math.max(channels * 2, 2)
+        val frames = dataLen / bytesPerFrame
+        Some(Array.tabulate(frames)(i => buf.getShort(dataOff + i * bytesPerFrame)))
+      }
+    }
+  }
+
+  /** Fixed-length window features over decoded PCM: exact-integer
+    * energy (sum of squares), zero crossings (strict sign flips
+    * BETWEEN CONSECUTIVE SAMPLES WITHIN the window), and peak |s| —
+    * the silence-trim / voice-activity / clipping signals of an audio
+    * curation pipeline, all in the integer domain so the oracle
+    * replays them exactly. Narrow per-row work (a payload's windows
+    * never cross rows); non-WAV payloads contribute no windows.
+    */
+  case class AudioWindow(id: Long, win: Int, n_samp: Int, sum_sq: Long,
+                         zero_crossings: Int, peak: Int)
+  def audioWindows(ds: Dataset[MediaRecord], windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      pcm16(r.data) match {
+        case None => Iterator.empty
+        case Some(s) =>
+          val nWin = (s.length + windowFrames - 1) / windowFrames
+          Iterator.tabulate(nWin) { w =>
+            val start = w * windowFrames
+            val end = math.min(start + windowFrames, s.length)
+            var i = start; var sq = 0L; var zc = 0; var peak = 0
+            while (i < end) {
+              val v = s(i).toInt
+              sq += v.toLong * v
+              if (i > start && s(i - 1).toInt * v < 0) zc += 1
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            AudioWindow(r.id, w, end - start, sq, zc, peak)
+          }
+      }
+    })
+  }
+
   /** Partition-batched feature extraction over typed records. One
     * decoder instance per partition (the mapPartitions body is where a
     * real codec context would be opened once).

@@ -340,6 +340,32 @@ object TextQueries {
       feats.join(kf, "id").orderBy("id")
     }),
 
+    // audio feature extraction end-to-end: mux a deterministic mono
+    // 16-bit WAV per document (pseudo-sawtooth PCM from (doc_id, i)
+    // arithmetic), then DECODE THE BYTES back and compute per-window
+    // integer features — energy (sum of squares), strict-sign zero
+    // crossings within the window, peak amplitude, rounded RMS. The
+    // oracle regenerates the identical sample stream arithmetically
+    // (q107 pattern), so a decoder that misreads the RIFF layout or a
+    // window rule that drifts by one sample hash-mismatches.
+    "q142_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val media = docs.map { case (id, txt) =>
+        val n = txt.length % 40 + 24
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * 997) % 2001 - 1000).toShort)
+        graft.ops.Multimodal.MediaRecord(id, "audio",
+          graft.ops.Multimodal.buildWav(samples, 8000))
+      }
+      graft.ops.Multimodal.audioWindows(media, windowFrames = 16).toDF()
+        .withColumn("rms", expr(
+          "CAST(round(sqrt(CAST(sum_sq AS DOUBLE)" +
+            " / CAST(n_samp AS DOUBLE))) AS BIGINT)"))
+        .orderBy("id", "win")
+    }),
+
     // HTML -> text extraction end-to-end: wrap each document in a
     // deterministic page (title, style/script blocks, comment,
     // entities, two links), then extract visible text, title, links,
@@ -1299,6 +1325,22 @@ object TextQueries {
            CAST(nk * base + nk * (nk - 1) AS BIGINT) AS kf_bytes,
            CAST((L * 10 // n) * nk * (nk - 1) AS BIGINT) AS kf_time_ms_sum
          FROM q ORDER BY id""",
+    "q142_audio_features" ->
+      """WITH p AS (SELECT doc_id, strlen(text) % 40 + 24 AS n FROM documents),
+         s AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+                 (doc_id * 31 + i * 997) % 2001 - 1000 AS v
+               FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) r),
+         w AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS win, v,
+                 CASE WHEN i % 16 = 0 THEN NULL
+                      ELSE lag(v) OVER (PARTITION BY doc_id ORDER BY i) END AS pv
+               FROM s)
+         SELECT doc_id AS id, win, CAST(COUNT(*) AS INTEGER) AS n_samp,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0)
+             AS INTEGER) AS zero_crossings,
+           CAST(MAX(abs(v)) AS INTEGER) AS peak,
+           CAST(round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))) AS BIGINT) AS rms
+         FROM w GROUP BY doc_id, win ORDER BY id, win""",
     "q51_multimodal_features" ->
       """SELECT doc_id AS id, 'doc' AS kind, 'opaque' AS codec,
          CAST(strlen(text) AS BIGINT) AS size_bytes,

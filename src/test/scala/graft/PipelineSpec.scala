@@ -281,6 +281,35 @@ class MultimodalSpec extends SparkSpec {
     assert(none.n_frames == 0 && none.samples.isEmpty)
   }
 
+  test("audio windows: exact energy/zero-crossing/peak math, boundary rules") {
+    import spark.implicits._
+    // 20 samples, window 8 -> windows of 8, 8, 4; hand-checkable values
+    val s = Array[Short](3, -2, 5, 0, -1, 1, 4, -4,   // win 0
+                         2, 2, -3, 3, -3, 3, -3, 3,   // win 1
+                         -5, 5, -5, 5)                 // win 2 (short)
+    val wav = Multimodal.buildWav(s, rate = 8000)
+    val w = Multimodal.audioWindows(
+        Seq(MediaRecord(1L, "audio", wav)).toDS(), windowFrames = 8)
+      .collect().sortBy(_.win).toSeq
+    assert(w.map(_.n_samp) == Seq(8, 8, 4))
+    assert(w.map(_.sum_sq) == Seq(
+      s.slice(0, 8).map(v => v * v).sum.toLong,
+      s.slice(8, 16).map(v => v * v).sum.toLong,
+      s.slice(16, 20).map(v => v * v).sum.toLong))
+    // strict sign flips: zeros break a crossing (3,-2),(  -2,5),(-1,1),(4,-4)=4;
+    // win1: (2,-3)(-3,3)(3,-3)(-3,3)(3,-3)(-3,3)=6; win2: 3. The
+    // win0->win1 boundary pair (-4,2) is NOT counted by either window.
+    assert(w.map(_.zero_crossings) == Seq(4, 6, 3))
+    assert(w.map(_.peak) == Seq(5, 3, 5))
+    // round-trip: the muxer's bytes decode to the samples we fed in
+    val back = Multimodal.sampleFrames(
+      Seq(MediaRecord(2L, "audio", wav)).toDS(), k = 20).head()
+    assert(back.n_frames == 20 && back.samples.toSeq == s.map(_.toInt).toSeq)
+    // non-WAV payloads contribute no windows
+    assert(Multimodal.audioWindows(
+      Seq(MediaRecord(3L, "doc", "text".getBytes)).toDS(), 8).isEmpty)
+  }
+
   test("malformed WAV: negative chunk length terminates the walk, no hang") {
     import spark.implicits._
     // "RIFF....WAVE" then a chunk whose length field is -8: the old walk
