@@ -724,6 +724,64 @@ object BenchScale {
           RowCount(1L, 10000000000L))).collect()
         require(v.length == 5)
       },
+      timeOnce("rollup_history_setup") {
+        // incremental rollup maintenance setup: fold 3/4 of the event
+        // history into the aggregate table, batch by batch
+        val evR = evBig.select(
+          expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
+          col("event_type"), col("user_id"),
+          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+        val keys = Seq("day", "event_type")
+        val ms = Seq(graft.ops.IncrementalAgg.count("n"),
+          graft.ops.IncrementalAgg.sum("v", "sv"))
+        (1 to 3).foreach { i =>
+          graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
+            evR.where(col("user_id") % 4 === i), keys, ms, "day")
+        }
+      },
+      timeOnce("rollup_incremental_batch") {
+        // steady-state per-batch cost: one O(batch) fold against the
+        // standing 3/4-history rollup — compare to rollup_full_rescan,
+        // and the gap WIDENS with history (the fold never reads it)
+        val evR = evBig.select(
+          expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
+          col("event_type"), col("user_id"),
+          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+        graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
+          evR.where(col("user_id") % 4 === 0),
+          Seq("day", "event_type"),
+          Seq(graft.ops.IncrementalAgg.count("n"),
+            graft.ops.IncrementalAgg.sum("v", "sv")), "day")
+      },
+      time("rollup_full_rescan") {
+        // the refresh the incremental fold replaces: one GROUP BY over
+        // the whole event history per refresh
+        require(evBig.select(
+            expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
+            col("event_type"),
+            expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          .collect().nonEmpty)
+      },
+      timeOnce("fbi_build_sidecar") {
+        // per-file bloom sidecar over the 12M-row lineitem copy keyed
+        // by the unordered high-cardinality l_orderkey
+        graft.ops.FileBloomIndex.build(spark, s"$tmp/src/lineitem.parquet",
+          "l_orderkey", s"$tmp/fbi", expectedPerFile = 400000L, fpp = 0.001)
+      },
+      time("fbi_point_lookup") {
+        // needle-in-haystack: each probed key's handful of rows lives
+        // in a few files; the sidecar prunes the rest without any
+        // clustering — the regime min/max stats cannot prune
+        require(graft.ops.FileBloomIndex.pointLookup(spark,
+          s"$tmp/src/lineitem.parquet", s"$tmp/fbi", "l_orderkey",
+          Seq(1L, 7L, 4242L)).count() > 0)
+      },
+      time("fbi_full_scan_lookup") {
+        require(spark.read.parquet(s"$tmp/src/lineitem.parquet")
+          .where(col("l_orderkey").isin(1L, 7L, 4242L)).count() > 0)
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,

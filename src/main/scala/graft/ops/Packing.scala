@@ -37,4 +37,41 @@ object Packing {
         expr(s"(_cum - $weightCol) % $blockTokens"))
       .drop("_cum")
   }
+
+  /** Sliding-window document chunking: split each document's token
+    * stream into overlapping windows of `size` tokens advancing by
+    * `stride` (< size ⇒ size−stride tokens of context overlap) — the
+    * retrieval/embedding chunking shape ([[packTokenStream]] packs
+    * for TRAINING; this chunks for INDEXING, where a hit must carry
+    * enough context to stand alone). Chunk count per doc is
+    * 1 + ceil(max(n − size, 0) / stride), so every token is covered
+    * and the final window may run short.
+    *
+    * Pure in-row frame algebra: tokenize → `sequence`/`transform`/
+    * `slice`/`inline`, all codegen'd, ZERO shuffles and no UDF — each
+    * document expands to its chunks inside its own task, so the op
+    * scales with the corpus scan. Provenance (chunk_idx, start_tok,
+    * n_tok_chunk) rides every chunk row for lossless reassembly.
+    *
+    * `tokenExpr` is the SQL expression producing the token array
+    * (callers pass the corpus-standard tokenizer so chunk boundaries
+    * agree with every other token-addressed op).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, tokenExpr: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.select(col(idCol), expr(tokenExpr).as("_tk"))
+      .withColumn("_n", expr("size(_tk)")) // fn shadowed by the param
+      .withColumn("_nchunks",
+        expr(s"IF(_n <= $size, 1, 1 + (_n - $size + $stride - 1) DIV $stride)"))
+      .select(col(idCol), expr(
+        s"""inline(transform(sequence(0, _nchunks - 1),
+           |  k -> struct(
+           |    CAST(k AS INT) AS chunk_idx,
+           |    CAST(k * $stride AS INT) AS start_tok,
+           |    CAST(least($size, _n - k * $stride) AS INT) AS n_tok_chunk,
+           |    concat_ws(' ', slice(_tk, k * $stride + 1, $size)) AS chunk_text)))"""
+          .stripMargin))
+  }
 }

@@ -234,6 +234,17 @@ object PipelineQueries {
         .orderBy("rule", "col_name")
     }),
 
+    // sliding-window chunking: overlapping 32-token windows at stride
+    // 24 (8 tokens of context overlap) per document — the retrieval/
+    // embedding indexing shape; all in-row (inline over transform/
+    // slice), zero shuffles. Every chunk carries provenance
+    // (chunk_idx, start_tok, n_tok_chunk) for lossless reassembly.
+    "q143_sliding_chunks" -> ((s, dir) => {
+      Packing.chunkTokens(t(s, dir, "documents"), "doc_id", tkSql,
+          size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // incremental rollup maintenance: the per-(day, event_type)
     // aggregate table maintained by folding THREE disjoint ingest
     // batches (split by user_id % 3, so every batch touches every
@@ -523,6 +534,22 @@ object PipelineQueries {
              AND nll_per_tok_micro BETWEEN 3390000 AND 3415000) AS keep
          FROM nll JOIN rep ON rep.doc_id = nll.doc_id
          ORDER BY nll.doc_id""",
+
+    "q143_sliding_chunks" ->
+      """WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         p AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+         c AS (SELECT doc_id, tk, n,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE 1 + (n - 32 + 23) // 24 END AS nchunks FROM p),
+         x AS (SELECT doc_id, tk, n, CAST(k AS INTEGER) AS chunk_idx
+               FROM c, LATERAL (SELECT unnest(range(0, nchunks)) AS k) r)
+         SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 24 AS INTEGER) AS start_tok,
+           CAST(least(32, n - chunk_idx * 24) AS INTEGER) AS n_tok_chunk,
+           array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+             AS chunk_text
+         FROM x ORDER BY doc_id, chunk_idx""",
 
     "q141_incremental_rollup" ->
       """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

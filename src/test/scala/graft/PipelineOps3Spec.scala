@@ -129,6 +129,39 @@ class PipelineOps3Spec extends SparkSpec {
     assert(out.map(_.getAs[Long]("block_offset")).toSeq == Seq(0L, 600L, 200L, 800L, 0L))
   }
 
+  test("chunkTokens: coverage, overlap, short-doc and boundary cases; no Exchange") {
+    val tok = "split(lower(trim(text)), '\\\\s+')"
+    // 10 tokens, size 4, stride 3 -> 1 + ceil(6/3) = 3 chunks at 0,3,6;
+    // the last window reaches token 10, so no extra tail chunk
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(df, "doc_id", tok, size = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[Int]("start_tok")).toSeq == Seq(0, 3, 6))
+    assert(out.map(_.getAs[Int]("n_tok_chunk")).toSeq == Seq(4, 4, 4))
+    assert(out.head.getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(out(1).getAs[String]("chunk_text") == "t4 t5 t6 t7") // 1-token overlap
+    assert(out.last.getAs[String]("chunk_text") == "t7 t8 t9 t10")
+    // every token index is covered by at least one chunk
+    val covered = out.flatMap(r => r.getAs[Int]("start_tok") until
+      (r.getAs[Int]("start_tok") + r.getAs[Int]("n_tok_chunk"))).toSet
+    assert(covered == (0 until 10).toSet)
+    // doc shorter than a window -> exactly one short chunk
+    val short = Packing.chunkTokens(Seq((2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", tok, size = 4, stride = 3).collect()
+    assert(short.length == 1 && short.head.getAs[Int]("n_tok_chunk") == 2)
+    // doc landing exactly on a window boundary -> no empty trailing chunk
+    val exact = Packing.chunkTokens(Seq((3L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", tok, size = 4, stride = 3).collect()
+    assert(exact.length == 1)
+    // in-row expansion: no Exchange anywhere in the plan
+    val plan = Packing.chunkTokens(df, "doc_id", tok, 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(df, "doc_id", tok, size = 4, stride = 5)
+    }
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops unchanged") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val newDf = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
