@@ -128,6 +128,27 @@ object BenchScale {
       println(f"ROW $name $mb%.3f")
       name -> mb
     }
+    // input-READ megabytes of one action: local[32] wall time hides
+    // scan volume entirely (a 12M-row page-cached scan costs ~0.3s,
+    // so any op with a fixed write/setup overhead "loses" to a full
+    // rescan here) — but at 100 TB bytes-scanned IS the refresh cost,
+    // so O(batch)-vs-O(history) claims are measured in bytes read
+    def inputMb(name: String)(action: => Unit): (String, Double) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.inputMetrics.bytesRead); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { action; Thread.sleep(1500) } // drain the listener bus
+      finally spark.sparkContext.removeSparkListener(l)
+      val mb = acc.get() / 1e6
+      println(f"ROW $name $mb%.3f")
+      name -> mb
+    }
 
     // daily-ingest dedup, STEADY STATE: history = one fingerprint per
     // lineitem row (12M at x20 — far past auto-broadcast, the
@@ -738,17 +759,18 @@ object BenchScale {
           graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
             evR.where(col("user_id") % 4 === i), keys, ms, "day")
         }
+        // the 4th batch arrives as its OWN files (a real ingest reads
+        // its batch from storage; folding a filter over the full
+        // history would charge the fold a history-wide scan)
+        evR.where(col("user_id") % 4 === 0)
+          .write.mode("overwrite").parquet(s"$tmp/rollup_batch.parquet")
       },
       timeOnce("rollup_incremental_batch") {
         // steady-state per-batch cost: one O(batch) fold against the
         // standing 3/4-history rollup — compare to rollup_full_rescan,
         // and the gap WIDENS with history (the fold never reads it)
-        val evR = evBig.select(
-          expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
-          col("event_type"), col("user_id"),
-          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
         graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
-          evR.where(col("user_id") % 4 === 0),
+          spark.read.parquet(s"$tmp/rollup_batch.parquet"),
           Seq("day", "event_type"),
           Seq(graft.ops.IncrementalAgg.count("n"),
             graft.ops.IncrementalAgg.sum("v", "sv")), "day")
@@ -773,14 +795,47 @@ object BenchScale {
       time("fbi_point_lookup") {
         // needle-in-haystack: each probed key's handful of rows lives
         // in a few files; the sidecar prunes the rest without any
-        // clustering — the regime min/max stats cannot prune
+        // clustering — the regime min/max stats cannot prune. Full
+        // rows are materialized (a lookup RETURNS rows; a count would
+        // let column pruning flatter the full scan)
         require(graft.ops.FileBloomIndex.pointLookup(spark,
           s"$tmp/src/lineitem.parquet", s"$tmp/fbi", "l_orderkey",
-          Seq(1L, 7L, 4242L)).count() > 0)
+          Seq(1L, 7L, 4242L)).collect().length > 0)
       },
       time("fbi_full_scan_lookup") {
         require(spark.read.parquet(s"$tmp/src/lineitem.parquet")
-          .where(col("l_orderkey").isin(1L, 7L, 4242L)).count() > 0)
+          .where(col("l_orderkey").isin(1L, 7L, 4242L))
+          .collect().length > 0)
+      },
+      // the scale claims in BYTES READ (wall above is cache-flattered):
+      // the incremental fold reads O(batch)+O(touched rollup rows),
+      // the rescan reads the full history; the sidecar probe reads
+      // blooms (~1% of data) + candidate files, the scan reads all
+      inputMb("rollup_incremental_mb_read") {
+        graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
+          spark.read.parquet(s"$tmp/rollup_batch.parquet"),
+          Seq("day", "event_type"),
+          Seq(graft.ops.IncrementalAgg.count("n"),
+            graft.ops.IncrementalAgg.sum("v", "sv")), "day")
+      },
+      inputMb("rollup_full_rescan_mb_read") {
+        require(evBig.select(
+            expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
+            col("event_type"),
+            expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          .collect().nonEmpty)
+      },
+      inputMb("fbi_point_lookup_mb_read") {
+        require(graft.ops.FileBloomIndex.pointLookup(spark,
+          s"$tmp/src/lineitem.parquet", s"$tmp/fbi", "l_orderkey",
+          Seq(1L, 7L, 4242L)).collect().length > 0)
+      },
+      inputMb("fbi_full_scan_mb_read") {
+        require(spark.read.parquet(s"$tmp/src/lineitem.parquet")
+          .where(col("l_orderkey").isin(1L, 7L, 4242L))
+          .collect().length > 0)
       },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,

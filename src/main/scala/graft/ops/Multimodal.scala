@@ -422,6 +422,56 @@ object Multimodal {
       }
     }
 
+  /** DCT perceptual hash (pHash): 32×32 gray thumbnail → 2-D DCT-II →
+    * top-left 8×8 low-frequency block → threshold at the median of
+    * the 63 non-DC coefficients (bit 0, the DC slot, is always 0 —
+    * excluding DC is what buys uniform-brightness invariance:
+    * adding a constant to every pixel moves ONLY the DC coefficient,
+    * so the hash is bit-identical under brightness shifts that move
+    * every aHash pixel comparison's operands together but can flip
+    * its near-mean bits). Hamming-comparable, so image near-dup
+    * rides the existing SimHash banding machinery unchanged. Fixed
+    * summation order ⇒ deterministic doubles; coefficients are
+    * quantized to 1e-3 before thresholding so the ~1e-11 float
+    * residue of a mathematically-zero sum (e.g. a constant shift's
+    * contribution to every non-DC frequency) can never flip a bit
+    * in a cluster of near-equal coefficients.
+    */
+  def pHash64(r: MediaRecord): Option[Long] =
+    thumbnail(r, 32).map { t =>
+      val n = 32
+      // DCT-II row pass then column pass, fixed order (separable)
+      val cosTab = Array.tabulate(8, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      val rows = Array.ofDim[Double](n, 8) // per row: first 8 freqs
+      var y = 0
+      while (y < n) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var x = 0
+          while (x < n) { s += t(y * n + x) * cosTab(u)(x); x += 1 }
+          rows(y)(u) = s; u += 1
+        }
+        y += 1
+      }
+      val c = Array.ofDim[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var yy = 0
+          while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+          c(v * 8 + u) = math.rint(s * 1000.0) / 1000.0; u += 1
+        }
+        v += 1
+      }
+      val ac = c.drop(1).sorted
+      val median = (ac(30) + ac(31)) / 2.0
+      var h = 0L; var i = 1
+      while (i < 64) { if (c(i) > median) h |= (1L << i); i += 1 }
+      h
+    }
+
   /** Image perceptual hashes for a media Dataset; opaque formats fall
     * back to a deterministic md5-derived pseudo-hash (flagged by
     * codec = "opaque").
@@ -434,6 +484,20 @@ object Multimodal {
         case Some(h) => MediaHash(r.id, decode(r).codec, h)
         case None =>
           MediaHash(r.id, "opaque",
+            java.lang.Long.parseUnsignedLong(md5Hex(r.data).take(15), 16))
+      }
+    })
+  }
+
+  /** pHash for a media Dataset, opaque fallback as [[imageHashes]]. */
+  case class MediaPHash(id: Long, codec: String, phash: Long)
+  def perceptualHashes(ds: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      pHash64(r) match {
+        case Some(h) => MediaPHash(r.id, decode(r).codec, h)
+        case None =>
+          MediaPHash(r.id, "opaque",
             java.lang.Long.parseUnsignedLong(md5Hex(r.data).take(15), 16))
       }
     })

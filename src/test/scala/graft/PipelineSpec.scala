@@ -268,6 +268,45 @@ class MultimodalSpec extends SparkSpec {
       "same pixels must hash identically from BMP and PNG bytes")
   }
 
+  test("pHash: format-independent, invariant under uniform brightness, separates images") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def pngOf(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = gray(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // a 32x32 scene with a rich spectrum (no near-tie coefficient
+    // clusters), kept in [50, 190] so a +30 brightness shift cannot clamp
+    def scene(x: Int, y: Int): Int = 50 + (x * 37 + y * 101 + x * y) % 140
+    val base = Multimodal.pHash64(
+      MediaRecord(1L, "image", pngOf(32, 32, scene))).get
+    // same pixels through the BMP path (stored rows are bottom-up)
+    val bmpPixels = Array.tabulate(32 * 32 * 3)(i =>
+      scene((i / 3) % 32, 31 - i / (3 * 32)).toByte)
+    val viaBmp = Multimodal.pHash64(
+      MediaRecord(2L, "image", bmpBytes(32, 32, bmpPixels))).get
+    assert(base == viaBmp, "same pixels must pHash identically from PNG and BMP")
+    // uniform brightness shift moves only the DC coefficient
+    val brighter = Multimodal.pHash64(
+      MediaRecord(3L, "image", pngOf(32, 32, (x, y) => scene(x, y) + 30))).get
+    assert(base == brighter, "pHash must be invariant under uniform brightness")
+    // a structurally different image lands far away in Hamming space
+    val other = Multimodal.pHash64(MediaRecord(4L, "image",
+      pngOf(32, 32, (x, y) => if ((x / 8 + y / 8) % 2 == 0) 50 else 200))).get
+    assert(java.lang.Long.bitCount(base ^ other) > 10,
+      s"distinct scenes too close: ${java.lang.Long.bitCount(base ^ other)}")
+    // DC bit is pinned 0; non-image payloads take the opaque fallback
+    assert((base & 1L) == 0L)
+    val ph = Multimodal.perceptualHashes(Seq(
+      MediaRecord(5L, "doc", "text".getBytes)).toDS()).head()
+    assert(ph.codec == "opaque")
+  }
+
   test("frame sampling: k evenly spaced WAV samples") {
     import spark.implicits._
     val wav = wavBytes((0 until 8000).map(_.toShort), rate = 8000)
