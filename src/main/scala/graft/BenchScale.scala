@@ -128,26 +128,28 @@ object BenchScale {
       println(f"ROW $name $mb%.3f")
       name -> mb
     }
-    // input-READ megabytes of one action: local[32] wall time hides
-    // scan volume entirely (a 12M-row page-cached scan costs ~0.3s,
-    // so any op with a fixed write/setup overhead "loses" to a full
-    // rescan here) — but at 100 TB bytes-scanned IS the refresh cost,
-    // so O(batch)-vs-O(history) claims are measured in bytes read
-    def inputMb(name: String)(action: => Unit): (String, Double) = {
+    // input records READ (millions) of one action: local[32] wall time
+    // hides scan volume entirely (a 12M-row page-cached scan costs
+    // ~0.3s, so any op with a fixed write/setup overhead "loses" to a
+    // full rescan here) — but at 100 TB rows-scanned IS the refresh
+    // cost, so O(batch)-vs-O(history) claims are measured in records
+    // read (bytesRead is unreliable for file:// scans; recordsRead is
+    // incremented by every FileScan)
+    def inputMRows(name: String)(action: => Unit): (String, Double) = {
       val acc = new java.util.concurrent.atomic.AtomicLong()
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) { acc.addAndGet(m.inputMetrics.bytesRead); () }
+          if (m != null) { acc.addAndGet(m.inputMetrics.recordsRead); () }
         }
       }
       spark.sparkContext.addSparkListener(l)
       try { action; Thread.sleep(1500) } // drain the listener bus
       finally spark.sparkContext.removeSparkListener(l)
-      val mb = acc.get() / 1e6
-      println(f"ROW $name $mb%.3f")
-      name -> mb
+      val mr = acc.get() / 1e6
+      println(f"ROW $name $mr%.3f")
+      name -> mr
     }
 
     // daily-ingest dedup, STEADY STATE: history = one fingerprint per
@@ -807,18 +809,19 @@ object BenchScale {
           .where(col("l_orderkey").isin(1L, 7L, 4242L))
           .collect().length > 0)
       },
-      // the scale claims in BYTES READ (wall above is cache-flattered):
-      // the incremental fold reads O(batch)+O(touched rollup rows),
-      // the rescan reads the full history; the sidecar probe reads
-      // blooms (~1% of data) + candidate files, the scan reads all
-      inputMb("rollup_incremental_mb_read") {
+      // the scale claims in RECORDS READ (wall above is
+      // cache-flattered): the incremental fold reads O(batch) rows +
+      // O(touched rollup rows), the rescan reads the full history;
+      // the sidecar probe reads the sidecar (one row per file) +
+      // candidate files only, the scan reads every row
+      inputMRows("rollup_incremental_mrows_read") {
         graft.ops.IncrementalAgg.updateTable(spark, s"$tmp/rollup",
           spark.read.parquet(s"$tmp/rollup_batch.parquet"),
           Seq("day", "event_type"),
           Seq(graft.ops.IncrementalAgg.count("n"),
             graft.ops.IncrementalAgg.sum("v", "sv")), "day")
       },
-      inputMb("rollup_full_rescan_mb_read") {
+      inputMRows("rollup_full_rescan_mrows_read") {
         require(evBig.select(
             expr("CAST(to_date(timestamp_micros(ts)) AS STRING)").as("day"),
             col("event_type"),
@@ -827,12 +830,12 @@ object BenchScale {
           .agg(count(lit(1)).as("n"), sum("v").as("sv"))
           .collect().nonEmpty)
       },
-      inputMb("fbi_point_lookup_mb_read") {
+      inputMRows("fbi_point_lookup_mrows_read") {
         require(graft.ops.FileBloomIndex.pointLookup(spark,
           s"$tmp/src/lineitem.parquet", s"$tmp/fbi", "l_orderkey",
           Seq(1L, 7L, 4242L)).collect().length > 0)
       },
-      inputMb("fbi_full_scan_mb_read") {
+      inputMRows("fbi_full_scan_mrows_read") {
         require(spark.read.parquet(s"$tmp/src/lineitem.parquet")
           .where(col("l_orderkey").isin(1L, 7L, 4242L))
           .collect().length > 0)
