@@ -109,7 +109,11 @@ object IncrementalAgg {
                   partitionCol: String): Int = {
     require(keys.contains(partitionCol),
       s"partition column $partitionCol must be an aggregation key")
-    val partial = aggregateBatch(batch, keys, measures)
+    // persisted: touched-partition discovery AND the merge both read
+    // the partial (|keys-in-batch| rows) — without the persist each
+    // would rescan the raw batch (BenchScale's rollup_incremental_
+    // mrows_read measured the fold at 2x batch before this)
+    val partial = aggregateBatch(batch, keys, measures).persist()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "table exists" = has at least one data entry; metadata-only dirs
@@ -119,7 +123,7 @@ object IncrementalAgg {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    if (!hasData) {
+    try if (!hasData) {
       // append, not create: the dir may already hold metadata-only
       // entries (stream batch markers) that an overwrite would destroy
       partial.write.mode("append").partitionBy(partitionCol).parquet(path)
@@ -143,7 +147,7 @@ object IncrementalAgg {
         .partitionBy(partitionCol)
         .parquet(path)
       touched.length
-    }
+    } finally { partial.unpersist(); () }
   }
 
   /** The maintained table, with non-mergeable derivations computed on
