@@ -130,4 +130,36 @@ object Sampling {
       .where(col("rn") <= k)
       .drop("_pri")
   }
+
+  /** WEIGHTED sampling without replacement, k per group — the
+    * Efraimidis–Spirakis priority rule with content-addressed
+    * pseudo-randomness: each row draws u ∈ (0,1) from 52 md5 bits of
+    * its key (exact on any engine: the divisor is a power of two) and
+    * ranks by priority ln(u)/w descending, which samples WITHOUT
+    * replacement with inclusion odds proportional to `weightCol`
+    * (w ≤ 0 rows are excluded — zero-weight items are unsampleable by
+    * definition). The "sample documents proportional to quality
+    * score" shape, with q95/q82's engine/partitioning-independence:
+    * membership is a pure function of (key, weight), so re-runs,
+    * repartitions, and cross-engine replays agree row-for-row.
+    *
+    * Determinism note: ln is libm-dependent in its last ulp, but only
+    * the ORDERING of priorities reaches the output, and distinct
+    * (u, w) pairs are separated by astronomically more than an ulp —
+    * the q91 unigram-LM precedent. One shuffle on the group key.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("_es").desc, col(keyCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("_u", expr(
+        s"(CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 13), 16, 10)" +
+          s" AS BIGINT) + 0.5) / ${1L << 52}.0"))
+      .withColumn("_es", expr(s"ln(_u) / CAST($weightCol AS DOUBLE)"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .drop("_u", "_es")
+  }
 }

@@ -65,6 +65,19 @@ object CurationQueries {
         .orderBy("lang", "split")
     }),
 
+    // weighted sampling without replacement: 20 docs per language with
+    // inclusion odds proportional to token count (Efraimidis-Spirakis
+    // priorities over content-addressed uniforms) — "sample documents
+    // proportional to quality/weight", deterministic on any engine
+    "q144_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          expr("size(split(lower(trim(text)), '\\\\s+'))").cast("long"))
+      Sampling.weightedSamplePerGroup(d, "lang", "doc_id", "n_tokens", k = 20)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("n_tokens"))
+        .orderBy("lang", "rnk")
+    }),
+
     // corpus n-gram doc-frequency: the 50 most document-frequent
     // 3-grams (boilerplate/template detector); deterministic top-k on
     // (df desc, gram)
@@ -117,6 +130,21 @@ object CurationQueries {
          SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_doc
          FROM s GROUP BY 1, 2 ORDER BY lang, split""",
+    "q144_weighted_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         p AS (SELECT lang, doc_id, w,
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                     + 0.5) / 4503599627370496.0) / CAST(w AS DOUBLE) AS es
+               FROM d WHERE w > 0),
+         r AS (SELECT lang, doc_id, w,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY es DESC, doc_id) AS rnk
+               FROM p)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           CAST(w AS BIGINT) AS n_tokens
+         FROM r WHERE rnk <= 20 ORDER BY lang, rnk""",
     "q100_gram_docfreq" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
                      FROM documents),

@@ -119,6 +119,40 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weighted sample: k cap, repartition stability, weight dominance, w<=0 excluded") {
+    import org.apache.spark.sql.functions._
+    val d = docs.withColumn("w",
+      expr("size(split(lower(trim(text)), '\\\\s+'))").cast("long"))
+    val a = Sampling.weightedSamplePerGroup(d, "lang", "doc_id", "w", 5)
+      .select("lang", "rnk", "doc_id").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // exactly k per group (every fixture language has >= 5 docs)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    // content-addressed: identical under repartitioning
+    val b = Sampling.weightedSamplePerGroup(d.repartition(7), "lang",
+        "doc_id", "w", 5)
+      .select("lang", "rnk", "doc_id").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+    // an overwhelming weight always ranks first: ln(u)/w -> 0- as w
+    // grows, beating every finite-weight priority
+    val boosted = d.withColumn("w",
+      when(col("doc_id") === 7L, lit(1000000000000L)).otherwise(col("w")))
+    val top = Sampling.weightedSamplePerGroup(boosted, "lang", "doc_id", "w", 5)
+      .where(col("rnk") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val lang7 = docs.where(col("doc_id") === 7L)
+      .select("lang").as[String].head()
+    val top7 = Sampling.weightedSamplePerGroup(boosted, "lang", "doc_id", "w", 5)
+      .where(col("lang") === lang7 && col("rnk") === 1)
+      .select("doc_id").as[Long].head()
+    assert(top7 == 7L, s"boosted doc must rank first in its group (got $top7, top set $top)")
+    // zero/negative weights are unsampleable
+    val none = Sampling.weightedSamplePerGroup(
+      d.withColumn("w", lit(0L)), "lang", "doc_id", "w", 5).count()
+    assert(none == 0L)
+  }
+
   test("stratified rates are honored per stratum") {
     val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 300, "de" -> 1000), defaultMilli = 0)
