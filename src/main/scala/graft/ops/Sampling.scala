@@ -79,6 +79,46 @@ object Sampling {
       .drop("_target")
   }
 
+  /** [[mixtureRatesMilli]] with TOKEN-mass accounting: the target mix
+    * is expressed over `weightCol` sums (token counts — the unit an
+    * LM mixture is actually specified in), not document counts. A
+    * domain of few huge documents and one of many small ones with
+    * the same doc count contribute very different token mass; doc-
+    * count rates silently skew the trained mixture toward the
+    * long-document domain. rate = min(1000, tgt‰ · total_tokens /
+    * domain_tokens), exact integer arithmetic; the keep decision
+    * stays per-DOCUMENT and content-addressed (expected kept token
+    * mass hits the target; documents stay whole).
+    */
+  def mixtureRatesMilliWeighted(df: DataFrame, domainCol: String,
+                                weightCol: String,
+                                targetMilli: Map[String, Int],
+                                defaultMilli: Int = 1000): DataFrame = {
+    val target = targetMilli.toSeq.sortBy(_._1).foldLeft(lit(defaultMilli)) {
+      case (acc, (d, s)) => when(col(domainCol) === d, lit(s)).otherwise(acc)
+    }
+    df.groupBy(domainCol).agg(sum(col(weightCol)).as("w_domain"))
+      .crossJoin(df.agg(sum(col(weightCol)).as("w_total")))
+      .withColumn("_target", target.cast(LongType))
+      .withColumn("rate_milli",
+        least(lit(1000L), expr("(_target * w_total) DIV w_domain")).cast(LongType))
+      .drop("_target")
+  }
+
+  /** Apply [[mixtureRatesMilliWeighted]]: same content-addressed
+    * per-document gate as [[mixtureResample]], rates from token mass.
+    */
+  def mixtureResampleWeighted(df: DataFrame, keyCol: String,
+                              domainCol: String, weightCol: String,
+                              targetMilli: Map[String, Int],
+                              defaultMilli: Int = 1000): DataFrame = {
+    val rates = mixtureRatesMilliWeighted(df, domainCol, weightCol,
+        targetMilli, defaultMilli)
+      .select(col(domainCol), col("rate_milli"))
+    df.join(broadcast(rates), domainCol)
+      .where(hashMilli(col(keyCol)) < col("rate_milli"))
+  }
+
   /** Apply [[mixtureRatesMilli]]: keep rows whose content hash falls
     * under their domain's rate. Membership stays a pure function of
     * (key, domain targets) — reproducible across engines and reruns.

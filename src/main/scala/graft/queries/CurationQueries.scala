@@ -65,6 +65,26 @@ object CurationQueries {
         .orderBy("lang", "split")
     }),
 
+    // TOKEN-budget mixture reweighting: q98's closed form with the
+    // target mix accounted in token mass (the unit an LM mixture is
+    // specified in) — a domain of few huge docs no longer skews the
+    // trained mixture; keep decisions stay whole-document and
+    // content-addressed. Audit: per-domain token mass, rate, kept
+    // docs and kept token mass.
+    "q145_token_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("w",
+        expr("size(split(lower(trim(text)), '\\\\s+'))").cast("long"))
+      val rates = Sampling.mixtureRatesMilliWeighted(d, "lang", "w", mixTargets)
+      val kept = Sampling.mixtureResampleWeighted(d, "doc_id", "lang", "w",
+          mixTargets)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"), sum("w").as("w_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("w_domain"), col("rate_milli"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("w_kept"), lit(0L)).as("w_kept"))
+        .orderBy("lang")
+    }),
+
     // weighted sampling without replacement: 20 docs per language with
     // inclusion odds proportional to token count (Efraimidis-Spirakis
     // priorities over content-addressed uniforms) — "sample documents
@@ -130,6 +150,27 @@ object CurationQueries {
          SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_doc
          FROM s GROUP BY 1, 2 ORDER BY lang, split""",
+    "q145_token_mixture" ->
+      """WITH t AS (SELECT * FROM (VALUES ('en', 200), ('de', 100), ('es', 100),
+                     ('fr', 50), ('zh', 140)) AS t(lang, tgt)),
+         d AS (SELECT lang, doc_id,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS w
+               FROM documents),
+         c AS (SELECT lang, SUM(w) AS w_domain FROM d GROUP BY 1),
+         n AS (SELECT SUM(w) AS w_total FROM d),
+         r AS (SELECT c.lang, w_domain,
+                 least(1000, (tgt * w_total) // w_domain) AS rate_milli
+               FROM c JOIN t ON t.lang = c.lang, n),
+         k AS (SELECT d.lang, COUNT(*) AS n_kept, SUM(d.w) AS w_kept
+               FROM d JOIN r ON r.lang = d.lang
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000 < rate_milli
+               GROUP BY 1)
+         SELECT r.lang, CAST(w_domain AS BIGINT) AS w_domain,
+           CAST(rate_milli AS BIGINT) AS rate_milli,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(w_kept, 0) AS BIGINT) AS w_kept
+         FROM r LEFT JOIN k ON k.lang = r.lang ORDER BY r.lang""",
     "q144_weighted_sample" ->
       """WITH d AS (SELECT lang, doc_id,
            len(string_split_regex(lower(trim(text)), '\s+')) AS w

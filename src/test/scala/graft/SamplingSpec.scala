@@ -119,6 +119,39 @@ class SamplingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token-budget mixture: rates follow token mass and shift when mass shifts") {
+    import org.apache.spark.sql.functions._
+    val targets = Map("en" -> 200, "de" -> 100, "es" -> 100, "fr" -> 50, "zh" -> 140)
+    val d = docs.withColumn("w",
+      expr("size(split(lower(trim(text)), '\\\\s+'))").cast("long"))
+    val rates = Sampling.mixtureRatesMilliWeighted(d, "lang", "w", targets)
+      .select("lang", "w_domain", "rate_milli").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val sums = d.groupBy("lang").agg(sum("w").as("s"))
+      .select("lang", "s").as[(String, Long)].collect().toMap
+    val total = sums.values.sum
+    targets.foreach { case (l, t) =>
+      assert(rates(l)._3 == math.min(1000L, t.toLong * total / sums(l)), l)
+    }
+    // the doc-count blind spot: multiply en's token mass 10x with doc
+    // count unchanged — the token rate for en must DROP (same target
+    // share of a mass it now dominates); a doc-count rate would not move
+    val boosted = d.withColumn("w",
+      when(col("lang") === "en", col("w") * 10).otherwise(col("w")))
+    val r2 = Sampling.mixtureRatesMilliWeighted(boosted, "lang", "w", targets)
+      .where(col("lang") === "en").select("rate_milli").as[Long].head()
+    assert(r2 < rates("en")._3, s"en rate should drop: $r2 vs ${rates("en")._3}")
+    // the kept set is exactly the hash-gated subset at the domain rate
+    val kept = Sampling.mixtureResampleWeighted(d, "doc_id", "lang", "w", targets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val manual = d.withColumn("m", Sampling.hashMilli(col("doc_id")))
+      .join(Sampling.mixtureRatesMilliWeighted(d, "lang", "w", targets)
+        .select(col("lang"), col("rate_milli")), "lang")
+      .where(col("m") < col("rate_milli"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == manual)
+  }
+
   test("weighted sample: k cap, repartition stability, weight dominance, w<=0 excluded") {
     import org.apache.spark.sql.functions._
     val d = docs.withColumn("w",
