@@ -75,12 +75,74 @@ final case class ThetaSketchAgg(
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Union over a column of SERIALIZED theta sketches — the
+  * re-aggregation half of the mergeable-summary contract: per-segment
+  * sketch columns (from [[ThetaSketchAgg]]) roll up to coarser grains
+  * without touching raw data. Same buffer/serialization discipline as
+  * the row-level aggregate; null sketches are skipped.
+  */
+final case class ThetaUnionAgg(
+    child: Expression, lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Union] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_union_agg requires a BINARY sketch child (got ${child.dataType})")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.union(Sketches.wrapSketch(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object Theta {
 
   /** Aggregate a long column into a serialized compact theta sketch. */
   def sketchAgg(c: Column, lgK: Int = 12): Column =
     ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(c.cast("long")), lgK)
+        .toAggregateExpression())
+
+  /** Union a column of serialized sketches into one sketch. */
+  def unionAgg(c: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(c), lgK)
         .toAggregateExpression())
 
   private def wrap(bytes: Array[Byte]): Sketch =

@@ -127,21 +127,24 @@ object FileBloomIndex {
   }
 
   /** Files that might contain ANY of `values`: sidecar-pruned covered
-    * files plus every uncovered file. The bloom probes run
-    * distributed over the sidecar; only surviving NAMES reach the
-    * driver.
+    * files plus every uncovered file. ONE distributed pass over the
+    * sidecar yields both the probe survivors and the coverage set
+    * (only NAMES reach the driver — survivors flagged, the blooms
+    * stay in the executors).
     */
   def candidateFiles(spark: SparkSession, dataPath: String,
                      sidecarPath: String, values: Seq[Long]): Seq[String] = {
     val vs = values.toArray
-    val covered = spark.read.parquet(sidecarPath)
+    val probed = spark.read.parquet(sidecarPath)
       .select("file", "bloom").rdd.mapPartitions { it =>
-        it.filter { r =>
+        it.map { r =>
           val bf = deserialize(r.getAs[Array[Byte]](1))
-          vs.exists(bf.mightContainLong)
-        }.map(_.getString(0))
+          (r.getString(0), vs.exists(bf.mightContainLong))
+        }
       }.collect()
-    (covered ++ uncoveredFiles(spark, dataPath, sidecarPath)).toIndexedSeq
+    val covered = probed.map(_._1).toSet
+    val uncovered = spark.read.parquet(dataPath).inputFiles.filterNot(covered)
+    (probed.collect { case (f, true) => f } ++ uncovered).toIndexedSeq
   }
 
   /** The rows of `dataPath` whose `keyCol` is in `values`, reading

@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions.{col, lit}
   * Measure algebra: COUNT and SUM merge by addition, MIN/MAX by
   * comparison. AVG is intentionally absent as a stored measure — it
   * is not mergeable; derive it on read from (sum, count) (one exact
-  * division, [[withDerived]]). COUNT DISTINCT is likewise not
-  * algebraically mergeable; route it through the sketch columns
-  * ([[graft.functions.ThetaSketchAgg]] / `hll_sketch_agg`, the q117
-  * rollup), which ARE mergeable and coexist in the same table.
+  * division, [[withDerived]]). COUNT DISTINCT is not algebraically
+  * mergeable from scalars, but IS mergeable as a sketch: the
+  * [[thetaDistinct]] measure stores a serialized theta sketch per
+  * key ([[graft.functions.ThetaSketchAgg]] over the batch,
+  * [[graft.functions.ThetaUnionAgg]] at every merge), exact below k
+  * retained entries and set-algebra-capable beyond (the q121
+  * family) — so "distinct users per day" maintains incrementally in
+  * the same table as the counts.
   *
   * Sums accumulate in exact integer domains: callers scale doubles
   * to micro/milli longs at the mouth (the q125 convention) so
@@ -49,16 +53,25 @@ object IncrementalAgg {
     * ignored for count. `out` names the stored column.
     */
   final case class Measure(agg: String, src: String, out: String) {
-    require(Set("count", "sum", "min", "max")(agg),
+    require(Set("count", "sum", "min", "max", "theta")(agg),
       s"measure '$agg' is not algebraically mergeable" +
         " (avg: derive from sum+count on read; count distinct: use the" +
-        " theta/HLL sketch columns)")
+        " thetaDistinct sketch measure)")
   }
 
   def count(out: String): Measure = Measure("count", "", out)
   def sum(src: String, out: String): Measure = Measure("sum", src, out)
   def min(src: String, out: String): Measure = Measure("min", src, out)
   def max(src: String, out: String): Measure = Measure("max", src, out)
+
+  /** Distinct-count as a mergeable theta-sketch column (`src` is a
+    * long key, e.g. a user id or fingerprint): exact below k retained
+    * entries, standard sketch error beyond, and the stored sketches
+    * answer cross-key set algebra (union/intersect/difference) for
+    * free. Read the estimate with [[graft.functions.Theta.estimate]].
+    */
+  def thetaDistinct(src: String, out: String): Measure =
+    Measure("theta", src, out)
 
   /** The batch's partial aggregate: one map-side-combining
     * aggregation, |keys-in-batch| output rows.
@@ -71,6 +84,8 @@ object IncrementalAgg {
       case Measure("sum", src, out) => F.sum(col(src)).as(out)
       case Measure("min", src, out) => F.min(col(src)).as(out)
       case Measure("max", src, out) => F.max(col(src)).as(out)
+      case Measure("theta", src, out) =>
+        graft.functions.Theta.sketchAgg(col(src)).as(out)
     }
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -86,6 +101,8 @@ object IncrementalAgg {
       case Measure("sum", _, out) => F.sum(col(out)).as(out)
       case Measure("min", _, out) => F.min(col(out)).as(out)
       case Measure("max", _, out) => F.max(col(out)).as(out)
+      case Measure("theta", _, out) =>
+        graft.functions.Theta.unionAgg(col(out)).as(out)
     }
 
   /** Merge two partial-aggregate frames (same schema) into one. */
