@@ -65,6 +65,17 @@ object CurationQueries {
         .orderBy("lang", "split")
     }),
 
+    // pre-flight join profile: distinct-key overlap of the
+    // orders->customer join answered from two theta sketches + driver
+    // set algebra (one scan per side, no join executed). lgK=15 keeps
+    // every sketch in exact mode at all driver SFs, so the counts are
+    // exact integers and the oracle replays them as plain SQL.
+    "q146_join_profile" -> ((s, dir) => {
+      graft.ops.JoinProfile.keyOverlap(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", lgK = 15)
+    }),
+
     // TOKEN-budget mixture reweighting: q98's closed form with the
     // target mix accounted in token mass (the unit an LM mixture is
     // specified in) — a domain of few huge docs no longer skews the
@@ -150,6 +161,21 @@ object CurationQueries {
          SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_doc
          FROM s GROUP BY 1, 2 ORDER BY lang, split""",
+    "q146_join_profile" ->
+      """WITH a AS (SELECT COUNT(DISTINCT o_custkey) AS n_a FROM orders),
+         b AS (SELECT COUNT(DISTINCT c_custkey) AS n_b FROM customer),
+         i AS (SELECT COUNT(*) AS n_i FROM
+                 (SELECT DISTINCT o_custkey FROM orders
+                  JOIN customer ON c_custkey = o_custkey) t),
+         u AS (SELECT COUNT(*) AS n_u FROM
+                 (SELECT o_custkey AS k FROM orders
+                  UNION SELECT c_custkey FROM customer) t)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_i AS BIGINT) AS n_intersect,
+           CAST(n_u AS BIGINT) AS n_union,
+           CAST(n_i * 1000 // least(n_a, n_b) AS BIGINT) AS containment_milli,
+           TRUE AS exact
+         FROM a, b, i, u""",
     "q145_token_mixture" ->
       """WITH t AS (SELECT * FROM (VALUES ('en', 200), ('de', 100), ('es', 100),
                      ('fr', 50), ('zh', 140)) AS t(lang, tgt)),
