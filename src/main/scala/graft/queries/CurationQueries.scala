@@ -65,6 +65,27 @@ object CurationQueries {
         .orderBy("lang", "split")
     }),
 
+    // per-file bloom sidecar end-to-end: documents written to a
+    // scratch table in random 8-file layout (no ordering the min/max
+    // stats could use), sidecar built on doc_id, then a 5-key point
+    // lookup THROUGH the index. The oracle recomputes the same rows
+    // from the raw table — the sidecar is an access path, never a
+    // semantics change (one lost or phantom row hash-mismatches).
+    "q147_bloom_sidecar_lookup" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_q147")
+      val data = scratch.resolve("t").toString
+      val side = scratch.resolve("idx").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(8)
+        .write.parquet(data)
+      graft.ops.FileBloomIndex.build(s, data, "doc_id", side,
+        expectedPerFile = 1000L, fpp = 0.001)
+      val keys = Seq(3L, 77L, 150L, 288L, 442L)
+      graft.ops.FileBloomIndex.pointLookup(s, data, side, "doc_id", keys)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // pre-flight join profile: distinct-key overlap of the
     // orders->customer join answered from two theta sketches + driver
     // set algebra (one scan per side, no join executed). lgK=15 keeps
@@ -161,6 +182,10 @@ object CurationQueries {
          SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS min_doc
          FROM s GROUP BY 1, 2 ORDER BY lang, split""",
+    "q147_bloom_sidecar_lookup" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+         WHERE doc_id IN (3, 77, 150, 288, 442)
+         ORDER BY doc_id""",
     "q146_join_profile" ->
       """WITH a AS (SELECT COUNT(DISTINCT o_custkey) AS n_a FROM orders),
          b AS (SELECT COUNT(DISTINCT c_custkey) AS n_b FROM customer),
