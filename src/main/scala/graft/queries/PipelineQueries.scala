@@ -159,6 +159,32 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     }),
 
+    // per-group quantile winsorization: clamp a heavy-tailed metric
+    // to its group's exact [p05, p95] — the outlier-capping step of a
+    // feature-cleaning pipeline. Exact interpolated percentiles
+    // (q94's percentile ≡ quantile_cont parity), broadcast bounds,
+    // exact long sums of the clamped values; n_low/n_high audit how
+    // much each tail was cut. At 100 TB swap the exact percentile for
+    // the KLL sketch (q119) at equal plan shape.
+    "q148_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.05)").as("p05"),
+          expr("percentile(cents, 0.95)").as("p95"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clamped", expr(
+          "CAST(round(least(greatest(CAST(cents AS DOUBLE), p05), p95)) AS BIGINT)"))
+        .groupBy("l_returnflag")
+        .agg(expr("CAST(round(MAX(p05)) AS BIGINT)").as("p05_r"),
+          expr("CAST(round(MAX(p95)) AS BIGINT)").as("p95_r"),
+          expr("CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) < p05 THEN 1 ELSE 0 END) AS BIGINT)").as("n_low"),
+          expr("CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) > p95 THEN 1 ELSE 0 END) AS BIGINT)").as("n_high"),
+          sum("clamped").as("sum_clamped"))
+        .orderBy("l_returnflag")
+    }),
+
     // deterministic priority sampling: uniform k-per-group without
     // replacement via content-addressed md5 priorities (reproducible
     // on any engine/partitioning — the distributed replacement for a
@@ -460,6 +486,27 @@ object PipelineQueries {
          quantile_cont(l_quantity, 0.9) AS p90_exact,
          COUNT(*) AS n, TRUE AS sketch_within_1
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q148_winsorize" ->
+      """WITH c AS (SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM lineitem),
+         b AS (SELECT l_returnflag,
+                 quantile_cont(cents, 0.05) AS p05,
+                 quantile_cont(cents, 0.95) AS p95
+               FROM c GROUP BY 1),
+         j AS (SELECT c.l_returnflag, cents, p05, p95,
+                 CAST(round(least(greatest(CAST(cents AS DOUBLE), p05), p95))
+                   AS BIGINT) AS clamped
+               FROM c JOIN b ON b.l_returnflag = c.l_returnflag)
+         SELECT l_returnflag,
+           CAST(round(MAX(p05)) AS BIGINT) AS p05_r,
+           CAST(round(MAX(p95)) AS BIGINT) AS p95_r,
+           CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) < p05 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) > p95 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high,
+           CAST(SUM(clamped) AS BIGINT) AS sum_clamped
+         FROM j GROUP BY 1 ORDER BY 1""",
     "q95_priority_sample" ->
       """WITH p AS (SELECT doc_id, lang,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pri
