@@ -159,6 +159,28 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     }),
 
+    // per-doc n-gram novelty: the fraction of a document's distinct
+    // 3-grams that are corpus SINGLETONS (df = 1) — high novelty =
+    // fresh content, low = boilerplate/template/near-dup residue; the
+    // inverse lens on q100's df statistics, as a per-doc signal. One
+    // gram explode + one df aggregation + one join back; exact milli.
+    "q149_gram_novelty" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), expr(tkSql).as("tk"))
+        .where(expr("size(tk) >= 3"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(tk) - 2)," +
+            " i -> concat_ws(' ', slice(tk, i, 3))))")).as("sh"))
+      val df = g.groupBy("sh").agg(count(lit(1)).as("df"))
+      g.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_singleton"))
+        .withColumn("novelty_milli",
+          expr("n_singleton * 1000 DIV n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // per-group quantile winsorization: clamp a heavy-tailed metric
     // to its group's exact [p05, p95] — the outlier-capping step of a
     // feature-cleaning pipeline. Exact interpolated percentiles
@@ -486,6 +508,20 @@ object PipelineQueries {
          quantile_cont(l_quantity, 0.9) AS p90_exact,
          COUNT(*) AS n, TRUE AS sketch_within_1
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q149_gram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+               FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+               WHERE len(tk) >= 3),
+         d AS (SELECT sh, COUNT(*) AS df FROM g GROUP BY 1),
+         s AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_singleton
+               FROM g JOIN d ON d.sh = g.sh GROUP BY 1)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_singleton AS BIGINT) AS n_singleton,
+           CAST(n_singleton * 1000 // n_grams AS BIGINT) AS novelty_milli
+         FROM s ORDER BY doc_id""",
     "q148_winsorize" ->
       """WITH c AS (SELECT l_returnflag,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
