@@ -686,6 +686,39 @@ object TextQueries {
       } finally { toks.unpersist(); () }
     }),
 
+    // TWO-PASS EXACT heavy hitters — the production path that makes
+    // q112/q113's judge-only full groupBy unnecessary: pass 1 is the
+    // O(k)-state Misra-Gries summary (its no-false-negative theorem
+    // guarantees every key with count > ceil(N/(k+1)) survives as a
+    // candidate); pass 2 exact-counts ONLY the <= k candidate keys
+    // (the isin filter pushes to the scan, so the shuffle carries
+    // candidate rows, never the full key space). The result is the
+    // provably exact top-10 in two scans with O(k) driver state. The
+    // soundness condition is CHECKED, not assumed: if the 10th
+    // candidate count did not clear the MG bound the query fails
+    // loudly instead of returning a silently-wrong top-k.
+    "q150_exact_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .persist()
+      try {
+        val k = 29
+        val mg = graft.ops.FrequentKeys.summarize(toks, "term", k)
+        val cands = mg.estimates.keys.toSeq
+        val top = toks.where(col("term").isin(cands: _*))
+          .groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(10)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        require(top.length == 10 && top.last._2 > mg.bound,
+          s"top-10 exactness not provable: 10th candidate count" +
+            s" ${top.lastOption.map(_._2)} must exceed MG bound ${mg.bound}" +
+            s" (raise k)")
+        top.toSeq.toDF("term", "n_exact")
+          .orderBy(col("n_exact").desc, col("term"))
+      } finally { toks.unpersist(); () }
+    }),
+
     // fuzzy vocabulary self-join: every term pair within edit
     // distance 2 over the combined document + part-name vocabulary —
     // the spelling-variant / typo-cluster detector. Candidates come
@@ -1508,6 +1541,12 @@ object TextQueries {
          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
                FROM documents)
          GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""",
+
+    "q150_exact_heavy_hitters" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+         GROUP BY term ORDER BY n_exact DESC, term LIMIT 10""",
 
     "q114_fuzzy_vocab" ->
       """WITH v AS (
