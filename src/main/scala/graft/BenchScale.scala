@@ -421,6 +421,27 @@ object BenchScale {
           .agg(topk(col("cents"), col("l_orderkey")).as("top"))
           .select(explode(col("top"))).count()
       },
+      // exact top-k terms over the HUGE-vocab gram corpus (millions
+      // of replica-tagged singleton terms): the full groupBy shuffles
+      // one partial per distinct term per map partition — vocab-scale
+      // exchange — while the q150 two-pass path shuffles only the
+      // <= k Misra-Gries candidates' partials (pass 1 is a shuffle-
+      // free treeAggregate of k-entry summaries)
+      shuffleMb("hh_full_groupby_shuffle_mb") {
+        spark.read.parquet(s"$tmp/docs_gram.parquet")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(10).count()
+      },
+      shuffleMb("hh_twopass_candidates_shuffle_mb") {
+        val toks = spark.read.parquet(s"$tmp/docs_gram.parquet")
+          .select(explode(split(col("text"), " ")).as("term"))
+        val cands = graft.ops.FrequentKeys.summarize(toks, "term", 29)
+          .estimates.keys.toSeq
+        toks.where(col("term").isin(cands: _*))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(10).count()
+      },
       // quantiles over 12M rows: exact percentile (full-width sort
       // state) vs the KLL mergeable sketch (O(k log n) per partial)
       time("percentile_exact_12M") {
