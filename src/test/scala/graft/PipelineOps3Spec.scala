@@ -153,6 +153,11 @@ class PipelineOps3Spec extends SparkSpec {
     val exact = Packing.chunkTokens(Seq((3L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", tok, size = 4, stride = 3).collect()
     assert(exact.length == 1)
+    // lossless reassembly: at stride == size (no overlap) the chunks
+    // concatenated in chunk_idx order restore the token stream exactly
+    val parts = Packing.chunkTokens(df, "doc_id", tok, size = 4, stride = 4)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(parts.mkString(" ") == (1 to 10).map(i => s"t$i").mkString(" "))
     // in-row expansion: no Exchange anywhere in the plan
     val plan = Packing.chunkTokens(df, "doc_id", tok, 4, 3)
       .queryExecution.executedPlan.toString
