@@ -200,6 +200,65 @@ object Ivf {
       .withColumn("cell",
         array_min(scoredCellsQ(col("ei"), model.centroids)).getField("cell"))
 
+  /** ONE Lloyd refinement step on the quantized path, bit-replicable
+    * cross-engine — the exception to the "no quantized Lloyd" rule
+    * above, made safe by integer-floor centroid means: the new
+    * centroid coordinate is `floor(sum/count)` where `sum` and
+    * `count` are exact integers. Both engines compute the same
+    * correctly-rounded IEEE-754 double quotient of the same two
+    * integers and floor it, so the result is identical everywhere —
+    * and the floor can't land on the wrong side of an integer
+    * boundary: a non-integral true quotient sits at least `1/count`
+    * away from any integer, while the quotient's rounding error is
+    * bounded by `|q| * 2^-52` — for |sum| up to ~2^40 (1e6-quantized
+    * embeddings summed over up to ~1e6 rows) that's < 1e-6 ≤ 1/count
+    * whenever count ≤ 1e6, which [[lloydStepQuantized]] requires.
+    *
+    * Plan shape per step (the same one the float path promises):
+    * assignment is a narrow argmin over broadcast centroids (zero
+    * Exchange), the mean update is one map-side-combined groupBy of
+    * the (cell, dim) explode, and only nLists × dims longs reach the
+    * driver. Empty cells keep their previous centroid.
+    */
+  def lloydStepQuantized(corpus: DataFrame, model: QuantModel): QuantModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dims = model.centroids.head._2.size
+    val assigned = assignQuantized(corpus, model)
+    val sums = assigned
+      .select(col("cell"), posexplode(col("ei")).as(Seq("i", "v")))
+      .groupBy("cell", "i")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("i"),
+        floor(col("s").cast("double") / col("n").cast("double"))
+          .cast(LongType).as("cv"), col("n"))
+      .as[(Int, Int, Long, Long)].collect()
+    require(sums.forall(_._4 <= 1000000L),
+      "lloydStepQuantized: floor-mean parity requires cell counts <= 1e6" +
+        " (shard the corpus or use the float Lloyd path)")
+    val byCell = sums.groupBy(_._1).map { case (cell, rows) =>
+      cell -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    QuantModel(model.centroids.map { case (cell, prev) =>
+      (cell, byCell.getOrElse(cell, prev))
+    })
+  }
+
+  /** Per-cell fit diagnostics under a quantized model: row count and
+    * exact-integer inertia (sum of true |x - c|^2) per cell — the
+    * convergence measure a Lloyd loop watches. Narrow argmin over
+    * broadcast centroids plus one k-row aggregate; nothing but the
+    * k summary rows ever moves.
+    */
+  def cellStatsQuantized(corpus: DataFrame, model: QuantModel): DataFrame = {
+    val best = array_min(scoredCellsQ(col("ei"), model.centroids))
+    Similarity.withQuantized(corpus, "embedding")
+      .withColumn("cell", best.getField("cell"))
+      .withColumn("d2", best.getField("d2") + col("nn"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+  }
+
   /** Quantized probe — same shape as [[search]], exact integer cell
     * math and micro-unit cosine ranking (Similarity.cosineMicro).
     */

@@ -353,9 +353,41 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "dup_gram_milli", "nll_per_tok_micro",
           "pass_length", "pass_repetition", "pass_lm", "keep")
         .orderBy("doc_id")
+    }),
+
+    // cross-doc duplicated-span accounting (exact-substring dedup's
+    // measurement half): a position is masked if any 5-gram covering
+    // it occurs verbatim in >= 2 distinct documents — catches shared
+    // boilerplate that doc-level near-dup misses because the host
+    // documents differ; within-doc repetition alone never masks
+    "q154_dup_span_scrub" -> ((s, dir) => {
+      graft.ops.SpanScrub.dupSpanStats(t(s, dir, "documents"),
+          "doc_id", tkSql, n = 5)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q154_dup_span_scrub" ->
+      """WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk),
+         occ AS (SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+                 FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) r
+                 WHERE len(tk) >= 5),
+         d AS (SELECT gram FROM occ GROUP BY gram
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+         mp AS (SELECT DISTINCT o.doc_id, r.mp
+                FROM occ o JOIN d ON d.gram = o.gram,
+                  LATERAL (SELECT unnest(range(o.pos, o.pos + 5)) AS mp) r),
+         m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+               FROM mp GROUP BY 1)
+         SELECT b.doc_id, b.n_tokens,
+           COALESCE(m.n_masked, 0) AS n_masked,
+           b.n_tokens - COALESCE(m.n_masked, 0) AS n_kept,
+           CAST(COALESCE(m.n_masked, 0) * 1000 // b.n_tokens AS BIGINT)
+             AS masked_milli
+         FROM base b LEFT JOIN m ON m.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     "q85_repetition_metrics" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
                      FROM documents),

@@ -178,6 +178,37 @@ object VectorQueries {
         .where(col("sim_micro") >= 300000)
         .select("id_a", "id_b", "sim_micro")
         .orderBy("id_a", "id_b")
+    }),
+
+    // one exact-integer Lloyd refinement step on the IVF coarse
+    // quantizer: farthest-point init (q61's fit), floor-mean centroid
+    // update, reassignment, and per-cell count + exact inertia — the
+    // convergence measurement a k-means training loop makes after
+    // every iteration, with the floor-of-IEEE-quotient mean making
+    // the step itself bit-replicable in SQL (see Ivf.lloydStepQuantized)
+    "q152_kmeans_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val m0 = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val m1 = graft.ops.Ivf.lloydStepQuantized(e, m0)
+      graft.ops.Ivf.cellStatsQuantized(e, m1)
+        .orderBy("cell")
+    }),
+
+    // Rademacher JL projection to 8 dims (sign matrix derived from
+    // integer index arithmetic — no PRNG, no stored matrix, zero
+    // Exchange), then the 20 largest projected norms with the first
+    // projection coordinate pinned — the cheap sketch in front of a
+    // clustering/coarse-ANN pass, values exact end to end
+    "q153_random_projection" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.Projection.rademacher(t(s, dir, "embeddings"), "vec_id", k = 8)
+        .withColumn("pnorm2", expr("aggregate(proj, 0L, (acc, x) -> acc + x*x)"))
+        .withColumn("proj1", expr("element_at(proj, 1)"))
+      val top = p.orderBy(col("pnorm2").desc, col("vec_id")).limit(20)
+      top.withColumn("rnk", row_number()
+          .over(Window.orderBy(col("pnorm2").desc, col("vec_id"))).cast("long"))
+        .select("vec_id", "rnk", "pnorm2", "proj1")
+        .orderBy("rnk")
     }))
 
   private val quantCte =
@@ -370,6 +401,49 @@ object VectorQueries {
       .foldLeft(pqFitCte)((s, n) => s.replaceAll("\\b" + n + "\\b", "pq_" + n))
 
   val oracles: Map[String, String] = Map(
+    // replays fitQuantized (ivfAssignCte's assigned) + one Lloyd step:
+    // floor-of-IEEE-quotient centroid means (exact parity — both
+    // engines floor the same correctly-rounded double quotient of the
+    // same exact integers), exact-integer reassignment (d2, cell)
+    // tie-break, then per-cell count + true |x-c|^2 inertia
+    "q152_kmeans_refine" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         cm AS (SELECT a.cell, f.i,
+                  CAST(floor(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+                FROM assigned a JOIN flat f ON f.vec_id = a.vec_id
+                GROUP BY 1, 2),
+         cnn AS (SELECT cell, SUM(cv*cv) AS cc FROM cm GROUP BY 1),
+         d AS (SELECT f.vec_id, c.cell,
+                 MAX(n.nn) + MAX(cn.cc) - 2*SUM(f.v * c.cv) AS d2
+               FROM flat f JOIN cm c ON c.i = f.i
+                 JOIN cnn cn ON cn.cell = c.cell
+                 JOIN norms n ON n.vec_id = f.vec_id
+               GROUP BY 1, 2),
+         re AS (SELECT vec_id, cell, d2 FROM (
+                  SELECT vec_id, cell, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY d2, cell) AS rn FROM d) WHERE rn = 1)
+         SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+         FROM re GROUP BY 1 ORDER BY cell""",
+    // replays Projection.rademacher: the ±1 sign is the same integer
+    // formula on (i, j); projections and norms stay exact integers
+    "q153_random_projection" ->
+      s"""WITH $quantCte,
+         p AS (SELECT f.vec_id, j.j,
+                 SUM(f.v * (CASE WHEN (f.i * 2654435761 + j.j * 40503) % 97 % 2 = 0
+                   THEN 1 ELSE -1 END)) AS pv
+               FROM flat f CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
+               GROUP BY 1, 2),
+         n2 AS (SELECT vec_id, SUM(pv*pv) AS pnorm2 FROM p GROUP BY 1),
+         pick AS (SELECT vec_id, pnorm2,
+                    ROW_NUMBER() OVER (ORDER BY pnorm2 DESC, vec_id) AS rnk
+                  FROM n2)
+         SELECT k.vec_id, CAST(k.rnk AS BIGINT) AS rnk,
+           CAST(k.pnorm2 AS BIGINT) AS pnorm2, CAST(p1.pv AS BIGINT) AS proj1
+         FROM pick k JOIN p p1 ON p1.vec_id = k.vec_id AND p1.j = 1
+         WHERE k.rnk <= 20 ORDER BY k.rnk""",
     "q108_pq_adc" ->
       s"""WITH $quantCte,
          $pqFitCte,
