@@ -46,4 +46,36 @@ object ChangeCapture {
       .select(keyCols.map(k =>
         coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) :+ col("change_type"): _*)
   }
+
+  /** Slowly-changing-dimension type 2: collapse a change log into
+    * validity intervals. For each key, rows ordered by (tsCol,
+    * tieCol); consecutive rows with identical `stateCols` merge into
+    * one interval; each surviving state gets `valid_from` (its first
+    * ts), `valid_to` (the NEXT state's first ts, null while current)
+    * and `is_current`. `tieCol` must make the per-key order total
+    * (same-timestamp events otherwise make the intervals
+    * nondeterministic under shuffle).
+    *
+    * Scale shape: ONE Exchange on the key serves both window passes —
+    * the collapse filter preserves the hash partitioning and sort, so
+    * the `lead` after it re-sorts at most locally and never
+    * reshuffles. Dimension history at 100 TB is built in a single
+    * shuffle of the raw log, no self-join of snapshots.
+    */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd2 needs at least one state column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changed = stateCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    log.select(col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
+      .withColumn("_chg", changed)
+      .where(col("_chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_chg", tsCol)
+  }
 }

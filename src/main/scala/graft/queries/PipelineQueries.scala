@@ -364,9 +364,35 @@ object PipelineQueries {
       graft.ops.SpanScrub.dupSpanStats(t(s, dir, "documents"),
           "doc_id", tkSql, n = 5)
         .orderBy("doc_id")
+    }),
+
+    // SCD2 dimension history from the event log: per-user validity
+    // intervals over event_type with consecutive duplicates collapsed
+    // — the slowly-changing-dimension build every warehouse load runs;
+    // one Exchange serves both window passes
+    "q155_scd2_intervals" -> ((s, dir) => {
+      ChangeCapture.scd2(events(s, dir), "user_id", "ts", "event_id",
+          Seq("event_type"))
+        .orderBy("user_id", "valid_from", "event_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // replays ChangeCapture.scd2: first-occurrence-or-state-change
+    // filter (IS DISTINCT FROM == Spark's null-safe <=> negation),
+    // then lead() over the survivors for the interval close
+    "q155_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+         c AS (SELECT user_id, ts, event_id, event_type,
+                 (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                   OR (lag(ts) OVER w IS NULL) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+               FROM c WHERE chg)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM f ORDER BY user_id, valid_from, event_id""",
     "q154_dup_span_scrub" ->
       """WITH tk AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
