@@ -189,17 +189,34 @@ object Sampling {
     * the q91 unigram-LM precedent. One shuffle on the group key.
     */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
-                             weightCol: String, k: Int): DataFrame = {
+                             weightCol: String, k: Int): DataFrame =
+    weightedSamplePerGroupWithPriority(df, groupCol, keyCol, weightCol, k)
+      .drop("_es")
+
+  /** [[weightedSamplePerGroup]] with the `_es` priority column kept —
+    * the streaming reservoir's per-batch distributed stage needs the
+    * priority to merge cross-batch state.
+    */
+  private[graft] def weightedSamplePerGroupWithPriority(
+      df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(col("_es").desc, col(keyCol))
     df.where(col(weightCol) > 0)
-      .withColumn("_u", expr(
-        s"(CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 13), 16, 10)" +
-          s" AS BIGINT) + 0.5) / ${1L << 52}.0"))
-      .withColumn("_es", expr(s"ln(_u) / CAST($weightCol AS DOUBLE)"))
+      .withColumn("_es", esPriority(keyCol, weightCol))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .where(col("rnk") <= k)
-      .drop("_u", "_es")
   }
+
+  /** The Efraimidis–Spirakis priority ln(u)/w as a column — u drawn
+    * content-addressed from 52 md5 bits of the key. Shared by the
+    * batch sampler above and the streaming reservoir
+    * ([[graft.streaming.WeightedReservoirStream]]) so the two can
+    * never rank differently. Requires `weightCol > 0` upstream.
+    */
+  private[graft] def esPriority(keyCol: String, weightCol: String): Column =
+    expr(
+      s"ln((CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 13), 16, 10)" +
+        s" AS BIGINT) + 0.5) / ${1L << 52}.0) / CAST($weightCol AS DOUBLE)")
 }
