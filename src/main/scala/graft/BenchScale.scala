@@ -861,6 +861,39 @@ object BenchScale {
           .where(col("l_orderkey").isin(1L, 7L, 4242L))
           .collect().length > 0)
       },
+      time("span_scrub_500k_docs") {
+        // cross-doc duplicated-span accounting over the webby gram
+        // corpus (replica boilerplate + ~3/7 singleton tokens): the
+        // gram-df shuffle dominates, masked-position distinct second
+        require(graft.ops.SpanScrub.dupSpanStats(
+            spark.read.parquet(s"$tmp/docs_gram.parquet"), "doc_id",
+            "split(lower(trim(text)), '\\\\s+')", n = 5)
+          .agg(sum(col("n_masked"))).collect().nonEmpty)
+      },
+      time("scd2_event_history") {
+        // SCD2 interval build over the full 12M-event log: one
+        // Exchange on user_id serves both window passes
+        require(graft.ops.ChangeCapture.scd2(
+            evBig.withColumn("tts", expr("timestamp_micros(ts)")),
+            "user_id", "tts", "event_id", Seq("event_type"))
+          .agg(count(lit(1))).collect().nonEmpty)
+      },
+      time("lloyd_step_3m_vectors") {
+        // one exact-integer Lloyd iteration over 3.3M vectors:
+        // broadcast-argmin assignment + one (cell, dim) map-side
+        // combined aggregate; nLists=16 keeps every cell under the
+        // 1e6-row floor-mean parity guard at this corpus size
+        val m0 = graft.ops.Ivf.fitQuantized(embBig, "vec_id", nLists = 16)
+        val m1 = graft.ops.Ivf.lloydStepQuantized(embBig, m0)
+        require(m1.centroids.size == 16)
+      },
+      time("jl_projection_3m_vectors") {
+        // map-only Rademacher projection of the full corpus to 8 dims
+        // (zero Exchange; measures pure codegen'd per-row throughput)
+        require(graft.ops.Projection.rademacher(embBig, "vec_id", k = 8)
+          .agg(sum(expr("aggregate(proj, 0L, (acc, x) -> acc + x*x)")))
+          .collect().nonEmpty)
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,

@@ -57,22 +57,42 @@ object PrefixJoin {
     // document frequency — the global ordering key (rarest first)
     val dfT = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc prefix: shingles re-sorted by (df, sh), first
-    // sz - ceil(t*sz) + 1 kept; ceil in exact integer milli
+    // sz - ceil(t*sz) + 1 kept WITH their rank in the ordered list;
+    // ceil in exact integer milli
     val prefixes = posts.join(dfT, "sh")
       .groupBy(col(idCol), col("sz"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
       .withColumn("plen",
         (col("sz") - expr(s"(sz * $minJaccardMilli + 999) DIV 1000") + 1)
           .cast("int"))
-      .select(col(idCol),
-        explode(expr("slice(ordered, 1, plen)")).as("pe"))
-      .select(col(idCol), col("pe.sh").as("psh"))
+      .select(col(idCol), col("sz"),
+        posexplode(expr("slice(ordered, 1, plen)")).as(Seq("p0", "pe")))
+      .select(col(idCol), col("sz"), (col("p0") + 1).as("ppos"),
+        col("pe.sh").as("psh"))
+    // PPJoin POSITIONAL filter on top of the prefix filter: for a
+    // qualifying pair the first common shingle w* is in both prefixes
+    // (prefix theorem), nothing common precedes it, and the global
+    // order is shared — so min(ppos_a) and min(ppos_b) over the
+    // generating shingles BOTH land on w*, and the true overlap is
+    // bounded by min(sz_a - i*, sz_b - j*) + 1. Requiring that bound
+    // to reach alpha = ceil(t*(sz_a+sz_b)/(1000+t)) (the smallest
+    // overlap any J >= t pair can have) discards candidates that
+    // merely share one rare boilerplate shingle near the end of both
+    // prefixes — before the verify stage pays an array_intersect over
+    // their full shingle sets. Lossless: qualifying pairs satisfy the
+    // bound by construction.
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.psh") === col("b.psh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(min(col("a.ppos")).as("ia"), min(col("b.ppos")).as("jb"))
+      .where(expr(
+        s"least(sz_a - ia, sz_b - jb) + 1 >= " +
+          s"($minJaccardMilli * (sz_a + sz_b) + ${minJaccardMilli + 999})" +
+          s" DIV ${1000 + minJaccardMilli}"))
+      .select("doc_a", "doc_b")
     // shuffled verify: prefix-filter candidates carry no smallness
     // contract (unlike LSH's capped buckets), so the broadcast-hinted
     // verify would OOM the driver past a few million pairs
@@ -116,20 +136,36 @@ object PrefixJoin {
       .withColumn("sz", size(col("shs")).cast("long"))
     val posts = sh.select(col(idCol), col("sz"), explode(col("shs")).as("sh"))
     val dfT = posts.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefixes = posts.join(dfT, "sh")
+    val orderedDocs = posts.join(dfT, "sh")
       .groupBy(col(idCol), col("sz"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+    val prefixes = orderedDocs
       .withColumn("plen",
         (col("sz") - expr(s"(sz * $minContainMilli + 999) DIV 1000") + 1)
           .cast("int"))
-      .select(col(idCol).as("doc_a"),
-        explode(expr("slice(ordered, 1, plen)")).as("pe"))
-      .select(col("doc_a"), col("pe.sh").as("psh"))
+      .select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+        posexplode(expr("slice(ordered, 1, plen)")).as(Seq("p0", "pe")))
+      .select(col("doc_a"), col("sz_a"), (col("p0") + 1).as("ppos"),
+        col("pe.sh").as("psh"))
+    // the indexed side carries ALL its shingles, but with their rank
+    // in the same global (df, sh) order, for the positional filter
+    val full = orderedDocs
+      .select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+        posexplode(col("ordered")).as(Seq("q0", "qe")))
+      .select(col("doc_b"), col("sz_b"), (col("q0") + 1).as("jpos"),
+        col("qe.sh").as("sh"))
+    // positional filter, containment form (see selfJoin): for a
+    // qualifying pair the first common shingle is in a's prefix, the
+    // independent mins land on it jointly, and the overlap bound
+    // min(sz_a - i*, sz_b - j*) + 1 must reach ceil(t * sz_a) —
+    // lossless, and prunes before the verify's array_intersect
     val cand = prefixes
-      .join(posts.select(col(idCol).as("doc_b"), col("sh")),
-        col("psh") === col("sh") && col("doc_a") =!= col("doc_b"))
+      .join(full, col("psh") === col("sh") && col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("ppos")).as("ia"), min(col("jpos")).as("jb"))
+      .where(expr(
+        s"least(sz_a - ia, sz_b - jb) + 1 >= (sz_a * $minContainMilli + 999) DIV 1000"))
       .select("doc_a", "doc_b")
-      .distinct()
     // shuffled verify (see selfJoin): both joins key on doc id, cost
     // scales with the candidate set instead of driver memory
     cand
