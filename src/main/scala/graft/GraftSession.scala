@@ -18,9 +18,13 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
-      // engine extensions: native rewrites for idiomatic HOF patterns
-      .withExtensions(e =>
-        e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite))
+      // engine extensions: native rewrites for idiomatic HOF patterns,
+      // and aggregate-to-materialized-rollup answering (no-op until a
+      // rollup target is registered)
+      .withExtensions { e =>
+        e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+        e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+      }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

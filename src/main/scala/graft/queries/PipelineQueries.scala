@@ -366,6 +366,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the materialized-rollup REWRITE end-to-end: a raw event table
+    // and its IncrementalAgg-maintained rollup land in scratch, the
+    // source registers with the RollupRewrite optimizer rule, and the
+    // plain GROUP BY over the RAW table is answered from the rollup —
+    // require()-proved from the executed plan, value-proved by the
+    // oracle recomputing the aggregate directly from `events`
+    "q156_rollup_rewrite" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      import graft.plans.RollupRewrite
+      val scratch = java.nio.file.Files.createTempDirectory("graft_q156")
+      val srcPath = scratch.resolve("raw_events_src.parquet").toString
+      val rollupPath = scratch.resolve("rollup_mv_store").toString
+      events(s, dir).select(
+          to_date(col("ts")).cast("string").as("day"),
+          col("event_type"),
+          col("user_id"),
+          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v_milli"))
+        .write.mode("overwrite").parquet(srcPath)
+      val src = s.read.parquet(srcPath)
+      val keys = Seq("day", "event_type")
+      val ms = Seq(IncrementalAgg.count("n_"),
+        IncrementalAgg.sum("v_milli", "sv_"))
+      (0 to 1).foreach { i =>
+        IncrementalAgg.updateTable(s, rollupPath,
+          src.where(col("user_id") % 2 === i), keys, ms, "day")
+      }
+      RollupRewrite.register(RollupRewrite.Target(srcPath, rollupPath, keys, ms))
+      val q = s.read.parquet(srcPath)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum("v_milli").as("sum_v_milli"))
+        .orderBy("day", "event_type")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("rollup_mv_store") && !plan.contains("raw_events_src"),
+        s"rollup rewrite did not fire:\n$plan")
+      q
+    }),
+
     // SCD2 dimension history from the event log: per-user validity
     // intervals over event_type with consecutive duplicates collapsed
     // — the slowly-changing-dimension build every warehouse load runs;
@@ -377,6 +414,17 @@ object PipelineQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the rewrite must be INVISIBLE in values: the oracle recomputes
+    // the aggregate straight from the raw events — if answering from
+    // the maintained rollup changed any number, the hash breaks
+    "q156_rollup_rewrite" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type, CAST(round(value * 1000.0) AS BIGINT) AS v_milli
+           FROM events)
+         SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_milli) AS BIGINT) AS sum_v_milli
+         FROM e GROUP BY day, event_type
+         ORDER BY day, event_type""",
     // replays ChangeCapture.scd2: first-occurrence-or-state-change
     // filter (IS DISTINCT FROM == Spark's null-safe <=> negation),
     // then lead() over the survivors for the interval close
