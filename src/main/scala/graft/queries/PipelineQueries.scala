@@ -115,6 +115,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // bigram-LM quality score — the KenLM-perplexity-filter shape one
+    // order up from q91: interpolated p(w|w') = 0.75·c2/cp + 0.25·c1/N
+    // (no OOV: scoring the counting corpus), per-doc NLL in exact
+    // micro-nats with q91's per-(doc, gram) rounding convention. All
+    // joins key on the gram/term; counts partial-aggregate map-side.
+    "q158_bigram_nll" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), expr(tkSql).as("tk"))
+        .where(expr("size(tk) >= 2"))
+      val bg = d.select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(tk))," +
+            " i -> struct(tk[i-2] AS w1, tk[i-1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val toks = d.select(col("doc_id"), explode(col("tk")).as("w"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val cp = bg.groupBy("w1").agg(count(lit(1)).as("cp"))
+      val c1 = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+      val nTot = toks.agg(count(lit(1)).as("n_total"))
+      val tf2 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      tf2.join(c2, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .join(c1, col("w2") === col("w")).crossJoin(nTot)
+        .withColumn("nm", expr(
+          "CAST(round(tf * -ln(0.75 * (CAST(c2 AS DOUBLE) / CAST(cp AS DOUBLE))" +
+            " + 0.25 * (CAST(c1 AS DOUBLE) / CAST(n_total AS DOUBLE)))" +
+            " * 1000000) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"), sum("nm").as("nll_micro"))
+        .withColumn("nll_per_bigram_micro", expr("nll_micro DIV n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // lexical entropy quality signal: per-doc unigram Shannon entropy
     // in micro-nats/token + type-token ratio — low-entropy docs are
     // machine-generated/keyword-stuffed. NARROW like q85: one in-row
@@ -425,6 +456,33 @@ object PipelineQueries {
            CAST(SUM(v_milli) AS BIGINT) AS sum_v_milli
          FROM e GROUP BY day, event_type
          ORDER BY day, event_type""",
+    // identical count algebra and the SAME textual scoring expression
+    // as the Spark side (IEEE ops are order-deterministic; ln's last
+    // ulp is separated by the q91 argument)
+    "q158_bigram_nll" ->
+      """WITH tk0 AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+         d AS (SELECT doc_id, tk FROM tk0 WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                FROM d, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r),
+         toks AS (SELECT doc_id, unnest(tk) AS w FROM d),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         cp AS (SELECT w1, COUNT(*) AS cp FROM bg GROUP BY 1),
+         c1 AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM toks),
+         sc AS (SELECT t.doc_id, t.tf,
+                 CAST(round(t.tf * -ln(0.75 * (CAST(c2.c2 AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+                   + 0.25 * (CAST(c1.c1 AS DOUBLE) / CAST(n.n_total AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS nm
+                FROM (SELECT doc_id, w1, w2, COUNT(*) AS tf
+                      FROM bg GROUP BY 1, 2, 3) t
+                JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+                JOIN cp ON cp.w1 = t.w1
+                JOIN c1 ON c1.w = t.w2, n)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nm) AS BIGINT) AS nll_micro,
+           CAST(SUM(nm) // SUM(tf) AS BIGINT) AS nll_per_bigram_micro
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
     // replays ChangeCapture.scd2: first-occurrence-or-state-change
     // filter (IS DISTINCT FROM == Spark's null-safe <=> negation),
     // then lead() over the survivors for the interval close

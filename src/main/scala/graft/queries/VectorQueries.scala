@@ -194,6 +194,31 @@ object VectorQueries {
         .orderBy("cell")
     }),
 
+    // embedding distribution-shift monitor: two corpus snapshots
+    // (even/odd vec_ids standing in for old/new crawls) binned by ONE
+    // fixed coarse quantizer; per-cell occupancy shares in exact
+    // milli + their absolute drift — the "did the new crawl move in
+    // embedding space" check a curation pipeline runs before mixing
+    // corpora. One assignment pass (broadcast centroids, zero
+    // Exchange) + one k-row aggregate.
+    "q157_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val cells = graft.ops.Ivf.assignQuantized(e, model)
+        .groupBy("cell")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      val totals = cells.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      cells.crossJoin(broadcast(totals))
+        .withColumn("share_a_milli", expr("n_a * 1000 DIV ta"))
+        .withColumn("share_b_milli", expr("n_b * 1000 DIV tb"))
+        .withColumn("drift_milli",
+          abs(col("share_a_milli") - col("share_b_milli")))
+        .select("cell", "n_a", "n_b", "share_a_milli", "share_b_milli",
+          "drift_milli")
+        .orderBy("cell")
+    }),
+
     // Rademacher JL projection to 8 dims (sign matrix derived from
     // integer index arithmetic — no PRNG, no stored matrix, zero
     // Exchange), then the 20 largest projected norms with the first
@@ -427,6 +452,22 @@ object VectorQueries {
          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(d2) AS BIGINT) AS inertia
          FROM re GROUP BY 1 ORDER BY cell""",
+    // q61's fit + assignment replay, grouped by snapshot parity —
+    // shares and drift in exact floor-div milli
+    "q157_embedding_drift" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         g AS (SELECT cell,
+                 SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+               FROM assigned GROUP BY 1),
+         tt AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM g)
+         SELECT cell, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a * 1000 // ta AS BIGINT) AS share_a_milli,
+           CAST(n_b * 1000 // tb AS BIGINT) AS share_b_milli,
+           CAST(abs(n_a * 1000 // ta - n_b * 1000 // tb) AS BIGINT)
+             AS drift_milli
+         FROM g, tt ORDER BY cell""",
     // replays Projection.rademacher: the ±1 sign is the same integer
     // formula on (i, j); projections and norms stay exact integers
     "q153_random_projection" ->
