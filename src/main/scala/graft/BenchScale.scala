@@ -881,8 +881,8 @@ object BenchScale {
       time("lloyd_step_3m_vectors") {
         // one exact-integer Lloyd iteration over 3.3M vectors:
         // broadcast-argmin assignment + one (cell, dim) map-side
-        // combined aggregate; nLists=16 keeps every cell under the
-        // 1e6-row floor-mean parity guard at this corpus size
+        // combined aggregate; the |sum| < 2^53 parity guard holds
+        // with orders of magnitude to spare at this corpus size
         val m0 = graft.ops.Ivf.fitQuantized(embBig, "vec_id", nLists = 16)
         val m1 = graft.ops.Ivf.lloydStepQuantized(embBig, m0)
         require(m1.centroids.size == 16)

@@ -24,6 +24,7 @@ object GraftSession {
       .withExtensions { e =>
         e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
         e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+        e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -49,4 +49,46 @@ object AsOf {
     }
     filled.where(col("_side") === 1).drop("_k", "_ts", "_side")
   }
+
+  /** [[joinAsOf]] through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]] → `AsOfJoinExec`): identical semantics
+    * and output columns, planned as a direct sorted-merge — one
+    * forward pass per co-partition, one buffered right row of state,
+    * no union widening and no window machinery. Same
+    * one-Exchange-per-side layout as a sort-merge join.
+    *
+    * The right subtree is re-aliased internally, so joining a table
+    * to a projection of ITSELF (the q56 shape) is safe — the minted
+    * attribute ids cannot collide with the left side's.
+    */
+  def joinAsOfNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String, rightVals: Seq[String],
+                     suffix: String = "_asof"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = left.sparkSession
+    // aliasing mints fresh exprIds on the right — required when both
+    // sides derive from one scan, and it lands the output value names
+    val rPrepped = right.select(
+      col(key).as("_asof_k") +: col(rightTs).as("_asof_ts") +:
+        rightVals.map(v => col(v).as(s"$v$suffix")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrepped.queryExecution.analyzed
+    def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val vals = rightVals.map(v => attrOf(rPlan, s"$v$suffix"))
+    // the output attributes are FRESH (new exprIds), produced by the
+    // node itself: reusing the right child's ids would let the
+    // analyzer's UpdateAttributeNullability rewrite them back to the
+    // child's non-nullable form, and a no-match null then reads as 0
+    val out = vals.map(v =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        v.name, v.dataType, nullable = true)())
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      attrOf(lPlan, key), attrOf(rPlan, "_asof_k"),
+      attrOf(lPlan, leftTs), attrOf(rPlan, "_asof_ts"),
+      vals, out))
+  }
 }

@@ -204,15 +204,16 @@ object Ivf {
     * cross-engine — the exception to the "no quantized Lloyd" rule
     * above, made safe by integer-floor centroid means: the new
     * centroid coordinate is `floor(sum/count)` where `sum` and
-    * `count` are exact integers. Both engines compute the same
+    * `count` are exact integers. Every engine computes the same
     * correctly-rounded IEEE-754 double quotient of the same two
-    * integers and floor it, so the result is identical everywhere —
-    * and the floor can't land on the wrong side of an integer
-    * boundary: a non-integral true quotient sits at least `1/count`
-    * away from any integer, while the quotient's rounding error is
-    * bounded by `|q| * 2^-52` — for |sum| up to ~2^40 (1e6-quantized
-    * embeddings summed over up to ~1e6 rows) that's < 1e-6 ≤ 1/count
-    * whenever count ≤ 1e6, which [[lloydStepQuantized]] requires.
+    * integers and floors it, so the result is identical everywhere.
+    * The floor cannot land on the wrong side of an integer boundary
+    * while `|sum| < 2^53`: for non-integral S/n the distance to the
+    * nearest integer is >= 1/n, the quotient's rounding error is
+    * <= |S/n|·2^-53, and |S/n|·2^-53 < 1/n ⟺ |S| < 2^53 (an
+    * integral S/n divides exactly). That bound is require-checked
+    * per (cell, dim) sum — it allows ~4.5e9 rows per cell at
+    * 1e6-quantized unit-scale coordinates before tripping.
     *
     * Plan shape per step (the same one the float path promises):
     * assignment is a narrow argmin over broadcast centroids (zero
@@ -223,21 +224,20 @@ object Ivf {
   def lloydStepQuantized(corpus: DataFrame, model: QuantModel): QuantModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dims = model.centroids.head._2.size
     val assigned = assignQuantized(corpus, model)
     val sums = assigned
       .select(col("cell"), posexplode(col("ei")).as(Seq("i", "v")))
       .groupBy("cell", "i")
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("cell"), col("i"),
-        floor(col("s").cast("double") / col("n").cast("double"))
-          .cast(LongType).as("cv"), col("n"))
       .as[(Int, Int, Long, Long)].collect()
-    require(sums.forall(_._4 <= 1000000L),
-      "lloydStepQuantized: floor-mean parity requires cell counts <= 1e6" +
-        " (shard the corpus or use the float Lloyd path)")
+    require(sums.forall(r => math.abs(r._3) < (1L << 53)),
+      "lloydStepQuantized: floor-mean parity requires |sum| < 2^53 per" +
+        " (cell, dim) — re-center or down-scale the quantized domain")
+    // floor of the correctly-rounded double quotient — the exact same
+    // IEEE computation Spark's floor(s/n) and DuckDB's floor() perform
     val byCell = sums.groupBy(_._1).map { case (cell, rows) =>
-      cell -> rows.sortBy(_._2).map(_._3).toSeq
+      cell -> rows.sortBy(_._2)
+        .map(r => math.floor(r._3.toDouble / r._4.toDouble).toLong).toSeq
     }
     QuantModel(model.centroids.map { case (cell, prev) =>
       (cell, byCell.getOrElse(cell, prev))

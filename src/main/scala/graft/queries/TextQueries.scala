@@ -528,6 +528,24 @@ object TextQueries {
         .orderBy("o_custkey")
     }),
 
+    // q56's semantics through the NATIVE operator (AsOfJoin logical
+    // node → AsOfJoinStrategy → AsOfJoinExec sorted merge): each
+    // purchase joined to the user's latest prior-or-equal CLICK — the
+    // custom physical path, oracle-checked against DuckDB's own ASOF
+    // join on an event pair q56 doesn't use
+    "q159_asof_native" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts")
+      graft.ops.AsOf.joinAsOfNative(purchases, clicks, "user_id", "ts", "ts",
+          Seq("ts"), "_click")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts_click)").as("click_us"))
+        .orderBy("event_id")
+    }),
+
     "q56_asof_join" -> ((s, dir) => {
       // point-in-time: each purchase joined to the user's latest
       // prior-or-equal signup (AsOf op: one shuffle + window, no
@@ -1479,6 +1497,12 @@ object TextQueries {
          array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
          COUNT(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q159_asof_native" ->
+      """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS click_us
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
     "q56_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS signup_us
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
