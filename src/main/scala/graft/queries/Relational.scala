@@ -500,6 +500,48 @@ object Relational {
     // epoch_us/unix_micros parity convention); executes as one
     // SortMergeJoin on user_id with the range as a join filter — no
     // quadratic stage. Streaming analogue: EventsStream.funnelPairs.
+    // ordered 3-step funnel, FIRST-completion semantics: first view,
+    // first click strictly after it, first purchase strictly after
+    // that — three keyed min-aggregations chained by broadcast-sized
+    // joins, no window over the full event stream and no self-join
+    // explosion (q81 covers the pairwise-within-window variant)
+    "q160_funnel_steps" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("p_us").isNotNull, 3L)
+            .when(col("c_us").isNotNull, 2L).otherwise(1L))
+        .select("user_id", "v_us", "c_us", "p_us", "stage")
+        .orderBy("user_id")
+    }),
+
+    // privacy audit: k-anonymity + l-diversity over quasi-identifier
+    // classes (nation × coarse balance band), sensitive attribute =
+    // market segment — the release-gate check a dataset publisher
+    // runs; one aggregation pass
+    "q161_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          expr("CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT)")
+            .as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy("nation", "bal_band")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .withColumn("k5_ok", col("n") >= 5)
+        .withColumn("l3_ok", col("n_sensitive") >= 3)
+        .orderBy("nation", "bal_band")
+    }),
+
     "q81_funnel_pairs" -> ((s, dir) => {
       val ev = events(s, dir)
       val c = ev.where(col("event_type") === "click")
@@ -1109,6 +1151,32 @@ object Relational {
              CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
            FROM lineitem)
          SELECT * FROM p ORDER BY "column"""",
+    "q160_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, MIN(us) AS v_us FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(us) AS c_us FROM e
+               JOIN v ON v.user_id = e.user_id
+               WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(us) AS p_us FROM e
+               JOIN c ON c.user_id = e.user_id
+               WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+         SELECT v.user_id, v_us, c_us, p_us,
+           CAST(CASE WHEN p_us IS NOT NULL THEN 3
+                     WHEN c_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+         FROM v LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id
+         ORDER BY v.user_id""",
+
+    "q161_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+         COUNT(*) >= 5 AS k5_ok,
+         COUNT(DISTINCT c_mktsegment) >= 3 AS l3_ok
+         FROM customer GROUP BY 1, 2 ORDER BY nation, bal_band""",
+
     "q81_funnel_pairs" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
          epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
