@@ -887,6 +887,30 @@ object BenchScale {
         val m1 = graft.ops.Ivf.lloydStepQuantized(embBig, m0)
         require(m1.centroids.size == 16)
       },
+      time("asof_native_12m") {
+        // native sorted-merge as-of: 12M purchases-to-clicks-shaped
+        // events (parity split), one exchange + sort per side, single
+        // forward pass
+        val l = evBig.where(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val r = evBig.where(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        require(graft.ops.AsOf.joinAsOfNative(l, r, "user_id", "ts", "ts",
+            Seq("value"))
+          .agg(count(col("value_asof"))).collect().nonEmpty)
+      },
+      time("asof_composed_12m") {
+        // the union+window reference form on the same inputs — the
+        // plan the native operator replaces (row-widening + window
+        // machinery over the union)
+        val l = evBig.where(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val r = evBig.where(col("event_id") % 2 === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        require(graft.ops.AsOf.joinAsOf(l, r, "user_id", "ts", "ts",
+            Seq("value"))
+          .agg(count(col("value_asof"))).collect().nonEmpty)
+      },
       time("jl_projection_3m_vectors") {
         // map-only Rademacher projection of the full corpus to 8 dims
         // (zero Exchange; measures pure codegen'd per-row throughput)

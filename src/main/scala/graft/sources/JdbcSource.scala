@@ -146,4 +146,57 @@ object JdbcSource {
         try { val rs = st.executeQuery(sql)
           try { rs.next(); rs.getLong(1) } finally rs.close()
         } finally st.close() })
+
+  /** COPY executed LIVE against a store's own bulk-ingest entry point
+    * — the Redshift-COPY orchestration on the one warehouse this
+    * environment ships (embedded Derby, whose
+    * `SYSCS_UTIL.SYSCS_IMPORT_TABLE` is a native bulk path, not JDBC
+    * row inserts): Spark writes the frame as RFC-4180 CSV part files
+    * (doubled-quote escaping, quoted empty strings so NULL and ''
+    * survive the round trip), then each part file is handed to the
+    * store's importer — REPLACE on the first (the TRUNCATE half),
+    * append for the rest — and the post-load count is reconciled
+    * against the frame. Column order must match the target DDL
+    * (the COPY contract).
+    *
+    * At warehouse scale the exact same orchestration swaps the import
+    * call for `COPY … FORMAT AS PARQUET` ([[copyStatement]]) and the
+    * local part files for the manifest; the pieces are shared.
+    */
+  def bulkLoadCsvNative(df: DataFrame, url: String, schema: String,
+                        table: String): Long = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulkload")
+      .resolve("csv").toString
+    df.write.option("escape", "\"").option("emptyValue", "\"\"").csv(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    require(files.nonEmpty, "bulk load produced no CSV part files")
+    val expected = df.count()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      files.zipWithIndex.foreach { case (f, i) =>
+        val cs = conn.prepareCall(
+          "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(?, ?, ?, ?, ?, ?, ?)")
+        try {
+          cs.setString(1, ident("schema", schema).toUpperCase)
+          cs.setString(2, ident("table", table).toUpperCase)
+          cs.setString(3, f.getAbsolutePath)
+          cs.setString(4, ",")
+          cs.setString(5, "\"")
+          cs.setString(6, "UTF-8")
+          cs.setShort(7, if (i == 0) 1 else 0) // REPLACE, then append
+          cs.execute()
+        } finally cs.close()
+      }
+      val st = conn.createStatement()
+      val loaded = try {
+        val rs = st.executeQuery(
+          s"SELECT COUNT(*) FROM ${ident("schema", schema)}.${ident("table", table)}")
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally st.close()
+      require(loaded == expected,
+        s"bulk-load reconcile failed: loaded $loaded, expected $expected")
+      loaded
+    } finally conn.close()
+  }
 }

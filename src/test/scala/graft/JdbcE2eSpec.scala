@@ -107,4 +107,41 @@ class JdbcE2eSpec extends SparkSpec {
         " IAM_ROLE 'role' FORMAT AS PARQUET MANIFEST",
       "SELECT COUNT(*) FROM analytics.fact_orders"))
   }
+
+  test("O-11 LIVE native bulk load: Derby SYSCS_IMPORT_TABLE round-trips values, replaces on re-run") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        "CREATE TABLE APP.bulk_tgt (id BIGINT, name VARCHAR(64), val DOUBLE)")
+      finally st.close()
+    } finally conn.close()
+
+    // hostile values: embedded comma, embedded quote, empty string,
+    // NULLs in both string and numeric columns
+    val df = Seq(
+      (1L, Some("""plain"""), Some(1.5)),
+      (2L, Some("""with, comma"""), Some(-2.25)),
+      (3L, Some("""with "quote" inside"""), None),
+      (4L, Some(""), Some(0.0)),
+      (5L, None, None)
+    ).toDF("id", "name", "val").repartition(3) // multiple part files
+    val n = JdbcSource.bulkLoadCsvNative(df, url, "APP", "bulk_tgt")
+    assert(n == 5L)
+    val back = JdbcSource.read(spark,
+        scanCfg("bulk_tgt", partitioned = false))
+      .as[(Long, Option[String], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("with, comma"), Some(-2.25)),
+      (3L, Some("""with "quote" inside"""), None),
+      (4L, Some(""), Some(0.0)),
+      (5L, None, None)))
+
+    // REPLACE semantics: a second load of a different frame must not append
+    val df2 = Seq((9L, Some("only"), Some(9.0))).toDF("id", "name", "val")
+    assert(JdbcSource.bulkLoadCsvNative(df2, url, "APP", "bulk_tgt") == 1L)
+  }
 }
