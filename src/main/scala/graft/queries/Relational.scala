@@ -500,6 +500,74 @@ object Relational {
     // epoch_us/unix_micros parity convention); executes as one
     // SortMergeJoin on user_id with the range as a join filter — no
     // quadratic stage. Streaming analogue: EventsStream.funnelPairs.
+    // telemetry debounce: within each (user, event_type) stream, keep
+    // an event only if it starts a burst — no same-kind event in the
+    // preceding 60s. One window pass; the dedup-with-grace-period
+    // every clickstream ingest applies before counting anything
+    "q162_event_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .where(col("prev_us").isNull || col("us") - col("prev_us") > 60000000L)
+        .select("user_id", "event_type", "event_id", "us")
+        .orderBy("user_id", "event_type", "us", "event_id")
+    }),
+
+    // time-weighted average (TWAP shape): each observation weighted by
+    // its holding interval to the next one, exact integer µs × milli
+    // arithmetic end to end; the metric aggregation monitoring and
+    // finance pipelines need where plain AVG is wrong under uneven
+    // sampling
+    "q163_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val obs = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v_milli"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        // ms holding intervals: overflow headroom for the weighted sum
+        .withColumn("dur_ms", expr("(next_us - us) DIV 1000"))
+      obs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("dur_ms").as("span_ms"),
+          sum(expr("v_milli * dur_ms")).as("vw"))
+        .where(col("span_ms") > 0)
+        // floor division regardless of sign: (a - pmod(a, b)) is an
+        // exact multiple of b, so the truncating DIV equals floor —
+        // matching the oracle's // on possibly-negative numerators
+        .withColumn("twap_milli", expr("(vw - pmod(vw, span_ms)) DIV span_ms"))
+        .select("user_id", "n_intervals", "span_ms", "twap_milli")
+        .orderBy("user_id")
+    }),
+
+    // robust outlier detection: per-group median absolute deviation
+    // (exact interpolated medians, the q94/q148 percentile≡
+    // quantile_cont parity), outliers = |x - med| > 3 · MAD; immune to
+    // the outliers themselves, unlike stddev-based z-scores
+    "q164_mad_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("cents").cast("double") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(adev, 0.5)").as("mad"), first("med").as("med"))
+      li.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(MAX(med)) AS BIGINT)").as("med_r"),
+          expr("CAST(round(MAX(mad)) AS BIGINT)").as("mad_r"),
+          sum(when(abs(col("cents").cast("double") - col("med"))
+            > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
     // ordered 3-step funnel, FIRST-completion semantics: first view,
     // first click strictly after it, first purchase strictly after
     // that — three keyed min-aggregations chained by broadcast-sized
@@ -1151,6 +1219,48 @@ object Relational {
              CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
            FROM lineitem)
          SELECT * FROM p ORDER BY "column"""",
+    "q162_event_debounce" ->
+      """SELECT user_id, event_type, event_id, us FROM (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events)
+         WHERE prev_us IS NULL OR us - prev_us > 60000000
+         ORDER BY user_id, event_type, us, event_id""",
+
+    "q163_time_weighted_avg" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 1000.0) AS BIGINT) AS v_milli FROM events),
+         w AS (SELECT user_id, us, v_milli,
+                 lead(us) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS next_us
+               FROM o),
+         d AS (SELECT user_id, v_milli, (next_us - us) // 1000 AS dur_ms
+               FROM w WHERE next_us IS NOT NULL)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+           CAST(SUM(v_milli * dur_ms) // SUM(dur_ms) AS BIGINT) AS twap_milli
+         FROM d GROUP BY 1 HAVING SUM(dur_ms) > 0 ORDER BY user_id""",
+
+    "q164_mad_outliers" ->
+      """WITH c AS (SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM lineitem),
+         m AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+               FROM c GROUP BY 1),
+         a AS (SELECT c.l_returnflag, cents, med,
+                 abs(CAST(cents AS DOUBLE) - med) AS adev
+               FROM c JOIN m ON m.l_returnflag = c.l_returnflag),
+         d AS (SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad,
+                 MAX(med) AS med FROM a GROUP BY 1)
+         SELECT c.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(round(MAX(d.med)) AS BIGINT) AS med_r,
+           CAST(round(MAX(d.mad)) AS BIGINT) AS mad_r,
+           CAST(SUM(CASE WHEN abs(CAST(cents AS DOUBLE) - d.med) > 3.0 * d.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM c JOIN d ON d.l_returnflag = c.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
+
     "q160_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          v AS (SELECT user_id, MIN(us) AS v_us FROM e
