@@ -89,7 +89,16 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightSchema = right.output
     val valRefs = rightVals
 
-    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // both children carry ClusteredDistribution on the key, so AQE's
+    // coalescing treats their shuffles uniformly (the sort-merge-join
+    // contract); if a future planner change ever breaks that, fail
+    // with the real story instead of a zip error
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of children must be co-partitioned (left ${lRdd.getNumPartitions}" +
+        s" vs right ${rRdd.getNumPartitions})")
+    lRdd.zipPartitions(rRdd, preservesPartitioning = true) {
       (lIter, rIter) =>
         val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
         val tsOrdering = TypeUtils.getInterpretedOrdering(tsType)
