@@ -914,8 +914,12 @@ object BenchScale {
       time("jl_projection_3m_vectors") {
         // map-only Rademacher projection of the full corpus to 8 dims
         // (zero Exchange; measures pure codegen'd per-row throughput)
+        // per-row norms are exact longs; the cross-row roll-up here is
+        // just a materialization sink, so double is fine (3.3M rows of
+        // ~1e17 overflow a long)
         require(graft.ops.Projection.rademacher(embBig, "vec_id", k = 8)
-          .agg(sum(expr("aggregate(proj, 0L, (acc, x) -> acc + x*x)")))
+          .agg(sum(expr(
+            "CAST(aggregate(proj, 0L, (acc, x) -> acc + x*x) AS DOUBLE)")))
           .collect().nonEmpty)
       },
       time("historyload_pipeline") {
