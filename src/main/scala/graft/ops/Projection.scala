@@ -29,17 +29,27 @@ import org.apache.spark.sql.functions._
 object Projection {
 
   /** Adds `proj` (array of k exact-integer projections, 1-based sign
-    * indices) next to `idCol`. d is read per-row from the embedding
-    * itself, so ragged inputs fail loudly in the dot product rather
-    * than silently truncating.
+    * indices) next to `idCol`, through the native codegen'd
+    * [[graft.functions.RademacherProject]] loop (the HOF spelling of
+    * the same formula is [[rademacherHof]], kept as the
+    * parity/readability reference — interpreted lambdas cost ~10x).
     */
   def rademacher(e: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"projection width must be >= 1 (got $k)")
+    Similarity.withQuantized(e, "embedding")
+      .select(col(idCol),
+        graft.functions.RademacherProject.project(col("ei"), k).as("proj"))
+  }
+
+  /** The same projection as built-in higher-order functions — the
+    * formula the SQL oracle replays verbatim; spec-pinned equal to
+    * the native path.
+    */
+  private[graft] def rademacherHof(e: DataFrame, idCol: String, k: Int): DataFrame =
     Similarity.withQuantized(e, "embedding")
       .select(col(idCol), expr(
         s"""transform(sequence(1, $k), j ->
               aggregate(sequence(1, size(ei)), 0L, (acc, i) ->
                 acc + ei[i-1] * (CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
                   THEN 1 ELSE -1 END)))""").as("proj"))
-  }
 }

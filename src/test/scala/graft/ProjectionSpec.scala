@@ -47,6 +47,26 @@ class ProjectionSpec extends SparkSpec {
       s"only $inBand/${ratios.length} vectors within 4x energy band")
   }
 
+  test("native expression == HOF formula, codegen and interpreted") {
+    val a = graft.ops.Projection.rademacher(emb, "vec_id", k = 8)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val b = graft.ops.Projection.rademacherHof(emb, "vec_id", k = 8)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // interpreted eval path (no codegen) agrees too
+    import graft.functions.RademacherProject
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ei = new GenericArrayData(Array[Long](1000000L, -2000000L, 3000000L))
+    val interp = RademacherProject.compute(ei, 4)
+    val viaExpr = RademacherProject(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1000000L, -2000000L, 3000000L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)), 4)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toLongArray.toSeq == viaExpr.toLongArray.toSeq)
+  }
+
   test("deterministic under repartitioning") {
     val a = Projection.rademacher(emb, "vec_id", k = 8)
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
