@@ -60,10 +60,18 @@ object AsOf {
     * The right subtree is re-aliased internally, so joining a table
     * to a projection of ITSELF (the q56 shape) is safe — the minted
     * attribute ids cannot collide with the left side's.
+    *
+    * `tolerance` (kdb wj-style bounded staleness) turns a match whose
+    * `leftTs - rightTs` exceeds the bound into a no-match — in the ts
+    * column's physical long units (µs for TimestampType); requires a
+    * long-backed ts type. Because the as-of match is already the
+    * LATEST right row <= leftTs, the bound is exactly "no right row
+    * within the window".
     */
   def joinAsOfNative(left: DataFrame, right: DataFrame, key: String,
                      leftTs: String, rightTs: String, rightVals: Seq[String],
-                     suffix: String = "_asof"): DataFrame = {
+                     suffix: String = "_asof",
+                     tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = left.sparkSession
     // aliasing mints fresh exprIds on the right — required when both
@@ -89,6 +97,6 @@ object AsOf {
       lPlan, rPlan,
       attrOf(lPlan, key), attrOf(rPlan, "_asof_k"),
       attrOf(lPlan, leftTs), attrOf(rPlan, "_asof_ts"),
-      vals, out))
+      vals, out, tolerance))
   }
 }

@@ -36,7 +36,8 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Attribute, rightKey: Attribute,
                           leftTs: Attribute, rightTs: Attribute,
                           rightVals: Seq[Attribute],
-                          valOut: Seq[Attribute]) extends BinaryNode {
+                          valOut: Seq[Attribute],
+                          tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ valOut
   override def producedAttributes: AttributeSet = AttributeSet(valOut)
   override protected def withNewChildrenInternal(
@@ -48,7 +49,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey,
-        j.rightKey, j.leftTs, j.rightTs, j.rightVals, j.valOut) :: Nil
+        j.rightKey, j.leftTs, j.rightTs, j.rightVals, j.valOut,
+        j.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +59,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                               leftKey: Attribute, rightKey: Attribute,
                               leftTs: Attribute, rightTs: Attribute,
                               rightVals: Seq[Attribute],
-                              valOut: Seq[Attribute]) extends BinaryExecNode {
+                              valOut: Seq[Attribute],
+                              tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ valOut
 
@@ -83,6 +86,11 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
     require(Seq(lKeyOrd, lTsOrd, rKeyOrd, rTsOrd).forall(_ >= 0),
       "as-of columns must be present in child outputs")
+    tolerance.foreach { _ =>
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.TimestampType).contains(leftTs.dataType),
+        "as-of tolerance needs a long-backed ts (LongType/TimestampType)")
+    }
     val keyType = leftKey.dataType
     val tsType = leftTs.dataType
     val leftSchema = left.output
@@ -126,6 +134,7 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           private var rHead: InternalRow = _
           private var lastMatch: InternalRow = _ // copied; key-guarded below
           private var lastMatchKey: Any = _
+          private var lastMatchTs: Long = _ // valid only under tolerance
 
           override def hasNext: Boolean = lIter.hasNext
 
@@ -150,6 +159,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   // buffer, so buffer-backed values (UTF8String) can't
                   // dangle when the reused rHead row moves on
                   lastMatchKey = lastMatch.get(rKeyOrd, keyType)
+                  if (tolerance.isDefined && !lastMatch.isNullAt(rTsOrd)) {
+                    lastMatchTs = lastMatch.getLong(rTsOrd)
+                  }
                 }
                 rHead = null // consumed (either discarded or buffered)
               } else {
@@ -158,7 +170,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
             val matched = lk != null && lastMatch != null &&
               cmpNullsFirst(lastMatchKey, lk,
-                keyOrdering.asInstanceOf[Ordering[Any]]) == 0
+                keyOrdering.asInstanceOf[Ordering[Any]]) == 0 &&
+              tolerance.forall(t =>
+                lt != null && lt.asInstanceOf[Long] - lastMatchTs <= t)
             if (matched) projection(joined(l, lastMatch)) else missProjection(l)
           }
         }

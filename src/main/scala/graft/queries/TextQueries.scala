@@ -546,6 +546,23 @@ object TextQueries {
         .orderBy("event_id")
     }),
 
+    // the native as-of with BOUNDED STALENESS (kdb wj shape): the
+    // q159 join where a click older than 1h no longer attributes —
+    // the match collapses to null exactly when no click falls inside
+    // the window, since the as-of match is already the latest one
+    "q165_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts")
+      graft.ops.AsOf.joinAsOfNative(purchases, clicks, "user_id", "ts", "ts",
+          Seq("ts"), "_click", tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts_click)").as("click_us"))
+        .orderBy("event_id")
+    }),
+
     "q56_asof_join" -> ((s, dir) => {
       // point-in-time: each purchase joined to the user's latest
       // prior-or-equal signup (AsOf op: one shuffle + window, no
@@ -1497,6 +1514,16 @@ object TextQueries {
          array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
          COUNT(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // DuckDB's ASOF finds the same latest-<= match; the tolerance is
+    // then a post-condition on that single match
+    "q165_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+         CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+           THEN epoch_us(r.ts) END AS click_us
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
     "q159_asof_native" ->
       """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS click_us
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l

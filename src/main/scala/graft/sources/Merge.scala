@@ -42,4 +42,50 @@ object Merge {
       .parquet(path)
     touched.length
   }
+
+  /** Full CDC apply — the consumer of
+    * [[graft.ops.ChangeCapture.snapshotDiff]]'s output, closing the
+    * diff → apply loop: `changes` carries the key columns, a
+    * `change_type` in insert | update | delete, and (for
+    * insert/update) the full payload. Deletes anti-join out; inserts
+    * and updates land like [[upsertPartitioned]]. Same partition-
+    * scoped rewrite: only partitions named by the changes are read or
+    * rewritten. Returns the partitions-rewritten count.
+    *
+    * Deleted keys must name their partition (the diff provides it —
+    * a delete without a partition would force a table-wide scan, the
+    * exact cost this op exists to avoid).
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+                   keyCols: Seq[String], partitionCol: String): Int = {
+    val touched = changes.select(partitionCol).distinct().collect()
+      .map(_.get(0))
+    if (touched.isEmpty) return 0
+    val target = spark.read.parquet(path)
+      .where(col(partitionCol).isin(touched: _*))
+    // every changed key's old row goes — deletes stay gone, the rest
+    // come back from the change payload
+    val survivors = target.join(
+      changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = changes
+      .where(col("change_type").isin("insert", "update"))
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val merged = survivors.unionByName(upserts).localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    // dynamic overwrite only replaces partitions the WRITE emits: a
+    // partition whose last rows were all deleted writes nothing and
+    // would silently keep its stale files — clear it explicitly
+    val remaining = merged.select(partitionCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.map(String.valueOf(_)).filterNot(remaining.contains).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$p"), true)
+      ()
+    }
+    touched.length
+  }
 }

@@ -64,6 +64,18 @@ class AsOfNativeSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("tolerance turns stale matches into no-matches, fresh ones survive") {
+    val trades = Seq(("a", 100L, 1L), ("a", 200L, 2L)).toDF("sym", "t", "trade_id")
+    val quotes = Seq(("a", 95L, 7L), ("a", 90L, 8L)).toDF("sym", "t", "px")
+    val got = AsOf.joinAsOfNative(trades, quotes, "sym", "t", "t", Seq("px"),
+        tolerance = Some(10L))
+      .select(col("trade_id"), col("px_asof"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // trade 1 at t=100: latest quote t=95, age 5 <= 10 -> match;
+    // trade 2 at t=200: latest quote t=95, age 105 > 10 -> null
+    assert(got == Seq((1L, Some(7L)), (2L, None)))
+  }
+
   test("null left keys never match") {
     val l = Seq((Some(1L), 10L, 1L), (None, 10L, 2L))
       .toDF("k", "t", "lid")

@@ -44,4 +44,32 @@ class MergeSpec extends SparkSpec {
     // the untouched partition's files were not rewritten
     assert(fileSet(s"$out/o_orderstatus=$untouchedStatus") == untouchedBefore)
   }
+
+  test("applyChanges: deletes go, upserts land, an emptied partition's files are cleared") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_cdc").toString + "/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+      .toDF("k", "v", "part").write.partitionBy("part").parquet(out)
+    val untouchedBefore = fileSet(s"$out/part=p1")
+
+    // delete k=3 (empties p2), update k=4, insert k=5 — p1 untouched
+    val changes = Seq(
+      (3L, null.asInstanceOf[String], "p2", "delete"),
+      (4L, "D", "p3", "update"),
+      (5L, "e", "p3", "insert"))
+      .toDF("k", "v", "part", "change_type")
+    val n = graft.sources.Merge.applyChanges(spark, out, changes,
+      Seq("k"), "part")
+    assert(n == 2)
+
+    val after = spark.read.parquet(out)
+      .select("k", "v", "part").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, "a", "p1"), (2L, "b", "p1"),
+      (4L, "D", "p3"), (5L, "e", "p3")))
+    // the partition whose last row was deleted holds no stale files
+    assert(!new java.io.File(s"$out/part=p2").exists())
+    // and the untouched partition was never rewritten
+    assert(fileSet(s"$out/part=p1") == untouchedBefore)
+  }
 }

@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     "q139_leakage_safe_split", // single-row leak-count scalar cross join
     "q129_pmi_pairs",          // single-row n_docs scalar cross join (q91 shape)
     "q145_token_mixture",      // single-row w_total scalar cross join (q98 shape)
-    "q151_passage_bm25")       // single-row corpus-stats scalar cross join (q115 shape)
+    "q151_passage_bm25",       // single-row corpus-stats scalar cross join (q115 shape)
+    "q157_embedding_drift",    // single-row snapshot-totals scalar cross join
+    "q158_bigram_nll")         // single-row n_total scalar cross join (q91 shape)
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
