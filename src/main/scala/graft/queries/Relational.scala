@@ -500,6 +500,31 @@ object Relational {
     // epoch_us/unix_micros parity convention); executes as one
     // SortMergeJoin on user_id with the range as a join filter — no
     // quadratic stage. Streaming analogue: EventsStream.funnelPairs.
+    // late-data profile: per user, how often events arrive out of
+    // order (ts below the running per-user maximum seen so far, in
+    // event_id arrival order) and how late the worst one is — the
+    // measurement that SIZES a streaming watermark before anyone
+    // picks `withWatermark("10 minutes")` on folklore
+    "q166_late_data_profile" -> ((s, dir) => {
+      // arrival = event time + deterministic transit jitter (pure
+      // integer arithmetic, engine-replayable) — the fixture stream
+      // is perfectly ordered, so lateness must be INDUCED to measure
+      val w = Window.partitionBy("user_id").orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arrival_us",
+          expr("us + (event_id * 2654435761) % 3600000000"))
+        .withColumn("hwm", max("us").over(w))
+        .withColumn("late_us", col("hwm") - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max("late_us").as("max_late_us"))
+        .withColumn("late_milli", expr("n_late * 1000 DIV n_events"))
+        .orderBy("user_id")
+    }),
+
     // telemetry debounce: within each (user, event_type) stream, keep
     // an event only if it starts a burst — no same-kind event in the
     // preceding 60s. One window pass; the dedup-with-grace-period
@@ -1219,6 +1244,22 @@ object Relational {
              CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
            FROM lineitem)
          SELECT * FROM p ORDER BY "column"""",
+    "q166_late_data_profile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + (event_id * 2654435761) % 3600000000 AS arrival_us
+           FROM events),
+         h AS (SELECT user_id, us,
+                 MAX(us) OVER (PARTITION BY user_id ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+               FROM e)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hwm - us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(hwm - us) AS BIGINT) AS max_late_us,
+           CAST(SUM(CASE WHEN hwm - us > 0 THEN 1 ELSE 0 END) * 1000
+             // COUNT(*) AS BIGINT) AS late_milli
+         FROM h GROUP BY 1 ORDER BY user_id""",
+
     "q162_event_debounce" ->
       """SELECT user_id, event_type, event_id, us FROM (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
