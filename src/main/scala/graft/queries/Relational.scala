@@ -500,6 +500,23 @@ object Relational {
     // epoch_us/unix_micros parity convention); executes as one
     // SortMergeJoin on user_id with the range as a join filter — no
     // quadratic stage. Streaming analogue: EventsStream.funnelPairs.
+    // the salted-join fallback for dominant keys, oracle-gated: the
+    // lineitem⋈part join fanned saltFactor ways (deterministic salt
+    // from the line number — reproducible under retries, unlike
+    // rand()) must aggregate to exactly the plain join's answer
+    "q167_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_linenumber",
+        "l_quantity")
+      val p = t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+        col("p_size"))
+      graft.ops.Skew.saltedJoin(li, p, "l_partkey",
+          col("l_linenumber"), saltFactor = 8)
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("p_size")
+    }),
+
     // late-data profile: per user, how often events arrive out of
     // order (ts below the running per-user maximum seen so far, in
     // event_id arrival order) and how late the worst one is — the
@@ -1244,6 +1261,13 @@ object Relational {
              CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
            FROM lineitem)
          SELECT * FROM p ORDER BY "column"""",
+    "q167_salted_join" ->
+      """SELECT p.p_size,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         GROUP BY 1 ORDER BY p.p_size""",
+
     "q166_late_data_profile" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
              epoch_us(ts) + (event_id * 2654435761) % 3600000000 AS arrival_us
