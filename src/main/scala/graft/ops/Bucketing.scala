@@ -34,4 +34,27 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Bucketed AND multi-column-sorted write — the layout that makes
+    * ORDER-sensitive co-located operators (sort-merge join, the
+    * native as-of join) run with no Exchange: bucket by the join key,
+    * sort by (key, secondary...) so each bucket pair merges locally.
+    * With one file per bucket the scan also reports its sort order
+    * and the in-partition Sort disappears too.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, bucketCol: String,
+                          sortCols: Seq[String], numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -76,6 +76,27 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got == Seq((1L, Some(7L)), (2L, None)))
   }
 
+  test("bucketed-by-key tables join as-of with ZERO Exchange") {
+    val l = (1L to 400L).map(i => (i % 11, i, i * 3)).toDF("k", "t", "lid")
+    val r = (1L to 200L).map(i => (i % 11, i * 2 - 1, i)).toDF("k", "t", "rv")
+    graft.ops.Bucketing.writeBucketedSorted(l, "asof_l", "k", Seq("k", "t"), 4)
+    graft.ops.Bucketing.writeBucketedSorted(r, "asof_r", "k", Seq("k", "t"), 4)
+    val lb = spark.table("asof_l")
+    val rb = spark.table("asof_r")
+    val j = AsOf.joinAsOfNative(lb, rb, "k", "t", "t", Seq("rv"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of must not shuffle:\n$plan")
+    // and the exchange-free plan computes the same answer
+    val viaBuckets = j.select("lid", "rv_asof").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val plain = AsOf.joinAsOfNative(l, r, "k", "t", "t", Seq("rv"))
+      .select("lid", "rv_asof").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(viaBuckets == plain && plain.nonEmpty)
+  }
+
   test("null left keys never match") {
     val l = Seq((Some(1L), 10L, 1L), (None, 10L, 2L))
       .toDF("k", "t", "lid")
