@@ -42,8 +42,11 @@ final class WeightedReservoirStream(groupCol: String, keyCol: String,
     * an O(k·|groups|) driver merge.
     */
   def addBatch(batch: DataFrame): Unit = {
+    // null group keys are excluded (the driver fold keys state by the
+    // group's string form; a null group has no meaningful reservoir)
     val top = Sampling
-      .weightedSamplePerGroupWithPriority(batch, groupCol, keyCol, weightCol, k)
+      .weightedSamplePerGroupWithPriority(
+        batch.where(col(groupCol).isNotNull), groupCol, keyCol, weightCol, k)
       .select(col(groupCol).cast("string").as("g"),
         col(keyCol).cast("string").as("key"), col("_es"),
         col(weightCol).cast("long").as("w"))
