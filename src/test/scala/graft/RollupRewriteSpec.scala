@@ -94,6 +94,51 @@ class RollupRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       "a non-key filter cannot be answered by the rollup")
   }
 
+  test("a STREAMING-maintained rollup answers batch queries through the rewrite") {
+    // the full loop: micro-batches fold into the materialized view
+    // (RollupStream, replay-marked), the optimizer answers the raw
+    // table's GROUP BY from it — a streaming materialized view
+    val dir = java.nio.file.Files.createTempDirectory("graft_rr_stream")
+    val src2 = s"$dir/events_src2.parquet"
+    val mv2 = s"$dir/mv_store2"
+    val ev = graft.queries.events(spark, "/root/testdata/sf0.001")
+      .select(expr("CAST(to_date(ts) AS STRING)").as("day"),
+        col("event_type"), col("user_id"),
+        expr("CAST(round(value * 1000.0) AS BIGINT)").as("v"))
+    ev.write.mode("overwrite").parquet(src2)
+    // stage the source as two stream files
+    val inDir = new java.io.File(s"$dir/in"); inDir.mkdirs()
+    Seq(0, 1).foreach { h =>
+      val staged = s"$dir/stage_$h"
+      spark.read.parquet(src2).where(col("user_id") % 2 === h)
+        .coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(inDir, s"b$h.parquet").toPath)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src2).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = graft.streaming.RollupStream.start(stream, mv2, keys,
+      Seq(IncrementalAgg.count("n_"), IncrementalAgg.sum("v", "sv_")),
+      "day", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    RollupRewrite.clear()
+    val direct = spark.read.parquet(src2)
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    RollupRewrite.register(RollupRewrite.Target(src2, mv2, keys,
+      Seq(IncrementalAgg.count("n_"), IncrementalAgg.sum("v", "sv_"))))
+    val on = spark.read.parquet(src2)
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("day").as[(String, Long, Long)]
+    assert(on.queryExecution.executedPlan.toString.contains("mv_store2"))
+    assert(on.collect().toSeq == direct && direct.nonEmpty)
+    RollupRewrite.clear()
+  }
+
   test("unregistered measures and distinct aggregates stay on the source") {
     RollupRewrite.register(RollupRewrite.Target(srcPath, rollupPath, keys, ms))
     val unreg = spark.read.parquet(srcPath)
