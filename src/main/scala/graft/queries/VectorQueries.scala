@@ -194,6 +194,22 @@ object VectorQueries {
         .orderBy("cell")
     }),
 
+    // vector-store intake QA: per label, zero vectors, norm outliers
+    // (quantized |x|^2 outside the unit-ball band), and exact norm
+    // extrema — the validation gate before anything reaches an ANN
+    // index, where a zero vector NaNs every cosine. Exact integers
+    // end to end; one narrow pass + one small aggregate.
+    "q168_vector_qa" -> ((s, dir) => {
+      Similarity.withQuantized(t(s, dir, "embeddings"), "embedding")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nn") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("nn") < 500000000000L ||
+            col("nn") > 2000000000000L, 1L).otherwise(0L)).as("n_norm_outlier"),
+          min("nn").as("min_nn"), max("nn").as("max_nn"))
+        .orderBy("label")
+    }),
+
     // embedding distribution-shift monitor: two corpus snapshots
     // (even/odd vec_ids standing in for old/new crawls) binned by ONE
     // fixed coarse quantizer; per-cell occupancy shares in exact
@@ -452,6 +468,17 @@ object VectorQueries {
          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(d2) AS BIGINT) AS inertia
          FROM re GROUP BY 1 ORDER BY cell""",
+    "q168_vector_qa" ->
+      s"""WITH $quantCte,
+         lab AS (SELECT vec_id, label FROM embeddings)
+         SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN n.nn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN n.nn < 500000000000 OR n.nn > 2000000000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outlier,
+           CAST(MIN(n.nn) AS BIGINT) AS min_nn,
+           CAST(MAX(n.nn) AS BIGINT) AS max_nn
+         FROM norms n JOIN lab l ON l.vec_id = n.vec_id
+         GROUP BY 1 ORDER BY l.label""",
     // q61's fit + assignment replay, grouped by snapshot parity —
     // shares and drift in exact floor-div milli
     "q157_embedding_drift" ->
