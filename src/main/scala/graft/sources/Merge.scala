@@ -58,6 +58,13 @@ object Merge {
     */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
                    keyCols: Seq[String], partitionCol: String): Int = {
+    // an unrecognized change_type would silently behave as a DELETE
+    // (removed by the anti-join, never re-inserted) — fail instead
+    val unknown = changes
+      .where(!col("change_type").isin("insert", "update", "delete"))
+      .limit(1).collect()
+    require(unknown.isEmpty,
+      s"applyChanges: unrecognized change_type in ${unknown.mkString}")
     val touched = changes.select(partitionCol).distinct().collect()
       .map(_.get(0))
     if (touched.isEmpty) return 0
