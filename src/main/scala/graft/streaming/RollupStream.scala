@@ -15,22 +15,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * NOT naturally idempotent: re-applying a replayed micro-batch
   * (foreachBatch re-executes the last batch after a crash between
   * sink commit and checkpoint commit) would double-count it. The
-  * sink therefore records each applied micro-batch id as a marker
-  * object under `<path>/_applied/` AFTER the fold commits, and skips
-  * any batch id already marked — the standard transactional-sink
-  * discipline, making the fold effectively exactly-once under
-  * at-least-once redelivery. (Marker write and fold are not one
-  * atomic commit: a crash BETWEEN them re-applies the batch. The
-  * window is one rename-sized op; closing it fully requires a
-  * transactional table format, documented trade.)
+  * sink therefore runs each identified micro-batch through
+  * [[BatchMarkers.applyOnce]] — applied ids are marker objects under
+  * `<path>/_applied/`, and a marked id is skipped — the standard
+  * transactional-sink discipline shared with [[Scd2Stream]], making
+  * the fold effectively exactly-once under at-least-once redelivery
+  * (the rename-sized fold-vs-marker window is documented there).
   */
 object RollupStream {
-
-  private def markerDir(path: String) = s"$path/_applied"
-
-  private def fsOf(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Fold one identified micro-batch into the rollup at `path`,
     * skipping batch ids that have already been applied. Returns true
@@ -40,19 +32,12 @@ object RollupStream {
                  keys: Seq[String], measures: Seq[IncrementalAgg.Measure],
                  partitionCol: String): Boolean = {
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(markerDir(path),
-      s"batch-$batchId")
-    val fs = fsOf(spark, path)
-    if (fs.exists(marker)) false
-    else {
+    BatchMarkers.applyOnce(spark, path, batchId) {
       if (!batch.isEmpty) {
         IncrementalAgg.updateTable(spark, path, batch, keys, measures,
           partitionCol)
+        ()
       }
-      fs.mkdirs(marker.getParent)
-      val out = fs.create(marker, true)
-      out.close()
-      true
     }
   }
 

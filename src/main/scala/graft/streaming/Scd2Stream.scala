@@ -28,10 +28,15 @@ import graft.ops.ChangeCapture
   * a late event older than the open interval would need closed
   * history rewritten, which is a backfill job, not a fold). Violations
   * fail loudly rather than corrupt intervals. Within a batch any
-  * order is fine. Exactly-once comes from the streaming checkpoint
-  * (foreachBatch contract), as with [[StreamingUpsert]]; re-folding
-  * an already-applied batch whose events all match the open frontier
-  * is absorbed by the duplicate-state collapse.
+  * order is fine.
+  *
+  * Replay safety: the fold is NOT naturally idempotent — a replayed
+  * multi-event batch trips its own late-data guard against the state
+  * it already wrote (a loud wedge, not corruption, but a wedge). The
+  * streaming attach therefore runs each batch through
+  * [[BatchMarkers.applyOnce]] (the [[RollupStream]] discipline): an
+  * already-marked batch id is skipped, making the fold effectively
+  * exactly-once under foreachBatch's at-least-once redelivery.
   */
 object Scd2Stream {
 
@@ -89,10 +94,13 @@ object Scd2Stream {
             nBuckets: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         if (!b.isEmpty) {
-          applyBatch(b.sparkSession, store, b, keyCol, tsCol, tieCol,
-            stateCols, nBuckets)
+          BatchMarkers.applyOnce(b.sparkSession, store, id) {
+            applyBatch(b.sparkSession, store, b, keyCol, tsCol, tieCol,
+              stateCols, nBuckets)
+          }
+          ()
         }
       }
       .start()

@@ -86,6 +86,36 @@ class Scd2StreamSpec extends SparkSpec {
       (7L, "T", 99L, None, true)))
   }
 
+  test("full redelivery is absorbed by the applied-batch markers, not wedged by the late guard") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_replay").toString
+    val store = s"$tmp/dim"
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    val rows = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"))
+    val staged = s"$tmp/stage"
+    ev(rows).coalesce(1).write.parquet(staged)
+    val part = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(inDir, "b1.parquet").toPath)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("state", StringType),
+      StructField("ts", TimestampType)))
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      val q = graft.streaming.Scd2Stream.start(stream, store, "user_id", "ts",
+        "event_id", Seq("state"), ckpt, nBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(s"$tmp/ckpt1")
+    val before = intervals(spark.read.parquet(store))
+    // a FRESH checkpoint redelivers the whole file as batch 0 again —
+    // without the marker the multi-event replay trips the late guard
+    run(s"$tmp/ckpt2")
+    assert(intervals(spark.read.parquet(store)) == before)
+    assert(before == intervals(ChangeCapture.scd2(ev(rows),
+      "user_id", "ts", "event_id", Seq("state"))))
+  }
+
   test("streaming attach: file-source micro-batches fold through the checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_stream").toString
     val store = s"$tmp/dim"
