@@ -194,6 +194,37 @@ object VectorQueries {
         .orderBy("cell")
     }),
 
+    // cluster labeling (c-TF-IDF shape): each embedding cluster
+    // described by its 5 most DISTINCTIVE terms — tf within the
+    // cluster × ln(nLists / #clusters-containing-term), so terms
+    // every cluster shares score zero and cluster-specific vocabulary
+    // rises; the "describe your clusters" readout a curation UI runs
+    // after any embedding-space grouping. Joins ride the shared
+    // doc/vec id space; exact micro rounding per (cell, term).
+    "q169_cluster_labels" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val assigned = graft.ops.Ivf.assignQuantized(e, model)
+        .select(col("vec_id"), col("cell"))
+      val toks = t(s, dir, "documents")
+        .join(assigned, col("doc_id") === col("vec_id"))
+        .select(col("cell"),
+          explode(expr("split(lower(trim(text)), '\\\\s+')")).as("w"))
+      val tf = toks.groupBy("cell", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(countDistinct("cell").as("df"))
+      val win = Window.partitionBy("cell")
+        .orderBy(col("score_micro").desc, col("term"))
+      tf.join(dfT, "w")
+        .withColumn("score_micro",
+          expr("CAST(round(tf * ln(4.0 / df) * 1000000) AS BIGINT)"))
+        .select(col("cell"), col("w").as("term"), col("tf"), col("score_micro"))
+        .withColumn("rnk", row_number().over(win).cast("long"))
+        .where(col("rnk") <= 5)
+        .select("cell", "rnk", "term", "tf", "score_micro")
+        .orderBy("cell", "rnk")
+    }),
+
     // vector-store intake QA: per label, zero vectors, norm outliers
     // (quantized |x|^2 outside the unit-ball band), and exact norm
     // extrema — the validation gate before anything reaches an ANN
@@ -468,6 +499,30 @@ object VectorQueries {
          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(d2) AS BIGINT) AS inertia
          FROM re GROUP BY 1 ORDER BY cell""",
+    // the q61 fit/assign replay feeding a c-TF-IDF tail: tf per
+    // (cell, term), cross-cell df, same ln expression text
+    "q169_cluster_labels" ->
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         tk AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+           FROM documents),
+         toks AS (SELECT a.cell, r.w
+                  FROM tk, LATERAL (SELECT unnest(tk) AS w) r
+                  JOIN assigned a ON a.vec_id = tk.doc_id),
+         tf AS (SELECT cell, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfc AS (SELECT w, COUNT(DISTINCT cell) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.cell, tf.w AS term, tf.tf,
+                 CAST(round(tf.tf * ln(4.0 / dfc.df) * 1000000) AS BIGINT)
+                   AS score_micro
+                FROM tf JOIN dfc ON dfc.w = tf.w)
+         SELECT cell, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, score_micro FROM (
+           SELECT cell, term, tf, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY cell
+               ORDER BY score_micro DESC, term) AS rnk
+           FROM sc)
+         WHERE rnk <= 5 ORDER BY cell, rnk""",
     "q168_vector_qa" ->
       s"""WITH $quantCte,
          lab AS (SELECT vec_id, label FROM embeddings)
