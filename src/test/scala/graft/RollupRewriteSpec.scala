@@ -94,6 +94,17 @@ class RollupRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       "a non-key filter cannot be answered by the rollup")
   }
 
+  test("HAVING and ORDER BY above a rewritten aggregate keep resolving (exprId rebind)") {
+    val (direct, rewritten, plan) = offOn(() =>
+      spark.read.parquet(srcPath)
+        .groupBy("day").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .where(col("n") >= 3)            // HAVING over the agg output
+        .orderBy(col("sv").desc, col("day"))
+        .as[(String, Long, Long)])
+    assert(plan.contains("mv_store"))
+    assert(rewritten == direct && direct.nonEmpty)
+  }
+
   test("a STREAMING-maintained rollup answers batch queries through the rewrite") {
     // the full loop: micro-batches fold into the materialized view
     // (RollupStream, replay-marked), the optimizer answers the raw
