@@ -107,6 +107,13 @@ object BenchScale {
       println(f"ROW $name $sec%.3f")
       name -> sec
     }
+    // a measured VALUE row (counts, volumes) — same artifact shape as
+    // the timed rows, unit carried in the row name
+    def valueRow(name: String)(v: => Double): (String, Double) = {
+      val x = v
+      println(f"ROW $name $x%.3f")
+      name -> x
+    }
     // shuffle-WRITE megabytes of one action: on local[32] wall time
     // hides exchange volume (shuffles hit page cache), but at 1000
     // executors bytes-over-the-wire IS the cost model — so claims of
@@ -741,10 +748,22 @@ object BenchScale {
         // rarest shingles are their replica-unique tagged tokens, so
         // cross-replica candidate pairs are suppressed by the filter
         // itself — the property that keeps this lossless join linear
-        // on singleton-dominated df distributions
+        // on singleton-dominated df distributions. In-join length +
+        // per-row positional filters (round 9) cut the pair shuffle;
+        // one checkpointed tokenization pass replaced the ~5 corpus
+        // re-tokenizations that dominated the round-8 218s wall
         graft.ops.PrefixJoin.containmentSelfJoin(
           spark.read.parquet(s"$tmp/docs_gram.parquet"),
           "doc_id", "text", shingleWidth = 3, minContainMilli = 700).count()
+      },
+      // candidate VOLUME, not time: the lever the in-join filters pull
+      // — how many pairs reach the exact verify (silent overselection
+      // reads as "covered" when it isn't)
+      valueRow("containment_candidate_kpairs") {
+        graft.ops.PrefixJoin.containmentCandidates(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"),
+          "doc_id", "text", shingleWidth = 3, minContainMilli = 700)
+          .count() / 1000.0
       },
       time("lpa_2rounds_copurchase") {
         // iterative-graph cost per round at scale: 2 synchronous LPA

@@ -148,8 +148,13 @@ object IncrementalAgg {
     } else {
       val touched = partial.select(partitionCol).distinct().collect()
         .map(_.get(0))
+      // touchedPredicate, not bare isin: a null partition key in the
+      // batch must pull the __HIVE_DEFAULT_PARTITION__ rows into the
+      // merge (isin never matches NULL — the dynamic overwrite would
+      // replace that partition with batch-only partials)
       val current = spark.read.parquet(path)
-        .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
+        .where(graft.sources.Merge.touchedPredicate(partitionCol,
+          touched.toIndexedSeq))
       // align to the partial's schema: hive partition-type inference
       // reads a string day partition back as DATE, which unionByName
       // would reject — cast key columns back to their ingest types

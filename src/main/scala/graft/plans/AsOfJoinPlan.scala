@@ -20,8 +20,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics (identical to the composed form): for each left row,
   * the right row with equal key and the greatest rightTs <= leftTs
   * (inclusive); no match → nulls. Null keys never match (SQL ASOF
-  * convention); right rows must be unique per (key, ts) for
-  * deterministic output.
+  * convention), and null right TIMESTAMPS never match either — a null
+  * ts cannot be "the greatest ts <= leftTs", matching the composed
+  * form where the window's max over a null ts row contributes nothing.
+  * Right rows must be unique per (key, ts) for deterministic output.
   *
   * Physical shape: both children hash-clustered on the key and
   * sorted (key, ts) — exactly a sort-merge join's requirements, so
@@ -148,18 +150,25 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val rk = rHead.get(rKeyOrd, keyType)
               val c = cmpNullsFirst(rk, lk,
                 keyOrdering.asInstanceOf[Ordering[Any]])
-              val tsOk = c == 0 && {
+              // a null right ts can never be "the greatest ts <= leftTs"
+              // — it is consumed without buffering (same convention as
+              // null keys), so the tolerance staleness check never reads
+              // a lastMatchTs that no real match wrote
+              val rtNull = c == 0 && rHead.isNullAt(rTsOrd)
+              val tsOk = c == 0 && !rtNull && {
                 val rt = rHead.get(rTsOrd, tsType)
                 cmpNullsFirst(rt, lt, tsOrdering.asInstanceOf[Ordering[Any]]) <= 0
               }
-              if (c < 0 || tsOk) {
-                if (c == 0 && rk != null) {
+              if (c < 0 || rtNull || tsOk) {
+                if (tsOk && rk != null) {
                   lastMatch = rHead.copy()
                   // read the key back from the COPY — it owns its
                   // buffer, so buffer-backed values (UTF8String) can't
                   // dangle when the reused rHead row moves on
                   lastMatchKey = lastMatch.get(rKeyOrd, keyType)
-                  if (tolerance.isDefined && !lastMatch.isNullAt(rTsOrd)) {
+                  // tsOk guarantees a non-null ts — under tolerance the
+                  // staleness check always reads the ts this match wrote
+                  if (tolerance.isDefined) {
                     lastMatchTs = lastMatch.getLong(rTsOrd)
                   }
                 }

@@ -51,7 +51,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private val targets = new ConcurrentHashMap[String, Target]()
 
-  private def canon(p: String): String = new Path(p).toUri.getPath
+  /** Canonical key: the FULLY QUALIFIED path — scheme + authority +
+    * path — so `/data/x` on two different filesystems (file: vs an
+    * object store) can never collide onto one Target. Qualification
+    * goes through the active session's Hadoop conf (the same
+    * resolution the scan itself uses); with no active session the raw
+    * Path URI is kept, which is still scheme-preserving for any
+    * explicit-scheme registration.
+    */
+  private def canon(p: String): String = canonPath(new Path(p))
+
+  private def canonPath(path: Path): String =
+    (try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      path.getFileSystem(conf).makeQualified(path)
+    } catch { case _: Throwable => path }).toUri.toString
 
   def register(t: Target): Unit = { targets.put(canon(t.sourcePath), t); () }
   def unregister(sourcePath: String): Unit = {
@@ -59,11 +73,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
   }
   def clear(): Unit = targets.clear()
 
+  /** The rewrite requires the scan to read EXACTLY the registered
+    * source: a multi-directory read (`spark.read.parquet(src, other)`)
+    * covers rows the rollup never folded, so any root-path match
+    * inside a multi-root scan must NOT answer from the summary.
+    */
   private def targetFor(lr: LogicalRelation): Option[Target] =
     lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.toSeq
-          .flatMap(rp => Option(targets.get(rp.toUri.getPath))).headOption
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        Option(targets.get(canonPath(fs.location.rootPaths.head)))
       case _ => None
     }
 

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Keyed MERGE (upsert) into plain parquet — incremental loads for
@@ -21,15 +22,45 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Touched-partition predicate. `isin` alone never matches NULL, so
+    * a batch carrying a null partition key would skip reading the
+    * `__HIVE_DEFAULT_PARTITION__` rows while the dynamic overwrite
+    * still replaces that partition — silently dropping prior rows. An
+    * explicit isNull branch keeps null-keyed batches merge-correct.
+    */
+  private[graft] def touchedPredicate(partitionCol: String,
+                                      touched: Seq[Any]): Column = {
+    val nonNull = touched.filter(_ != null)
+    val base =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).isin(nonNull: _*)
+    if (nonNull.length != touched.length) base || col(partitionCol).isNull
+    else base
+  }
+
+  /** Hive directory name for one partition value, rendered the way the
+    * writer renders it: the value cast to string by the engine (NOT
+    * `String.valueOf` — `java.sql.Timestamp.toString` carries a
+    * trailing `.0` the writer never emits), Hive-escaped
+    * (space/colon/percent/slash…), null → `__HIVE_DEFAULT_PARTITION__`.
+    */
+  private[graft] def partitionDirName(partitionCol: String,
+                                      rendered: String): String = {
+    val v =
+      if (rendered == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(rendered)
+    s"$partitionCol=$v"
+  }
+
   /** Upsert into a table hive-partitioned by `partitionCol`. Returns
     * the number of partitions rewritten.
     */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         keyCols: Seq[String], partitionCol: String): Int = {
     val touched = updates.select(partitionCol).distinct().collect()
-      .map(_.get(0))
+      .map(_.get(0)).toIndexedSeq
     val target = spark.read.parquet(path)
-      .where(col(partitionCol).isin(touched: _*))
+      .where(touchedPredicate(partitionCol, touched))
     val survivors = target.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
     val merged = survivors.unionByName(updates
@@ -65,11 +96,16 @@ object Merge {
       .limit(1).collect()
     require(unknown.isEmpty,
       s"applyChanges: unrecognized change_type in ${unknown.mkString}")
-    val touched = changes.select(partitionCol).distinct().collect()
-      .map(_.get(0))
+    // partition values are collected RENDERED (engine cast-to-string,
+    // null kept as null) so the emptied-partition cleanup below can
+    // name directories exactly the way the writer spelled them
+    val touched = changes
+      .select(col(partitionCol), col(partitionCol).cast("string").as("__r"))
+      .distinct().collect()
+      .map(r => (r.get(0), r.getString(1))).toIndexedSeq
     if (touched.isEmpty) return 0
     val target = spark.read.parquet(path)
-      .where(col(partitionCol).isin(touched: _*))
+      .where(touchedPredicate(partitionCol, touched.map(_._1)))
     // every changed key's old row goes — deletes stay gone, the rest
     // come back from the change payload
     val survivors = target.join(
@@ -84,15 +120,20 @@ object Merge {
       .parquet(path)
     // dynamic overwrite only replaces partitions the WRITE emits: a
     // partition whose last rows were all deleted writes nothing and
-    // would silently keep its stale files — clear it explicitly
-    val remaining = merged.select(partitionCol).distinct().collect()
-      .map(r => String.valueOf(r.get(0))).toSet
+    // would silently keep its stale files — clear it explicitly, by
+    // the Hive-ESCAPED directory name (a raw "$col=$value" misses any
+    // value Hive escapes — space, ':', '/', '%' — leaving exactly the
+    // stale files this cleanup exists to remove)
+    val remaining = merged.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSet
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    touched.map(String.valueOf(_)).filterNot(remaining.contains).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$p"), true)
-      ()
-    }
+    touched.map(_._2).filterNot(r => remaining.contains(Option(r)))
+      .foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(path,
+          partitionDirName(partitionCol, r)), true)
+        ()
+      }
     touched.length
   }
 }

@@ -106,4 +106,27 @@ class AsOfNativeSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, Some(7L)), (2L, None)))
   }
+
+  test("null right timestamps never match, and never poison tolerance state") {
+    // key 1: only a null-ts right row => no match (a null ts is not
+    // "the greatest ts <= leftTs"). key 2: a null-ts row precedes a
+    // real match => the real row wins and, under tolerance, the
+    // staleness check reads the REAL row's ts, not leftover state
+    val l = Seq((1L, 10L, 1L), (2L, 10L, 2L), (2L, 200L, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, Option.empty[Long], 7L), (2L, Option.empty[Long], 8L),
+        (2L, Some(9L), 9L))
+      .toDF("k", "t", "rv")
+    val plain = AsOf.joinAsOfNative(l, r, "k", "t", "t", Seq("rv"))
+      .select(col("lid"), col("rv_asof"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(plain == Seq((1L, None), (2L, Some(9L)), (3L, Some(9L))))
+
+    val tol = AsOf.joinAsOfNative(l, r, "k", "t", "t", Seq("rv"),
+        tolerance = Some(50L))
+      .select(col("lid"), col("rv_asof"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // lid=3 at t=200 is 191 past the match at ts=9 => stale under 50
+    assert(tol == Seq((1L, None), (2L, Some(9L)), (3L, None)))
+  }
 }

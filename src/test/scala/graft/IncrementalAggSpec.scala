@@ -144,4 +144,20 @@ class IncrementalAggSpec extends SparkSpec {
         frame(Seq(("d", "x", 1L))), keys, ms, "not_a_key")
     }
   }
+
+  test("null partition keys fold into __HIVE_DEFAULT_PARTITION__ without losing prior partials") {
+    val path = scratch("nullpart")
+    val b1 = Seq((null.asInstanceOf[String], "x", 10L), ("d1", "x", 1L))
+    val b2 = Seq((null.asInstanceOf[String], "x", 5L))
+    IncrementalAgg.updateTable(spark, path, frame(b1), keys, ms, "day")
+    // the second fold touches ONLY the null partition — an isin-based
+    // touched predicate reads nothing back and the dynamic overwrite
+    // would replace the partition with batch-only partials (n=1)
+    IncrementalAgg.updateTable(spark, path, frame(b2), keys, ms, "day")
+    val got = spark.read.parquet(path)
+      .select(col("day").cast("string"), col("k"), col("n"), col("sv"))
+      .as[(Option[String], String, Long, Long)]
+      .collect().sortBy(_._1.getOrElse("")).toSeq
+    assert(got == Seq((None, "x", 2L, 15L), (Some("d1"), "x", 1L, 1L)))
+  }
 }

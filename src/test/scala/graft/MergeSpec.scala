@@ -72,4 +72,47 @@ class MergeSpec extends SparkSpec {
     // and the untouched partition was never rewritten
     assert(fileSet(s"$out/part=p1") == untouchedBefore)
   }
+
+  test("applyChanges clears emptied partitions whose value Hive-escapes") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_cdc_esc").toString + "/t"
+    // space and colon both escape in hive directory names — a raw
+    // "$col=$value" path would miss the directory and leave the
+    // stale files behind
+    Seq((1L, "a", "p 1:x"), (2L, "b", "safe"))
+      .toDF("k", "v", "part").write.partitionBy("part").parquet(out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part=")).toSet
+    assert(dirs.exists(_.contains("%")), s"expected an escaped dir in $dirs")
+
+    val changes = Seq((1L, null.asInstanceOf[String], "p 1:x", "delete"))
+      .toDF("k", "v", "part", "change_type")
+    Merge.applyChanges(spark, out, changes, Seq("k"), "part")
+
+    val after = spark.read.parquet(out).select("k", "v", "part")
+      .as[(Long, String, String)].collect().toSeq
+    assert(after == Seq((2L, "b", "safe")))
+    val dirsAfter = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part=")).toSet
+    assert(!dirsAfter.exists(_.contains("%")),
+      s"escaped partition dir not cleared: $dirsAfter")
+  }
+
+  test("null partition key merges against __HIVE_DEFAULT_PARTITION__, not past it") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_merge_null").toString + "/t"
+    Seq((1L, "a", null.asInstanceOf[String]), (2L, "b", null), (3L, "c", "p1"))
+      .toDF("k", "v", "part").write.partitionBy("part").parquet(out)
+
+    // update k=1 in the null partition: k=2 must SURVIVE the dynamic
+    // overwrite of that partition (isin-only touched predicates never
+    // read it, losing k=2)
+    val updates = Seq((1L, "A", null.asInstanceOf[String]))
+      .toDF("k", "v", "part")
+    Merge.upsertPartitioned(spark, out, updates, Seq("k"), "part")
+
+    val after = spark.read.parquet(out).select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, "A"), (2L, "b"), (3L, "c")))
+  }
 }

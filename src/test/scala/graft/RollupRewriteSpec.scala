@@ -150,6 +150,33 @@ class RollupRewriteSpec extends SparkSpec with BeforeAndAfterAll {
     RollupRewrite.clear()
   }
 
+  test("a multi-root scan containing the source does NOT rewrite") {
+    // spark.read.parquet(src, other) covers rows the rollup never
+    // folded — answering it from the summary would be wrong results,
+    // so any root-path match inside a multi-root scan must bail
+    val other = s"$tmp/events_other.parquet"
+    spark.read.parquet(srcPath).limit(50)
+      .withColumn("v", col("v") + 1)
+      .write.mode("overwrite").parquet(other)
+    RollupRewrite.register(RollupRewrite.Target(srcPath, rollupPath, keys, ms))
+    val multi = spark.read.parquet(srcPath, other)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(!plan.contains("mv_store"),
+      s"multi-root scan answered from the rollup:\n$plan")
+    // and the values really are the union's, not the rollup's
+    val direct = multi.orderBy("day", "event_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    RollupRewrite.clear()
+    val truth = spark.read.parquet(srcPath, other)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("day", "event_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(direct == truth && truth.nonEmpty)
+  }
+
   test("unregistered measures and distinct aggregates stay on the source") {
     RollupRewrite.register(RollupRewrite.Target(srcPath, rollupPath, keys, ms))
     val unreg = spark.read.parquet(srcPath)
