@@ -236,6 +236,7 @@ object BenchScale {
     // mutate the index directory, so they are timed single-run; the
     // idempotent health probe gets the usual min-of-2 below.
     var ivfServingModel: graft.ops.Ivf.Model = null
+    var ivfPqModel: graft.ops.IvfPq.Model = null
     val ivfOps: Seq[(String, Double)] = {
       def once(name: String)(action: => Unit): (String, Double) =
         timeOnce(name)(action)
@@ -325,6 +326,7 @@ object BenchScale {
         model = graft.ops.IvfPq.fit(
           embBig.sample(withReplacement = false, 0.02, seed = 7L),
           "vec_id", nLists = 16, m = 8, k = 16, oversample = 4)
+        ivfPqModel = model
       }
       val buildT = timeOnce("ivfpq_index_build") {
         graft.ops.IvfPq.writeIndex(embBig, "vec_id", model, idx)
@@ -347,7 +349,82 @@ object BenchScale {
       Seq(fitT, buildT, probeT, fullProbeT)
     }
 
-    val results = ivfOps ++ ivfPqOps ++ Seq(
+    // ---- ANN recall/latency frontier --------------------------------
+    // the operating-curve measurement behind the family's scope claim:
+    // per (index, nProbe) point, probe latency AND mean recall@10
+    // against brute-force ground truth — the artifact that states
+    // where IVF / IVF-PQ stop being the right index (recall ceilings
+    // from code coarseness vs probe coverage; README "ANN frontier").
+    // Single-run rows: a curve tolerates per-point noise, and 8 probe
+    // points at best-of-2 would double the section's cost for nothing.
+    val frontierOps: Seq[(String, Double)] = {
+      val queries = emb.where(col("vec_id") < 32)
+      var exact: DataFrame = null
+      val gtT = timeOnce("frontier_exact_topk10") {
+        exact = graft.ops.Similarity
+          .bruteForceTopKNative(embBig, queries, "vec_id", k = 10)
+          .persist()
+        exact.count()
+        ()
+      }
+      def meanRecall(approx: DataFrame): Double =
+        graft.ops.AnnEval.recallAtK(approx, exact, "q_id", "vec_id", k = 10)
+          .agg(avg("recall_milli")).head().getDouble(0)
+      val pqPoints = Seq(1, 2, 4, 8, 16).flatMap { np =>
+        var approx: DataFrame = null
+        val t = timeOnce(s"frontier_ivfpq_probe_np$np") {
+          approx = graft.ops.IvfPq.searchIndex(spark, s"$tmp/ivfpq_idx",
+            embBig, queries, "vec_id", ivfPqModel, topK = 10, nProbe = np)
+          approx.count()
+          ()
+        }
+        Seq(t, valueRow(s"frontier_ivfpq_recall_milli_np$np") {
+          meanRecall(approx)
+        })
+      }
+      // re-rank depth at full probe coverage: where the PQ code's
+      // coarseness (m=8, k=16) stops being recoverable by refine
+      val pqRefine = {
+        var approx: DataFrame = null
+        val t = timeOnce("frontier_ivfpq_probe_np16_refine16") {
+          approx = graft.ops.IvfPq.searchIndex(spark, s"$tmp/ivfpq_idx",
+            embBig, queries, "vec_id", ivfPqModel, topK = 10, nProbe = 16,
+            refine = 16)
+          approx.count()
+          ()
+        }
+        Seq(t, valueRow("frontier_ivfpq_recall_milli_np16_refine16") {
+          meanRecall(approx)
+        })
+      }
+      // full-embedding IVF (exact distances, recall bounded only by
+      // probe coverage) on the SAME queries — the family's other
+      // axis. Built CLEAN from embBig: ivf_idx still carries the
+      // maintain scenario's drifted append, which isn't in the ground
+      // truth corpus and would pollute the curve.
+      val cleanIvf = s"$tmp/ivf_idx_frontier"
+      val cleanBuildT = timeOnce("frontier_ivf_clean_build") {
+        graft.ops.Ivf.writeIndex(embBig, ivfServingModel, cleanIvf)
+      }
+      val ivfPoints = Seq(1, 4, 16).flatMap { np =>
+        var approx: DataFrame = null
+        val t = timeOnce(s"frontier_ivf_probe_np$np") {
+          approx = graft.ops.Ivf.searchIndex(spark, cleanIvf,
+            queries, "vec_id", ivfServingModel, k = 10, nProbe = np)
+          approx.count()
+          ()
+        }
+        Seq(t, valueRow(s"frontier_ivf_recall_milli_np$np") {
+          meanRecall(approx)
+        })
+      }
+      val rows = Seq(gtT) ++ pqPoints ++ pqRefine ++
+        Seq(cleanBuildT) ++ ivfPoints
+      exact.unpersist()
+      rows
+    }
+
+    val results = ivfOps ++ ivfPqOps ++ frontierOps ++ Seq(
       time("agg_decimal") {
         liBig.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
@@ -743,6 +820,38 @@ object BenchScale {
         require(graft.ops.InvertedIndex.phraseSearchIndex(spark,
           s"$tmp/invidx", Seq("table", "hash")).count() > 0)
       },
+      // append-chain cost, priced: N appends leave O(N) file sets per
+      // bucket, so probes open more files and the pushed term filter
+      // skips fewer row groups; compaction rewrites the live
+      // generation term-sorted (one file per bucket) and the probe
+      // returns to built-fresh cost. Chain setup is untimed (its cost
+      // is the appends' own O(batch) rows, already priced by
+      // inverted_index_build's shape).
+      timeOnce("invidx_chain_setup_12appends") {
+        graft.ops.InvertedIndex.writeIndexVersioned(spark,
+          docsBig.where(pmod(col("doc_id"), lit(13L)) === 0L),
+          "doc_id", "text", s"$tmp/invidx_gen")
+        (1L to 12L).foreach { i =>
+          graft.ops.InvertedIndex.appendIndex(
+            docsBig.where(pmod(col("doc_id"), lit(13L)) === i),
+            "doc_id", "text",
+            graft.ops.Generations.livePath(spark, s"$tmp/invidx_gen"))
+        }
+      },
+      time("invidx_probe_after_12appends") {
+        require(graft.ops.InvertedIndex.bm25SearchIndex(spark,
+          graft.ops.Generations.livePath(spark, s"$tmp/invidx_gen"),
+          Seq("join", "data", "spark"), 20).collect().length == 20)
+      },
+      timeOnce("invidx_compact") {
+        graft.ops.InvertedIndex.compactVersioned(spark, s"$tmp/invidx_gen")
+        ()
+      },
+      time("invidx_probe_after_compact") {
+        require(graft.ops.InvertedIndex.bm25SearchIndex(spark,
+          graft.ops.Generations.livePath(spark, s"$tmp/invidx_gen"),
+          Seq("join", "data", "spark"), 20).collect().length == 20)
+      },
       time("containment_prefix_join") {
         // df-ordered prefixes on the web-like gram corpus: replicas'
         // rarest shingles are their replica-unique tagged tokens, so
@@ -940,6 +1049,55 @@ object BenchScale {
           .agg(sum(expr(
             "CAST(aggregate(proj, 0L, (acc, x) -> acc + x*x) AS DOUBLE)")))
           .collect().nonEmpty)
+      },
+      // salted-join when-to-use, measured on a genuinely hot key:
+      // half of the 12M fact rows collapse onto ONE dim key, and the
+      // dim side (3M rows) is too big to broadcast — a shuffle join
+      // whose hot partition is half the table. Three rows: the plain
+      // join with AQE's skew splitting (the default defense), the
+      // plain join with it OFF (what a non-AQE engine or a
+      // skewed-AGGREGATION shape suffers), and Skew.saltedJoin (the
+      // explicit operator). Reading: salted ~ AQE-split << plain-off;
+      // salting is the fallback when AQE cannot see the skew
+      // (documented threshold in Skew's scaladoc).
+      time("skew_hotkey_plain_aqe") {
+        val big = liBig.select(
+          expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
+          col("l_orderkey"), col("l_quantity"))
+        val dim = spark.range(0, 3000000).select(col("id").as("k"),
+          (col("id") % 97L).as("w"))
+        require(big.join(dim, "k")
+          .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+          .collect().nonEmpty)
+      },
+      timeOnce("skew_hotkey_plain_noaqe") {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try {
+          val big = liBig.select(
+            expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
+            col("l_orderkey"), col("l_quantity"))
+          val dim = spark.range(0, 3000000).select(col("id").as("k"),
+            (col("id") % 97L).as("w"))
+          require(big.join(dim, "k")
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .collect().nonEmpty)
+        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      },
+      timeOnce("skew_hotkey_salted") {
+        // same no-AQE-skew setting: the row measures the OPERATOR as
+        // the fallback, not AQE rescuing it
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try {
+          val big = liBig.select(
+            expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
+            col("l_orderkey"), col("l_quantity"))
+          val dim = spark.range(0, 3000000).select(col("id").as("k"),
+            (col("id") % 97L).as("w"))
+          require(graft.ops.Skew
+            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 32)
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .collect().nonEmpty)
+        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,

@@ -19,12 +19,16 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       // engine extensions: native rewrites for idiomatic HOF patterns,
-      // and aggregate-to-materialized-rollup answering (no-op until a
-      // rollup target is registered)
+      // aggregate-to-materialized-rollup answering (no-op until a
+      // rollup target is registered), and the SQL bindings for the
+      // engine's expressions/aggregates (KLL, theta, top-k, MinHash,
+      // unicode_normalize) so spark.sql reaches the same operators as
+      // the Column API
       .withExtensions { e =>
         e.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
         e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
         e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+        graft.functions.GraftFunctions.register(e)
       }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

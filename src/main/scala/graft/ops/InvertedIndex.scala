@@ -94,6 +94,35 @@ object InvertedIndex {
     gen
   }
 
+  /** Compact a long append chain ([[LshIndex.compactVersioned]]'s
+    * discipline): each [[appendIndex]] lands one file set per touched
+    * bucket, so after N appends a probe opens O(N) small files per
+    * probed bucket and the pushed `term IN (...)` filter skips
+    * nothing at the row-group level (tiny groups, every one matching
+    * some term). The compaction rewrites the LIVE generation into a
+    * NEW one — one file per bucket, rows sorted by (term, doc) so
+    * parquet min/max statistics prune row groups by term — then flips
+    * the pointer and prunes old generations. Postings and the
+    * `_doclen` sidecar move together; probe results are identical
+    * (spec-pinned), only the file layout changes. Returns the new
+    * live generation path.
+    */
+  def compactVersioned(spark: SparkSession, root: String,
+                       keep: Int = 2): String = {
+    val live = Generations.livePath(spark, root)
+    val next = Generations.nextPath(spark, root)
+    spark.read.parquet(live)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term", "doc")
+      .write.mode("overwrite").partitionBy("bucket").parquet(next)
+    spark.read.parquet(live + "/_doclen")
+      .repartitionByRange(col("doc")).sortWithinPartitions("doc")
+      .write.mode("overwrite").parquet(next + "/_doclen")
+    Generations.publish(spark, root, next)
+    Generations.prune(spark, root, keep)
+    next
+  }
+
   /** Exact phrase occurrences per document from a postings frame:
     * (doc, n_occurrences), docs with zero occurrences absent.
     */

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   * column (NOT rand() — reproducibility survives retries and
   * speculative execution); the small side is replicated `saltFactor`
   * ways. Join fans the hot key across `saltFactor` tasks.
+  *
+  * When to use (measured: BenchScale `skew_hotkey_*` rows, half of a
+  * 12M-row fact on ONE key against a 3M-row non-broadcastable dim):
+  * reach for salting when (a) AQE is unavailable or its skew split
+  * doesn't apply — the skewed side feeds an AGGREGATION or window on
+  * the same key (aggregation partitions can't be split), or the
+  * planner picked a broadcast/nested-loop shape AQE won't rewrite —
+  * or (b) the hot key is known AHEAD of time and you want the fan-out
+  * pinned (deterministic task sizing) rather than discovered at
+  * runtime. Under plain AQE-managed sort-merge joins, prefer doing
+  * nothing: the split is free and adaptive. `saltFactor` ~ the number
+  * of tasks one hot key should spread over (cores for one dominant
+  * key); the small side pays a `saltFactor`x replication, so keep it
+  * bounded by hot-key-rows / healthy-task-rows. Correctness is
+  * oracle-gated equal to the plain join (q167).
   */
 object Skew {
 

@@ -114,6 +114,41 @@ class InvertedIndexSpec extends SparkSpec {
     assert(gen2 != gen1 && graft.ops.Generations.livePath(spark, root) == gen2)
   }
 
+  test("compaction after an append chain: identical probes, fewer files, pruned generations") {
+    val root = java.nio.file.Files.createTempDirectory("graft_inv_cmp").toString
+    val gen1 = InvertedIndex.writeIndexVersioned(spark,
+      docs.where(col("doc_id") === 1L), "doc_id", "text", root)
+    // a 4-append chain: each append lands its own file set per bucket
+    (2L to 5L).foreach { id =>
+      InvertedIndex.appendIndex(docs.where(col("doc_id") === id),
+        "doc_id", "text", gen1)
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(gen1)
+    val phraseBefore = InvertedIndex.phraseSearchIndex(spark,
+      graft.ops.Generations.livePath(spark, root), Seq("cat", "sat"))
+      .as[(Long, Long)].collect().toMap
+    val bm25Before = InvertedIndex.bm25SearchIndex(spark,
+      graft.ops.Generations.livePath(spark, root), Seq("cat", "dog"), 5)
+      .collect().toSeq
+
+    val gen2 = InvertedIndex.compactVersioned(spark, root)
+    assert(graft.ops.Generations.livePath(spark, root) == gen2 && gen2 != gen1)
+    // identical answers from the compacted layout
+    assert(InvertedIndex.phraseSearchIndex(spark, gen2, Seq("cat", "sat"))
+      .as[(Long, Long)].collect().toMap == phraseBefore)
+    assert(InvertedIndex.bm25SearchIndex(spark, gen2, Seq("cat", "dog"), 5)
+      .collect().toSeq == bm25Before)
+    // the chain's file multiplication is gone: one file per touched
+    // postings bucket (+ the bounded sidecar)
+    assert(parquetFiles(gen2) < before,
+      s"compaction did not shrink the layout: $before -> ${parquetFiles(gen2)}")
+  }
+
   test("postings carry tf and sorted positions") {
     val p = InvertedIndex.build(docs, "doc_id", "text")
       .where(col("term") === "cat" && col("doc") === 2L)
