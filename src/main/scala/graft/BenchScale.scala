@@ -236,7 +236,6 @@ object BenchScale {
     // mutate the index directory, so they are timed single-run; the
     // idempotent health probe gets the usual min-of-2 below.
     var ivfServingModel: graft.ops.Ivf.Model = null
-    var ivfPqModel: graft.ops.IvfPq.Model = null
     val ivfOps: Seq[(String, Double)] = {
       def once(name: String)(action: => Unit): (String, Double) =
         timeOnce(name)(action)
@@ -326,7 +325,6 @@ object BenchScale {
         model = graft.ops.IvfPq.fit(
           embBig.sample(withReplacement = false, 0.02, seed = 7L),
           "vec_id", nLists = 16, m = 8, k = 16, oversample = 4)
-        ivfPqModel = model
       }
       val buildT = timeOnce("ivfpq_index_build") {
         graft.ops.IvfPq.writeIndex(embBig, "vec_id", model, idx)
@@ -355,14 +353,58 @@ object BenchScale {
     // against brute-force ground truth — the artifact that states
     // where IVF / IVF-PQ stop being the right index (recall ceilings
     // from code coarseness vs probe coverage; README "ANN frontier").
-    // Single-run rows: a curve tolerates per-point noise, and 8 probe
-    // points at best-of-2 would double the section's cost for nothing.
+    //
+    // The raw replicate() corpus is DEGENERATE for recall: every
+    // neighbor set is 1280 exact copies of one base vector (all ties,
+    // all in one cell), so every curve reads 1000 trivially. The
+    // frontier corpus therefore jitters each replica per-dimension
+    // (deterministic hash noise, ±0.1 ≈ 0.8x a component sigma:
+    // replicas stay a tight cluster but get a REAL distance ordering),
+    // and queries jitter harder (±0.35 ≈ 3 sigma) so they land near
+    // cell boundaries — the regime where probe coverage actually
+    // decides recall. Models fit fresh on the frontier corpus;
+    // nLists=64 so nProbe 1..16 spans 1.5%..25% corpus coverage; PQ
+    // at m=8 x k=32 — the in-plan LUT (m*k inline expressions) tops
+    // out near k=64 before whole-stage codegen gives up, a measured
+    // design ceiling the README states.
+    //
+    // Single-run rows: a curve tolerates per-point noise, and the
+    // probe points at best-of-2 would double the section's cost for
+    // nothing.
     val frontierOps: Seq[(String, Double)] = {
+      val fpath = s"$tmp/emb_frontier.parquet"
+      val setupT = timeOnce("frontier_corpus_setup") {
+        embBig.select(col("vec_id"), expr(
+          "transform(embedding, (x, i) -> CAST(x + (pmod(xxhash64(" +
+            "vec_id * 64 + i), 1000) - 500) / 5000.0 AS FLOAT))")
+          .as("embedding"), col("label"))
+          .write.mode("overwrite").parquet(fpath)
+      }
+      val fcorpus = spark.read.parquet(fpath)
       val queries = emb.where(col("vec_id") < 32)
+        .select(col("vec_id"), expr(
+          "transform(embedding, (x, i) -> CAST(x + (pmod(xxhash64(" +
+            "vec_id * 64 + i + 7), 1000) - 500) / 1430.0 AS FLOAT))")
+          .as("embedding"))
+      var fIvf: graft.ops.Ivf.Model = null
+      var fPq: graft.ops.IvfPq.Model = null
+      val fitT = timeOnce("frontier_fit_models") {
+        val sample = fcorpus.sample(withReplacement = false, 0.02, seed = 7L)
+        fIvf = graft.ops.Ivf.fit(sample, "vec_id", nLists = 64,
+          iterations = 2)
+        fPq = graft.ops.IvfPq.fit(sample, "vec_id", nLists = 64, m = 8,
+          k = 32, oversample = 4)
+      }
+      val pqIdx = s"$tmp/ivfpq_idx_frontier"
+      val ivfIdx = s"$tmp/ivf_idx_frontier"
+      val buildT = timeOnce("frontier_index_builds") {
+        graft.ops.IvfPq.writeIndex(fcorpus, "vec_id", fPq, pqIdx)
+        graft.ops.Ivf.writeIndex(fcorpus, fIvf, ivfIdx)
+      }
       var exact: DataFrame = null
       val gtT = timeOnce("frontier_exact_topk10") {
         exact = graft.ops.Similarity
-          .bruteForceTopKNative(embBig, queries, "vec_id", k = 10)
+          .bruteForceTopKNative(fcorpus, queries, "vec_id", k = 10)
           .persist()
         exact.count()
         ()
@@ -370,47 +412,30 @@ object BenchScale {
       def meanRecall(approx: DataFrame): Double =
         graft.ops.AnnEval.recallAtK(approx, exact, "q_id", "vec_id", k = 10)
           .agg(avg("recall_milli")).head().getDouble(0)
-      val pqPoints = Seq(1, 2, 4, 8, 16).flatMap { np =>
-        var approx: DataFrame = null
-        val t = timeOnce(s"frontier_ivfpq_probe_np$np") {
-          approx = graft.ops.IvfPq.searchIndex(spark, s"$tmp/ivfpq_idx",
-            embBig, queries, "vec_id", ivfPqModel, topK = 10, nProbe = np)
-          approx.count()
-          ()
+      // IVF-PQ axis: nProbe alone is code-limited (flat); REFINE is
+      // the lever — the exact re-rank depth recovers what the coarse
+      // codes misrank, at near-flat latency
+      val pqPoints = Seq((1, 4), (4, 4), (4, 16), (4, 64), (16, 4))
+        .flatMap { case (np, rf) =>
+          var approx: DataFrame = null
+          val t = timeOnce(s"frontier_ivfpq_probe_np${np}_rf$rf") {
+            approx = graft.ops.IvfPq.searchIndex(spark, pqIdx,
+              fcorpus, queries, "vec_id", fPq, topK = 10, nProbe = np,
+              refine = rf)
+            approx.count()
+            ()
+          }
+          Seq(t, valueRow(s"frontier_ivfpq_recall_milli_np${np}_rf$rf") {
+            meanRecall(approx)
+          })
         }
-        Seq(t, valueRow(s"frontier_ivfpq_recall_milli_np$np") {
-          meanRecall(approx)
-        })
-      }
-      // re-rank depth at full probe coverage: where the PQ code's
-      // coarseness (m=8, k=16) stops being recoverable by refine
-      val pqRefine = {
-        var approx: DataFrame = null
-        val t = timeOnce("frontier_ivfpq_probe_np16_refine16") {
-          approx = graft.ops.IvfPq.searchIndex(spark, s"$tmp/ivfpq_idx",
-            embBig, queries, "vec_id", ivfPqModel, topK = 10, nProbe = 16,
-            refine = 16)
-          approx.count()
-          ()
-        }
-        Seq(t, valueRow("frontier_ivfpq_recall_milli_np16_refine16") {
-          meanRecall(approx)
-        })
-      }
       // full-embedding IVF (exact distances, recall bounded only by
-      // probe coverage) on the SAME queries — the family's other
-      // axis. Built CLEAN from embBig: ivf_idx still carries the
-      // maintain scenario's drifted append, which isn't in the ground
-      // truth corpus and would pollute the curve.
-      val cleanIvf = s"$tmp/ivf_idx_frontier"
-      val cleanBuildT = timeOnce("frontier_ivf_clean_build") {
-        graft.ops.Ivf.writeIndex(embBig, ivfServingModel, cleanIvf)
-      }
+      // probe coverage) on the SAME queries — the family's other axis
       val ivfPoints = Seq(1, 4, 16).flatMap { np =>
         var approx: DataFrame = null
         val t = timeOnce(s"frontier_ivf_probe_np$np") {
-          approx = graft.ops.Ivf.searchIndex(spark, cleanIvf,
-            queries, "vec_id", ivfServingModel, k = 10, nProbe = np)
+          approx = graft.ops.Ivf.searchIndex(spark, ivfIdx,
+            queries, "vec_id", fIvf, k = 10, nProbe = np)
           approx.count()
           ()
         }
@@ -418,8 +443,7 @@ object BenchScale {
           meanRecall(approx)
         })
       }
-      val rows = Seq(gtT) ++ pqPoints ++ pqRefine ++
-        Seq(cleanBuildT) ++ ivfPoints
+      val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++ ivfPoints
       exact.unpersist()
       rows
     }

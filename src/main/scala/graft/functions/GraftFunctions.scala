@@ -20,6 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * parameterize the operator itself (buffer sizes, codegen constants)
   * and cannot vary per row; a non-literal fails analysis with a
   * message naming the argument.
+  *
+  * Naming: functions whose natural name is free keep it; the two that
+  * would CLOBBER a Spark 4 builtin (`theta_sketch_agg`,
+  * `theta_union_agg` — Spark ships its own theta family) register as
+  * `graft_theta_sketch_agg` / `graft_theta_union_agg` instead —
+  * silently replacing a builtin would change semantics (lgK
+  * parameterization) under every existing query in the session.
+  * Sketch BYTES are DataSketches-compact on both sides, so the
+  * engine's sketches remain readable by either family.
   */
 object GraftFunctions {
 
@@ -62,18 +71,18 @@ object GraftFunctions {
       case Seq(sk, r) => KllQuantile(sk, Cast(r, DoubleType))
       case args => arity("kll_quantile", args.length, "2")
     })
-    e.injectFunction(fd("theta_sketch_agg", classOf[ThetaSketchAgg]) {
+    e.injectFunction(fd("graft_theta_sketch_agg", classOf[ThetaSketchAgg]) {
       case Seq(x) => ThetaSketchAgg(Cast(x, LongType), 12)
       case Seq(x, lgk) =>
         ThetaSketchAgg(Cast(x, LongType),
-          intLit("theta_sketch_agg", "lgK")(lgk))
-      case args => arity("theta_sketch_agg", args.length, "1 or 2")
+          intLit("graft_theta_sketch_agg", "lgK")(lgk))
+      case args => arity("graft_theta_sketch_agg", args.length, "1 or 2")
     })
-    e.injectFunction(fd("theta_union_agg", classOf[ThetaUnionAgg]) {
+    e.injectFunction(fd("graft_theta_union_agg", classOf[ThetaUnionAgg]) {
       case Seq(x) => ThetaUnionAgg(x, 12)
       case Seq(x, lgk) =>
-        ThetaUnionAgg(x, intLit("theta_union_agg", "lgK")(lgk))
-      case args => arity("theta_union_agg", args.length, "1 or 2")
+        ThetaUnionAgg(x, intLit("graft_theta_union_agg", "lgK")(lgk))
+      case args => arity("graft_theta_union_agg", args.length, "1 or 2")
     })
     e.injectFunction(fd("theta_estimate", classOf[ThetaEstimate]) {
       case Seq(sk) => ThetaEstimate(sk)

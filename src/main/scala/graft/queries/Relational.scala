@@ -674,6 +674,25 @@ object Relational {
     // row_number window form the oracle uses, but shuffles only <= k
     // candidates per group per map partition instead of every row —
     // the partial-aggregation shape that survives a 100x scale-up.
+    // the SQL-surface twin of q116, end-to-end through the
+    // FunctionRegistry binding (GraftFunctions.topk_agg — a
+    // TypedImperativeAggregate delegating to the same TopKAgg logic):
+    // the registered name must produce bit-identical grouped top-k
+    // from pure spark.sql, under the same DuckDB window-form oracle
+    "q170_sql_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q170_customer")
+      s.sql(
+        """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          |       CAST(pos + 1 AS BIGINT) AS rnk,
+          |       e.id AS c_custkey, e.key AS bal_cents
+          |FROM (SELECT c_nationkey,
+          |        topk_agg(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+          |                      AS BIGINT), c_custkey, 3) AS top
+          |      FROM graft_q170_customer GROUP BY c_nationkey)
+          |LATERAL VIEW posexplode(top) t AS pos, e
+          |ORDER BY c_nationkey, rnk""".stripMargin)
+    }),
+
     "q116_grouped_topk" -> ((s, dir) => {
       val topk = udaf(graft.functions.TopKAgg(3))
       t(s, dir, "customer")
@@ -1360,6 +1379,16 @@ object Relational {
            AND epoch_us(p.ts) > epoch_us(c.ts)
            AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
          ORDER BY c.user_id, click_id, purchase_id""",
+
+    "q170_sql_topk" ->
+      """SELECT c_nationkey, rnk, c_custkey, bal_cents FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+                 c_custkey) AS BIGINT) AS rnk
+           FROM customer)
+         WHERE rnk <= 3 ORDER BY c_nationkey, rnk""",
 
     "q116_grouped_topk" ->
       """SELECT c_nationkey, rnk, c_custkey, bal_cents FROM (

@@ -39,14 +39,23 @@ class SqlSurfaceSpec extends SparkSpec {
   test("q119-shaped: per-group theta sketches union-roll-up via pure SQL") {
     view("li", "lineitem")
     val est = spark.sql(
-      """SELECT theta_estimate(theta_union_agg(sk)) AS nd FROM (
-        |  SELECT l_returnflag, theta_sketch_agg(l_partkey) AS sk
+      """SELECT theta_estimate(graft_theta_union_agg(sk)) AS nd FROM (
+        |  SELECT l_returnflag, graft_theta_sketch_agg(l_partkey) AS sk
         |  FROM li GROUP BY l_returnflag)""".stripMargin)
       .as[Double].head()
     val exact = spark.table("li").select(countDistinct("l_partkey"))
       .as[Long].head()
     // below 2^12 nominal entries the sketch is exact
     assert(est.round == exact, s"theta $est vs exact $exact")
+    // cross-compat: the engine's sketch bytes are DataSketches-compact,
+    // so Spark 4's own builtin theta family reads them too (the reason
+    // the graft_ prefix is a naming courtesy, not a format fork)
+    val viaBuiltin = spark.sql(
+      """SELECT theta_sketch_estimate(theta_union_agg(sk)) FROM (
+        |  SELECT l_returnflag, graft_theta_sketch_agg(l_partkey) AS sk
+        |  FROM li GROUP BY l_returnflag)""".stripMargin)
+      .as[Double].head()
+    assert(viaBuiltin.round == exact, s"builtin read $viaBuiltin vs $exact")
   }
 
   test("topk_agg(key, id, k) == the window row_number form") {
