@@ -107,9 +107,15 @@ object BenchScale {
       println(f"ROW $name $sec%.3f")
       name -> sec
     }
+    // Non-second rows (counts, recalls, MB, Mrows) register here so
+    // the headline `value` stays a pure sum of SECONDS — r9 fix: the
+    // r8-shape artifact summed measure rows into the total, which a
+    // single 4.6M-candidate count row would have inflated 10x.
+    val measureNames = scala.collection.mutable.LinkedHashSet[String]()
     // a measured VALUE row (counts, volumes) — same artifact shape as
     // the timed rows, unit carried in the row name
     def valueRow(name: String)(v: => Double): (String, Double) = {
+      measureNames += name
       val x = v
       println(f"ROW $name $x%.3f")
       name -> x
@@ -133,6 +139,33 @@ object BenchScale {
       finally spark.sparkContext.removeSparkListener(l)
       val mb = acc.get() / 1e6
       println(f"ROW $name $mb%.3f")
+      measureNames += name
+      name -> mb
+    }
+    // MAX per-task shuffle-read megabytes of one action: the
+    // per-REDUCER load. A skewed key serializes its whole partition
+    // through one reducer — on local[32] page cache that is invisible
+    // in wall time, but at 1000 executors the hot reducer's bytes ARE
+    // the straggler; salting's entire value proposition is dividing
+    // exactly this number, so it is measured directly
+    def maxTaskShuffleReadMb(name: String)(action: => Unit): (String, Double) = {
+      val mx = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mx.accumulateAndGet(m.shuffleReadMetrics.totalBytesRead, Math.max)
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { action; Thread.sleep(1500) } // drain the listener bus
+      finally spark.sparkContext.removeSparkListener(l)
+      val mb = mx.get() / 1e6
+      println(f"ROW $name $mb%.3f")
+      measureNames += name
       name -> mb
     }
     // input records READ (millions) of one action: local[32] wall time
@@ -156,6 +189,7 @@ object BenchScale {
       finally spark.sparkContext.removeSparkListener(l)
       val mr = acc.get() / 1e6
       println(f"ROW $name $mr%.3f")
+      measureNames += name
       name -> mr
     }
 
@@ -443,7 +477,52 @@ object BenchScale {
           meanRecall(approx)
         })
       }
-      val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++ ivfPoints
+      // graph ANN (NN-Descent + beam walk) on the same corpus/queries:
+      // (a) the honest standalone row — a kNN graph over a
+      // 2000-cluster corpus has NO long-range links, so scattered
+      // hash entries strand most queries outside their cluster
+      // (coverage-limited recall, the measured reason the family
+      // needs a router); (b) the two-layer shape — the SAME nProbe=1
+      // IVF probe that reads low on its own seeds the graph walk,
+      // which refines within the routed neighborhood.
+      val graphRows: Seq[(String, Double)] = {
+        var g: DataFrame = null
+        val gBuildT = timeOnce("frontier_graph_build_k4_it1") {
+          g = graft.ops.GraphAnn.buildGraph(fcorpus, "vec_id", k = 4,
+            initBuckets = 160000, iterations = 1).persist()
+          g.count()
+          ()
+        }
+        var strideApprox: DataFrame = null
+        val strideT = timeOnce("frontier_graph_probe_stride5000") {
+          strideApprox = graft.ops.GraphAnn.search(g, fcorpus, queries,
+            "vec_id", k = 10, beam = 16, hops = 3, entryStride = 5000)
+          strideApprox.count()
+          ()
+        }
+        var seededApprox: DataFrame = null
+        val seedT = timeOnce("frontier_graph_probe_ivfseed_np1") {
+          val seeds = graft.ops.Ivf.searchIndex(spark, ivfIdx, queries,
+              "vec_id", fIvf, k = 8, nProbe = 1)
+            .select(col("q_id"), col("vec_id").as("node"))
+          seededApprox = graft.ops.GraphAnn.searchSeeded(g, fcorpus,
+            queries, "vec_id", k = 10, beam = 16, hops = 3, seeds)
+          seededApprox.count()
+          ()
+        }
+        val out = Seq(gBuildT, strideT,
+          valueRow("frontier_graph_recall_milli_stride5000") {
+            meanRecall(strideApprox)
+          },
+          seedT,
+          valueRow("frontier_graph_recall_milli_ivfseed_np1") {
+            meanRecall(seededApprox)
+          })
+        g.unpersist()
+        out
+      }
+      val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++ ivfPoints ++
+        graphRows
       exact.unpersist()
       rows
     }
@@ -1077,13 +1156,18 @@ object BenchScale {
       // salted-join when-to-use, measured on a genuinely hot key:
       // half of the 12M fact rows collapse onto ONE dim key, and the
       // dim side (3M rows) is too big to broadcast — a shuffle join
-      // whose hot partition is half the table. Three rows: the plain
-      // join with AQE's skew splitting (the default defense), the
-      // plain join with it OFF (what a non-AQE engine or a
-      // skewed-AGGREGATION shape suffers), and Skew.saltedJoin (the
-      // explicit operator). Reading: salted ~ AQE-split << plain-off;
-      // salting is the fallback when AQE cannot see the skew
-      // (documented threshold in Skew's scaladoc).
+      // whose hot partition is half the table. WALL rows (plain+AQE /
+      // plain no-AQE / salted) measure the local story honestly: on
+      // local[32] the page cache absorbs a 6M-row hot partition, so
+      // plain WINS wall time here and salting's dim-replication costs
+      // ~2x — do NOT salt at single-node scale. The per-REDUCER rows
+      // below them measure the axis that inverts on a cluster: the
+      // hot reducer's shuffle-read bytes (the straggler at 1000
+      // executors) drop by ~saltFactor under salting while plain
+      // serializes half the table through one task. Same reading
+      // discipline as the topk-vs-window shuffle_mb rows: wall for
+      // the local truth, bytes for the cluster truth (thresholds in
+      // Skew's scaladoc).
       time("skew_hotkey_plain_aqe") {
         val big = liBig.select(
           expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
@@ -1123,6 +1207,33 @@ object BenchScale {
             .collect().nonEmpty)
         } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
+      maxTaskShuffleReadMb("skew_hotkey_plain_maxtask_mb") {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try {
+          val big = liBig.select(
+            expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
+            col("l_orderkey"), col("l_quantity"))
+          val dim = spark.range(0, 3000000).select(col("id").as("k"),
+            (col("id") % 97L).as("w"))
+          require(big.join(dim, "k")
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .collect().nonEmpty)
+        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      },
+      maxTaskShuffleReadMb("skew_hotkey_salted_maxtask_mb") {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try {
+          val big = liBig.select(
+            expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
+            col("l_orderkey"), col("l_quantity"))
+          val dim = spark.range(0, 3000000).select(col("id").as("k"),
+            (col("id") % 97L).as("w"))
+          require(graft.ops.Skew
+            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 32)
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .collect().nonEmpty)
+        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,
           graft.pipeline.PipelineConfig(s"$tmp/src", s"$tmp/out", runId = 1L,
@@ -1134,8 +1245,13 @@ object BenchScale {
 
     val ops = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
+    // `value` sums SECONDS rows only; `measures` names the rows in
+    // `ops` that are counts/recalls/MB/Mrows (unit in the row name)
+    val total = results.collect {
+      case (k, v) if !measureNames.contains(k) => v
+    }.sum
+    val measures = measureNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"measures":$measures,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
     spark.stop()
     // scaled inputs are gigabytes; leaving them accumulates dirty
     // page-cache + disk across runs and skews later write-heavy ops

@@ -104,6 +104,40 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // graph ANN end-to-end: NN-Descent k-NN graph (md5-bucket init,
+    // 2 neighbor-of-neighbor rounds) + 2-hop beam search from the
+    // md5-stride entry set — every pair score exact integer
+    // micro-cosine, every top-k a total order, so the whole
+    // build+search recurrence replays bit-for-bit as unrolled SQL
+    // (GraphAnn.buildSql/searchSql, the LPA recurrence discipline)
+    "q171_graph_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = graft.ops.GraphAnn.buildGraph(e, "vec_id", k = 4,
+        initBuckets = 32, iterations = 2)
+      graft.ops.GraphAnn.search(g, e, e.where(col("vec_id") < 5), "vec_id",
+          k = 5, beam = 8, hops = 2, entryStride = 50)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // the two-layer ANN deployment shape end-to-end: a cheap
+    // quantized-IVF nProbe=1 probe routes each query to an 8-node
+    // shortlist, which SEEDS the graph beam walk (a kNN graph over a
+    // clustered corpus has no long-range links — the router supplies
+    // reach, the graph supplies precision); router, graph build, and
+    // walk all replay in the oracle
+    "q172_graph_ann_routed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = graft.ops.GraphAnn.buildGraph(e, "vec_id", k = 4,
+        initBuckets = 32, iterations = 1)
+      val model = graft.ops.Ivf.fitQuantized(e, "vec_id", nLists = 4)
+      val seeds = graft.ops.Ivf.searchQuantized(e,
+          e.where(col("vec_id") < 5), "vec_id", model, k = 8, nProbe = 1)
+        .select(col("q_id"), col("vec_id").as("node"))
+      graft.ops.GraphAnn.searchSeeded(g, e, e.where(col("vec_id") < 5),
+          "vec_id", k = 5, beam = 8, hops = 2, seeds)
+        .orderBy("q_id", "rnk")
+    }),
+
     // full-corpus embedding near-dup via LSH buckets: pairwise cosine
     // only WITHIN a bucket (1/2^p of all pairs) — the unsampled scale
     // path complementing q50's sampled exact sweep
@@ -721,6 +755,48 @@ object VectorQueries {
              ON a.q_id = e.q_id AND a.vec_id = e.vec_id
            GROUP BY 1)
          ORDER BY q_id""",
+
+    // the whole NN-Descent build (init buckets + 2 rounds) and 2-hop
+    // beam search unrolled as CTEs — rendered by the op itself so the
+    // oracle cannot drift from the Scala recurrence; every CTE pinned
+    // MATERIALIZED (the graph/flat/norms nodes are multiply
+    // referenced and DuckDB's inlining re-derives them per reference)
+    "q171_graph_ann" -> graft.ops.GraphAnn.materializeCtes(
+      s"""WITH $quantCte,
+         ${graft.ops.GraphAnn.buildSql(k = 4, initBuckets = 32, iterations = 2)},
+         ${graft.ops.GraphAnn.searchSql(graph = "g2", querySel = "vec_id < 5",
+            k = 5, beam = 8, hops = 2, entryStride = 50)}"""),
+
+    // q61's router chain (nProbe=1, 8-wide shortlist) as the seeds
+    // CTE, then the graph walk — the full two-layer recurrence
+    // (MATERIALIZED pin: 1120s -> 2s measured at sf0.01)
+    "q172_graph_ann_routed" -> graft.ops.GraphAnn.materializeCtes(
+      s"""WITH $quantCte,
+         $ivfAssignCte,
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 1),
+         rqdots AS (SELECT cp.q_id, cp.vec_id, SUM(fq.v * fc.v) AS dot FROM (
+                      SELECT p.q_id, a.vec_id FROM probes p
+                      JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id) cp
+                    JOIN flat fq ON fq.vec_id = cp.q_id
+                    JOIN flat fc ON fc.vec_id = cp.vec_id AND fc.i = fq.i
+                    GROUP BY 1, 2),
+         rqsims AS (SELECT q_id, d.vec_id,
+                      CAST(round(CAST(dot AS DOUBLE) /
+                        (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS sim_micro
+                    FROM rqdots d JOIN norms nq ON nq.vec_id = d.q_id
+                      JOIN norms nc ON nc.vec_id = d.vec_id),
+         seeds AS (SELECT q_id, vec_id AS node FROM (
+                     SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim_micro DESC, vec_id) AS rnk
+                     FROM rqsims) WHERE rnk <= 8),
+         ${graft.ops.GraphAnn.buildSql(k = 4, initBuckets = 32, iterations = 1)},
+         ${graft.ops.GraphAnn.searchSqlSeeded(graph = "g1", seedsCte = "seeds",
+            k = 5, beam = 8, hops = 2)}"""),
 
     "q48_ann_bruteforce" ->
       s"""WITH $quantCte,
