@@ -256,6 +256,178 @@ object GraphAnn {
   }
 
   // ---------------------------------------------------------------
+  // Persisted index lifecycle — the [[Ivf]]/[[LshIndex]] discipline
+  // applied to the graph: hive-partitioned storage, O(batch) appends
+  // that rewrite only touched partitions, a one-aggregation health
+  // probe, and a Generations-rooted rebuild cadence.
+  // ---------------------------------------------------------------
+
+  /** Stored-index schema: the directed top-k edge list
+    * (src, dst, sim_micro) plus `ins` (0 = NN-Descent build edge,
+    * 1 = insert-time edge — the health probe's signal), hive-
+    * partitioned by `bucket` = md5(src) % `buckets`. The bucket
+    * column exists for [[appendIndex]]'s touched-partition merge
+    * (an insert rewrites only the buckets whose src nodes it
+    * touches, O(batch) like [[graft.ops.IncrementalAgg]]), not for
+    * probe pruning — a beam search's frontier is data-dependent, so
+    * [[searchIndex]] reads the adjacency once and reuses it across
+    * hops.
+    */
+  private def withBucket(edges: DataFrame, buckets: Int): DataFrame =
+    edges.withColumn("bucket", (hash8(col("src")) % buckets).cast("int"))
+
+  /** Build the NN-Descent graph over `corpus` and materialize it at
+    * `path` (see [[withBucket]] for the layout). One-shot: prefer
+    * [[writeIndexVersioned]] in production so rebuilds are pointer
+    * flips.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, k: Int,
+                 initBuckets: Int, iterations: Int, path: String,
+                 buckets: Int = 64): Unit =
+    withBucket(buildGraph(corpus, idCol, k, initBuckets, iterations)
+      .withColumn("ins", lit(0)), buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Beam-search a materialized index: one bucketed read of the edge
+    * list, then [[search]] (stride entries) over it.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, queries: DataFrame, idCol: String,
+                  k: Int, beam: Int, hops: Int, entryStride: Int): DataFrame =
+    search(spark.read.parquet(path).select("src", "dst", "sim_micro"),
+      corpus, queries, idCol, k, beam, hops, entryStride)
+
+  /** [[searchSeeded]] over a materialized index — the two-layer
+    * (router + graph) deployment shape against stored state.
+    */
+  def searchIndexSeeded(spark: org.apache.spark.sql.SparkSession,
+                        path: String, corpus: DataFrame, queries: DataFrame,
+                        idCol: String, k: Int, beam: Int, hops: Int,
+                        seeds: DataFrame): DataFrame =
+    searchSeeded(spark.read.parquet(path).select("src", "dst", "sim_micro"),
+      corpus, queries, idCol, k, beam, hops, seeds)
+
+  /** Join-shaped insert — the HNSW insert loop without the sequential
+    * dependency. Each batch node finds its top-k neighbors by beam-
+    * searching the EXISTING graph (`corpus` must already contain the
+    * batch rows; neighbors can be prior nodes or other batch nodes
+    * that entered the walk); its edges AND the reverse edges then
+    * merge into the index under the same per-src bounded top-k the
+    * build uses, so (a) every node's out-degree stays <= k and (b)
+    * every touched node's k-th best similarity is monotonically
+    * nondecreasing — a reverse edge only displaces a worse edge
+    * (spec-pinned, the NN-Descent convergence handle carried over to
+    * inserts).
+    *
+    * Cost is O(batch): the search reads the adjacency once; the merge
+    * reads and dynamically overwrites ONLY the hive buckets holding a
+    * touched src ([[IncrementalAgg]]'s touched-partition discipline —
+    * untouched bucket files are never rewritten). What inserts cannot
+    * do is re-run the descent fixpoint for OLD nodes (an insert only
+    * offers them the new node, never new old-old pairs), so insert-
+    * heavy indexes drift from the from-scratch graph; [[insFraction]]
+    * probes that drift and [[maintain]] rebuilds past threshold.
+    */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  corpus: DataFrame, batch: DataFrame, idCol: String,
+                  k: Int, beam: Int, hops: Int, entryStride: Int,
+                  buckets: Int = 64): Unit = {
+    val found = searchIndex(spark, path, corpus, batch, idCol,
+      k, beam, hops, entryStride)
+    val fwd = found.select(col("q_id").as("src"), col("vec_id").as("dst"),
+      col("sim_micro"))
+    val rev = found.select(col("vec_id").as("src"), col("q_id").as("dst"),
+      col("sim_micro"))
+    val newEdges = withBucket(
+      fwd.unionByName(rev).withColumn("ins", lit(1)), buckets).persist()
+    val touched = newEdges.select("bucket").distinct()
+      .collect().map(_.getInt(0)) // <= `buckets` values, KB-scale
+    val existing = spark.read.parquet(path)
+      .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    // per-src bounded top-k over old ∪ new; ins survives as the MIN
+    // marker per kept edge (an edge present at build stays 0)
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim_micro").desc, col("dst"), col("ins"))
+    val merged = existing.unionByName(newEdges)
+      // same (src,dst) can arrive from both sides — keep the best/oldest
+      .withColumn("rn0", row_number().over(
+        Window.partitionBy("src", "dst")
+          .orderBy(col("sim_micro").desc, col("ins"))))
+      .where(col("rn0") === 1).drop("rn0")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+      .select("src", "dst", "sim_micro", "ins", "bucket")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    newEdges.unpersist()
+    ()
+  }
+
+  /** Health probe: the fraction of nodes whose entire edge set
+    * arrived via [[appendIndex]] (min(ins) = 1) — the nodes the
+    * descent fixpoint never saw. One aggregation over the index;
+    * rebuild cadence input for [[maintain]] (0.3–0.5 is a reasonable
+    * trip point: past it, a third of the graph's neighborhoods were
+    * chosen by a beam walk instead of the converged descent).
+    */
+  def insFraction(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Double = {
+    val r = spark.read.parquet(path).groupBy("src")
+      .agg(min("ins").as("mi"))
+      .agg(avg(col("mi").cast("double")).as("f")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Generation-rooted build: the graph lands in `root/gen-N/`, the
+    * [[Generations]] pointer flips once — rebuilds never disturb an
+    * in-flight probe. Probe via
+    * `searchIndex(spark, Generations.livePath(spark, root), ...)`.
+    */
+  def writeIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame, idCol: String, k: Int,
+                          initBuckets: Int, iterations: Int,
+                          root: String, buckets: Int = 64): String = {
+    val gen = Generations.nextPath(spark, root)
+    writeIndex(corpus, idCol, k, initBuckets, iterations, gen, buckets)
+    Generations.publish(spark, root, gen)
+    gen
+  }
+
+  /** Outcome of one [[maintain]] tick. */
+  final case class MaintenanceReport(insFraction: Double, rebuilt: Boolean)
+
+  /** The rebuild cadence ([[Ivf.maintain]] analogue): probe
+    * [[insFraction]] on the live generation; below `threshold` a tick
+    * costs one aggregation and touches nothing; past it, re-run the
+    * full NN-Descent over the current corpus into the NEXT generation,
+    * flip the pointer, prune beyond `keep`. buildGraph is
+    * deterministic, so a rebuild is exactly the from-scratch index
+    * over the same corpus — correctness never depends on when the
+    * cadence fires, only probe quality does.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, root: String,
+               corpus: DataFrame, idCol: String, k: Int,
+               initBuckets: Int, iterations: Int,
+               threshold: Double = 0.4, keep: Int = 2,
+               buckets: Int = 64): MaintenanceReport = {
+    val live = Generations.livePath(spark, root)
+    val f = insFraction(spark, live)
+    if (f <= threshold) MaintenanceReport(f, rebuilt = false)
+    else {
+      val gen = Generations.nextPath(spark, root)
+      writeIndex(corpus, idCol, k, initBuckets, iterations, gen, buckets)
+      Generations.publish(spark, root, gen)
+      Generations.prune(spark, root, keep)
+      MaintenanceReport(f, rebuilt = true)
+    }
+  }
+
+  // ---------------------------------------------------------------
   // DuckDB renderings of the identical recurrences (the q171 oracle).
   // Assume the caller's WITH already provides e(vec_id, ei),
   // flat(vec_id, i, v) [i is 1-based], norms(vec_id, nn) — the shared
