@@ -510,6 +510,28 @@ object BenchScale {
           seededApprox.count()
           ()
         }
+        // lifecycle pricing: persist the built graph once, then append
+        // a 1% batch of NEW nodes via the join-shaped insert — the
+        // O(batch) search + touched-bucket rewrite vs the full
+        // NN-Descent rebuild (frontier_graph_build row). The batch's
+        // vectors are fresh jitters with fresh ids, so the insert does
+        // real neighbor discovery, not a replay.
+        val gIdx = s"$tmp/gann_idx_frontier"
+        val writeT = timeOnce("frontier_graph_index_write") {
+          graft.ops.GraphAnn.writeEdges(g, gIdx, buckets = 256)
+        }
+        val batch = fcorpus
+          .where(pmod(xxhash64(col("vec_id")), lit(100)) === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"), expr(
+            "transform(embedding, (x, i) -> CAST(x + (pmod(xxhash64(" +
+              "vec_id * 64 + i + 13), 1000) - 500) / 2000.0 AS FLOAT))")
+            .as("embedding"), col("label"))
+        val corpus2 = fcorpus.unionByName(batch)
+        val appendT = timeOnce("frontier_graph_append_1pct") {
+          graft.ops.GraphAnn.appendIndex(spark, gIdx, corpus2, batch,
+            "vec_id", k = 4, beam = 16, hops = 3, entryStride = 5000,
+            buckets = 256)
+        }
         val out = Seq(gBuildT, strideT,
           valueRow("frontier_graph_recall_milli_stride5000") {
             meanRecall(strideApprox)
@@ -517,7 +539,8 @@ object BenchScale {
           seedT,
           valueRow("frontier_graph_recall_milli_ivfseed_np1") {
             meanRecall(seededApprox)
-          })
+          },
+          writeT, appendT)
         g.unpersist()
         out
       }

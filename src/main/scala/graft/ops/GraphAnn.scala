@@ -276,6 +276,16 @@ object GraphAnn {
   private def withBucket(edges: DataFrame, buckets: Int): DataFrame =
     edges.withColumn("bucket", (hash8(col("src")) % buckets).cast("int"))
 
+  /** Materialize an already-built edge list at `path` (see
+    * [[withBucket]] for the layout) — [[writeIndex]]'s storage half,
+    * public so a caller holding a [[buildGraph]] result (e.g. one it
+    * also searches in-memory) can persist it without rebuilding.
+    */
+  def writeEdges(edges: DataFrame, path: String, buckets: Int = 64): Unit =
+    withBucket(edges.select("src", "dst", "sim_micro")
+      .withColumn("ins", lit(0)), buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
   /** Build the NN-Descent graph over `corpus` and materialize it at
     * `path` (see [[withBucket]] for the layout). One-shot: prefer
     * [[writeIndexVersioned]] in production so rebuilds are pointer
@@ -284,9 +294,8 @@ object GraphAnn {
   def writeIndex(corpus: DataFrame, idCol: String, k: Int,
                  initBuckets: Int, iterations: Int, path: String,
                  buckets: Int = 64): Unit =
-    withBucket(buildGraph(corpus, idCol, k, initBuckets, iterations)
-      .withColumn("ins", lit(0)), buckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeEdges(buildGraph(corpus, idCol, k, initBuckets, iterations),
+      path, buckets)
 
   /** Beam-search a materialized index: one bucketed read of the edge
     * list, then [[search]] (stride entries) over it.
