@@ -1124,6 +1124,37 @@ object BenchScale {
             "split(lower(trim(text)), '\\\\s+')", n = 5)
           .agg(sum(col("n_masked"))).collect().nonEmpty)
       },
+      time("maxsim_exact_2m_toks") {
+        // late-interaction ground truth: 4 query docs x 8 tokens
+        // against 2.56M corpus token vectors — broadcast query side,
+        // one corpus scan, map-side-combinable max+sum
+        val mv = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
+        require(graft.ops.MaxSim.scoreExact(
+            mv, mv.where(col("doc_id") < 4), k = 10)
+          .collect().length > 0)
+      },
+      time("maxsim_lsh_2m_toks") {
+        // production path: md5-hyperplane doc shortlist, exact
+        // re-rank on survivors only — same scoring tail, so the win
+        // is pure candidate-volume reduction
+        val mv = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
+        require(graft.ops.MaxSim.scoreLshPruned(
+            mv, mv.where(col("doc_id") < 4), k = 10,
+            nPlanes = 8, dims = 64)
+          .collect().length > 0)
+      },
+      time("bpe_train6_500k_docs") {
+        // BPE tokenizer training at corpus scale: ONE corpus-wide
+        // word-count shuffle, then 6 merge rounds over the compact
+        // vocabulary (narrow pair transform + vocab-scale agg +
+        // 1-row argmax per round) — corpus bytes price the first
+        // pass only, the loop is vocab-bound
+        val vocab = graft.ops.Bpe.wordVocab(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"), "text")
+        val (merges, seg) = graft.ops.Bpe.train(spark, vocab, 6)
+        require(merges.length == 6)
+        seg.unpersist()
+      },
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one
         // Exchange on user_id serves both window passes

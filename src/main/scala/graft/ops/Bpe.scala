@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-fitting pass of an LLM data pipeline (cf. the
+  * reference's row-level text handling at
+  * `utils/dataframe_operations.py`, which has no tokenizer story at
+  * all; the BPE-ish token COUNTER here is `TextAnalysis` — this is
+  * the op that LEARNS the merges that counter presumes).
+  *
+  * Scale shape, and why this survives 100 TB:
+  *
+  *  1. The ONLY corpus-scale pass is [[wordVocab]] — one map-side-
+  *     combined `groupBy(word)` shuffle. Everything after runs on the
+  *     distinct-word vocabulary, which is heavy-hitter compact
+  *     (~1e5–1e7 rows on web corpora, independent of corpus bytes):
+  *     classic Sennrich-style word-level BPE rather than a
+  *     corpus-positional variant, exactly so the iterative part
+  *     never touches the 100 TB again.
+  *  2. Each merge round is: adjacent-pair extraction as a NARROW
+  *     in-row `transform` over the symbol array (no posexplode of
+  *     corpus positions), one vocab-scale `groupBy(pair)` with
+  *     map-side partials, and a 1-ROW driver read (the argmax pair —
+  *     KB-scale, the documented contract; same discipline as
+  *     [[LabelPropagation]]'s per-round fixpoint check).
+  *  3. Merge application is an in-row left-to-right greedy fold
+  *     (`aggregate` HOF) — narrow, no shuffle. Per-round plan depth
+  *     is held O(1) with persist + localCheckpoint (the LPA/
+  *     [[GraphAnn]] iteration discipline), so 30k-merge production
+  *     runs don't build 30k-deep lineage.
+  *
+  * Greedy-fold semantics (and why they equal the relational parity
+  * rule the oracle uses): scanning left to right, a pair occurrence
+  * merges iff its left symbol was not consumed by the previous
+  * merge. Occurrences of (a,b) with a != b are never adjacent, so
+  * all merge; for a == b, a run of L copies merges at chain offsets
+  * 0,2,4,… — floor(L/2) merges. The fold re-checks `last == a`
+  * against the WHOLE symbol, and a merged symbol a||b never equals a
+  * (b nonempty), so the fold cannot re-merge a freshly-merged head —
+  * it is exactly the textbook single-pass greedy. [[trainSqlCtes]]
+  * renders the identical recurrence as unrolled DuckDB CTEs
+  * (row_number parity over candidate chains), so the whole training
+  * loop is differentially oracle-checkable, the [[GraphAnn]] way.
+  *
+  * Determinism: the per-round winner is argmax by (count DESC,
+  * sym_a ASC, sym_b ASC) — binary string order, identical in Spark
+  * and DuckDB — so ties never make the trained vocab run-dependent.
+  */
+object Bpe {
+
+  /** Corpus → (word, cnt): the one corpus-scale shuffle. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** (word, cnt) → (word, cnt, syms): character-level start state. */
+  def charSymbols(vocab: DataFrame): DataFrame =
+    vocab.withColumn(
+      "syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** One greedy merge pass of (s1, s2) over a symbol-array column —
+    * in-row, narrow, codegen'd comparisons inside the HOF.
+    */
+  def applyMerge(syms: org.apache.spark.sql.Column, s1: String,
+                 s2: String): org.apache.spark.sql.Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(s1) && s === lit(s2),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+          .otherwise(concat(acc, array(s))))
+
+  /** One trained merge. */
+  final case class Merge(round: Int, s1: String, s2: String, cnt: Long)
+
+  /** Train `rounds` merges over a (word, cnt) vocabulary. Returns the
+    * merge table and the final segmented vocabulary
+    * (word, cnt, syms). Driver reads: exactly one argmax ROW per
+    * round (KB-scale contract). Stops early if no adjacent pair
+    * remains (fully merged vocab).
+    */
+  def train(spark: SparkSession, vocab: DataFrame,
+            rounds: Int): (Seq[Merge], DataFrame) = {
+    var cur = charSymbols(vocab)
+      .select("word", "cnt", "syms")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // adjacent pairs, weighted by word count — narrow transform,
+      // then one vocab-scale aggregation
+      val winner = cur
+        .select(
+          col("cnt"),
+          explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1)," +
+              " (s, i) -> struct(s AS s1, syms[i + 1] AS s2))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("s1"), col("s2"))
+        .limit(1)
+        .collect() // 1 row: the round's argmax — documented driver read
+      if (winner.isEmpty) done = true
+      else {
+        val w = winner.head
+        val (s1, s2, c) =
+          (w.getString(0), w.getString(1), w.getLong(2))
+        merges += Merge(r, s1, s2, c)
+        // eager localCheckpoint truncates lineage: O(1) plan depth
+        // across rounds (the LPA discipline — checkpoint blocks of
+        // superseded rounds are dropped when the session GCs them;
+        // the live working set is one vocab copy per retained round)
+        val next = cur
+          .withColumn("syms", applyMerge(col("syms"), s1, s2))
+          .localCheckpoint(true)
+        if (r == 1) cur.unpersist() // the initial persisted frame
+        cur = next
+        r += 1
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Per-doc BPE token counts: join each doc's words to the final
+    * segmentation's per-word segment count. Big-big hash join on
+    * `word` (both sides shuffle-partitioned by the key; AQE may
+    * broadcast a small trained vocab on its own evidence).
+    */
+  def encodeCounts(docs: DataFrame, segmented: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val nseg = segmented.select(col("word"), size(col("syms")).cast("long").as("nseg"))
+    docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(nseg, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_bpe_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle rendering: the same recurrence as unrolled DuckDB CTEs
+  // (relational parity-rule merge — provably equal to the greedy
+  // fold, see object scaladoc). `docsRel` must expose (text) and,
+  // for the encode tail, (doc_id, text).
+  // ---------------------------------------------------------------
+
+  /** CTE chain `toks, vocab, s0, p1..w1..m1..s1, …, s<rounds>`.
+    * `w<r>` holds round r's winning pair; `s<rounds>` the final
+    * segmentation as (word, cnt, pos, sym) rows.
+    */
+  def trainSqlCtes(docsRel: String, rounds: Int): String = {
+    val init =
+      s"""toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM $docsRel),
+          vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks WHERE length(word) > 0 GROUP BY 1),
+          s0 AS (SELECT word, cnt, CAST(p AS BIGINT) AS pos,
+              substring(word, CAST(p AS INTEGER), 1) AS sym
+            FROM (SELECT word, cnt,
+                    unnest(range(1, length(word) + 1)) AS p FROM vocab) u)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val pv = s"s${r - 1}"
+      s"""p$r AS (SELECT a.sym AS s1, b.sym AS s2, CAST(SUM(a.cnt) AS BIGINT) AS c
+            FROM $pv a JOIN $pv b ON b.word = a.word AND b.pos = a.pos + 1
+            GROUP BY 1, 2),
+          w$r AS (SELECT s1, s2, c FROM p$r ORDER BY c DESC, s1, s2 LIMIT 1),
+          c$r AS (SELECT a.word, a.pos
+            FROM $pv a JOIN $pv b ON b.word = a.word AND b.pos = a.pos + 1
+            JOIN w$r w ON a.sym = w.s1 AND b.sym = w.s2),
+          g$r AS (SELECT word, pos,
+              pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM c$r),
+          m$r AS (SELECT word, pos FROM (
+              SELECT word, pos,
+                row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+              FROM g$r) t WHERE k % 2 = 1),
+          s$r AS (SELECT word, cnt,
+              CAST(row_number() OVER (PARTITION BY word ORDER BY opos) AS BIGINT) AS pos,
+              sym
+            FROM (
+              SELECT s.word, s.cnt, s.pos AS opos,
+                CASE WHEN ma.pos IS NOT NULL THEN w.s1 || w.s2 ELSE s.sym END AS sym
+              FROM $pv s
+              CROSS JOIN w$r w
+              LEFT JOIN m$r ma ON ma.word = s.word AND ma.pos = s.pos
+              LEFT JOIN m$r mb ON mb.word = s.word AND mb.pos = s.pos - 1
+              WHERE mb.pos IS NULL) u)"""
+    }
+    (init +: roundCtes).mkString(",\n")
+  }
+
+  /** Full oracle for the merge table: (round, sym_a, sym_b, merged,
+    * pair_cnt) ordered by round.
+    */
+  def mergesSql(docsRel: String, rounds: Int): String = {
+    val sel = (1 to rounds)
+      .map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, s1 AS sym_a, s2 AS sym_b,
+              s1 || s2 AS merged, c AS pair_cnt FROM w$r""")
+      .mkString("\nUNION ALL\n")
+    // MATERIALIZED: each round's s{r} is referenced by three CTEs of
+    // round r+1 — inlined, the 6-round chain re-evaluates
+    // exponentially (the GraphAnn.materializeCtes lesson)
+    GraphAnn.materializeCtes(
+      s"WITH ${trainSqlCtes(docsRel, rounds)}\n$sel\nORDER BY round")
+  }
+
+  /** Full oracle for per-doc encode counts after `rounds` merges. */
+  def encodeSql(docsRel: String, rounds: Int): String = GraphAnn.materializeCtes(
+    s"""WITH ${trainSqlCtes(docsRel, rounds)},
+        nseg AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS nseg
+          FROM s$rounds GROUP BY 1),
+        dt AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM $docsRel)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(nseg) AS BIGINT) AS n_bpe_tokens
+        FROM dt JOIN nseg USING (word)
+        WHERE length(word) > 0
+        GROUP BY doc_id ORDER BY doc_id""")
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Late-interaction (MaxSim / ColBERT-style) multi-vector retrieval:
+  * a document is a BAG of token vectors, a query likewise, and
+  * score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(t, u). The retrieval
+  * shape RAG pipelines use when single-vector recall saturates —
+  * and an op the reference (single-process pandas ETL, no vector
+  * story at all) has no analogue for.
+  *
+  * Scale shape:
+  *  - [[scoreExact]] broadcasts the QUERY token table (queries ×
+  *    tokens — KBs to MBs) against one scan of the corpus token
+  *    table: no corpus-side shuffle until the per-(query-token, doc)
+  *    max, which is map-side combinable. This is the ground-truth
+  *    path and the re-ranker.
+  *  - [[scoreLshPruned]] is the production path: deterministic
+  *    hyperplane buckets (md5-derived, [[Similarity.planeWeights]] —
+  *    no RNG state) shortlist candidate DOCS whose any-token bucket
+  *    collides with any query-token bucket; the exact MaxSim then
+  *    runs only over the shortlist's token vectors. Both stages are
+  *    relational, so the whole pruned pipeline replays in DuckDB —
+  *    the same differential-oracle discipline as [[GraphAnn]].
+  *
+  * Exactness: integer micro-cosines ([[Similarity.cosineMicro]] over
+  * quantized vectors) make max and sum associativity-proof — the
+  * score is a BIGINT, bit-identical in any engine.
+  */
+object MaxSim {
+
+  /** Multi-vector view of a single-vector table: vec_id DIV m is the
+    * document, vec_id % m the token slot. (The fixture ships one
+    * vector per id; a real corpus lands here already shaped
+    * (doc_id, tok, vec) by the embedder.)
+    */
+  def multiVector(emb: DataFrame, idCol: String, m: Int): DataFrame =
+    emb.select(
+      expr(s"$idCol DIV $m").as("doc_id"),
+      (col(idCol) % m).as("tok"),
+      col(idCol).as("vec_id"),
+      col("embedding"))
+
+  private def quantized(toks: DataFrame): DataFrame =
+    Similarity.withQuantized(toks, "embedding")
+      .select(col("doc_id"), col("tok"), col("vec_id"), col("ei"), col("nn"))
+
+  /** Exact MaxSim top-k: query token table broadcast, one corpus
+    * token scan, two map-side-combinable aggregations (max per
+    * (query-token, doc), sum per (query, doc)), window top-k.
+    * Deterministic rank: (score_micro desc, doc_id).
+    */
+  def scoreExact(docToks: DataFrame, queryToks: DataFrame, k: Int): DataFrame =
+    rerank(quantized(docToks), queryToks, k)
+
+  /** Exact MaxSim over an ALREADY-quantized corpus token table —
+    * shared tail of the exact and pruned paths, so the two can never
+    * drift in scoring.
+    */
+  private def rerank(corpusQ: DataFrame, queryToks: DataFrame, k: Int): DataFrame = {
+    val q = quantized(queryToks)
+      .select(col("doc_id").as("q_doc"), col("vec_id").as("q_vec"),
+        col("ei").as("qe"), col("nn").as("qn"))
+    val tokSim = corpusQ
+      .crossJoin(broadcast(q))
+      .where(col("doc_id") =!= col("q_doc"))
+      .withColumn("sim_micro",
+        Similarity.cosineMicro(
+          Similarity.dotLong(col("ei"), col("qe")), col("nn"), col("qn")))
+    val perQueryTok = tokSim
+      .groupBy(col("q_doc"), col("q_vec"), col("doc_id"))
+      .agg(max(col("sim_micro")).as("mx"))
+    val scored = perQueryTok
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("mx")).as("score_micro"))
+    val w = Window.partitionBy("q_doc")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_doc"), col("rnk"), col("doc_id"), col("score_micro"))
+  }
+
+  /** Per-token LSH bucket id from the deterministic hyperplanes —
+    * identical to [[Similarity.lshCandidates]]'s bucketing.
+    */
+  private def bucketCol(nPlanes: Int, dims: Int): Column = {
+    val weights = Similarity.planeWeights(nPlanes, dims)
+    weights.zipWithIndex.map { case (ws, p) =>
+      val dot = Similarity.dotLong(col("ei"),
+        array(ws.map(w => lit(w)): _*))
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Production path: hyperplane buckets shortlist candidate docs
+    * (any query token's bucket == any doc token's bucket), then the
+    * exact MaxSim re-ranks ONLY the shortlist. The candidate set is
+    * doc-level — a doc whose one token collides is re-ranked with
+    * ALL its tokens, so surviving scores equal the exact path's
+    * bit-for-bit (pruning can only drop docs, never distort scores).
+    */
+  def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
+                     nPlanes: Int, dims: Int): DataFrame = {
+    val corpusQ = quantized(docToks)
+    val qQ = quantized(queryToks)
+    val b = bucketCol(nPlanes, dims)
+    val cBuckets = corpusQ.select(col("doc_id"), b.as("b"))
+    val qBuckets = qQ.select(col("doc_id").as("q_doc"), b.as("b"))
+    val candDocs = cBuckets
+      .join(broadcast(qBuckets.select("b").distinct()), "b")
+      .select("doc_id").distinct()
+    rerank(corpusQ.join(candDocs, "doc_id"), queryToks, k)
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle rendering. `quantCtePrefix` must define flat
+  // (vec_id, i, v) and norms (vec_id, nn) — VectorQueries' shared
+  // quantCte. Scores replay the integer micro-cosine convention.
+  // ---------------------------------------------------------------
+
+  /** CTEs computing exact MaxSim top-k. `qPred` renders the
+    * query-side membership predicate given a vec_id expression
+    * (e.g. `v => s"$v // 4 < 3"`). Emits (q_doc, rnk, doc_id,
+    * score_micro).
+    */
+  def exactSql(m: Int, k: Int, qPred: String => String): String =
+    s"""qdots AS (SELECT q.vec_id AS qv, c.vec_id AS cv, SUM(q.v * c.v) AS dot
+          FROM flat q JOIN flat c ON c.i = q.i
+            AND (${qPred("q.vec_id")}) AND c.vec_id // $m <> q.vec_id // $m
+          GROUP BY 1, 2),
+        qsims AS (SELECT qv, cv,
+            CAST(round(CAST(dot AS DOUBLE) /
+              (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+              * 1000000) AS BIGINT) AS sim_micro
+          FROM qdots d JOIN norms nq ON nq.vec_id = d.qv
+            JOIN norms nc ON nc.vec_id = d.cv),
+        tokmax AS (SELECT qv, cv // $m AS doc_id, MAX(sim_micro) AS mx
+          FROM qsims GROUP BY 1, 2),
+        score AS (SELECT qv // $m AS q_doc, doc_id,
+            CAST(SUM(mx) AS BIGINT) AS score_micro
+          FROM tokmax GROUP BY 1, 2),
+        ranked AS (SELECT q_doc, doc_id, score_micro,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+          FROM score)
+        SELECT q_doc, rnk, doc_id, score_micro FROM ranked
+        WHERE rnk <= $k ORDER BY q_doc, rnk"""
+
+  /** CTEs for the LSH-pruned path: plane weights from md5 (the q49
+    * convention), doc-level candidate shortlist, exact re-rank on
+    * shortlisted docs only.
+    */
+  def lshPrunedSql(m: Int, k: Int, qPred: String => String, nPlanes: Int,
+                   dims: Int): String =
+    s"""planes AS (SELECT p, d,
+            ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT
+              - 32768 AS wt
+          FROM (SELECT unnest(range(0, $nPlanes)) AS p),
+               (SELECT unnest(range(0, $dims)) AS d)),
+        pdots AS (SELECT f.vec_id, pl.p, SUM(f.v * pl.wt) AS dp
+          FROM flat f JOIN planes pl ON pl.d = f.i - 1
+          GROUP BY 1, 2),
+        bucket AS (SELECT vec_id,
+            CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+          FROM pdots GROUP BY 1),
+        qb AS (SELECT DISTINCT b FROM bucket WHERE
+          (${qPred("vec_id")})),
+        cand AS (SELECT DISTINCT c.vec_id // $m AS doc_id
+          FROM bucket c JOIN qb ON qb.b = c.b),
+        qdots AS (SELECT q.vec_id AS qv, c.vec_id AS cv, SUM(q.v * c.v) AS dot
+          FROM flat q JOIN flat c ON c.i = q.i
+            AND (${qPred("q.vec_id")}) AND c.vec_id // $m <> q.vec_id // $m
+          JOIN cand ON cand.doc_id = c.vec_id // $m
+          GROUP BY 1, 2),
+        qsims AS (SELECT qv, cv,
+            CAST(round(CAST(dot AS DOUBLE) /
+              (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+              * 1000000) AS BIGINT) AS sim_micro
+          FROM qdots d JOIN norms nq ON nq.vec_id = d.qv
+            JOIN norms nc ON nc.vec_id = d.cv),
+        tokmax AS (SELECT qv, cv // $m AS doc_id, MAX(sim_micro) AS mx
+          FROM qsims GROUP BY 1, 2),
+        score AS (SELECT qv // $m AS q_doc, doc_id,
+            CAST(SUM(mx) AS BIGINT) AS score_micro
+          FROM tokmax GROUP BY 1, 2),
+        ranked AS (SELECT q_doc, doc_id, score_micro,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+          FROM score)
+        SELECT q_doc, rnk, doc_id, score_micro FROM ranked
+        WHERE rnk <= $k ORDER BY q_doc, rnk"""
+}

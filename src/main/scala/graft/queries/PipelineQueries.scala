@@ -442,9 +442,43 @@ object PipelineQueries {
       ChangeCapture.scd2(events(s, dir), "user_id", "ts", "event_id",
           Seq("event_type"))
         .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // BPE tokenizer training: 6 merge rounds over the word vocabulary
+    // (the corpus is shuffled ONCE into word counts; the loop runs on
+    // the compact vocab, one argmax row to the driver per round). The
+    // oracle replays the whole recurrence as unrolled relational CTEs
+    // — greedy fold ≡ row_number-parity merge, see Bpe scaladoc.
+    "q173_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = graft.ops.Bpe.wordVocab(t(s, dir, "documents"), "text")
+      val (merges, seg) = graft.ops.Bpe.train(s, vocab, 6)
+      seg.unpersist()
+      merges.toDF()
+        .select(col("round").cast(LongType).as("round"),
+          col("s1").as("sym_a"), col("s2").as("sym_b"),
+          concat(col("s1"), col("s2")).as("merged"),
+          col("cnt").as("pair_cnt"))
+        .orderBy("round")
+    }),
+
+    // BPE encode: per-doc token counts under the 6 trained merges —
+    // the corpus-side apply path (words join the segmented vocab's
+    // per-word segment count; big-big hash join on the word key)
+    "q174_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = graft.ops.Bpe.wordVocab(d, "text")
+      val (_, seg) = graft.ops.Bpe.train(s, vocab, 6)
+      graft.ops.Bpe.encodeCounts(d, seg, "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // the ENTIRE 6-round training recurrence unrolled as relational
+    // CTEs (argmax + parity-rule merge per round) — any drift in pair
+    // counting, tie-breaking, or greedy application breaks the hash
+    "q173_bpe_merges" -> graft.ops.Bpe.mergesSql("documents", 6),
+    "q174_bpe_tokens" -> graft.ops.Bpe.encodeSql("documents", 6),
     // the rewrite must be INVISIBLE in values: the oracle recomputes
     // the aggregate straight from the raw events — if answering from
     // the maintained rollup changed any number, the hash breaks

@@ -315,6 +315,27 @@ object VectorQueries {
           .over(Window.orderBy(col("pnorm2").desc, col("vec_id"))).cast("long"))
         .select("vec_id", "rnk", "pnorm2", "proj1")
         .orderBy("rnk")
+    }),
+
+    // late-interaction (MaxSim) retrieval, exact path: docs as bags
+    // of m=4 token vectors, score = Σ_q-tok max_d-tok cos — query
+    // token table broadcast, two map-side-combinable aggs, integer
+    // micro-scores end to end
+    "q175_maxsim_exact" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      graft.ops.MaxSim.scoreExact(
+          mv, mv.where(col("doc_id") < 3), k = 5)
+        .orderBy("q_doc", "rnk")
+    }),
+
+    // MaxSim, production path: md5-hyperplane buckets shortlist
+    // candidate docs, exact re-rank ONLY the shortlist (same scoring
+    // tail as q175 — pruning can drop docs, never distort scores)
+    "q176_maxsim_lsh" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      graft.ops.MaxSim.scoreLshPruned(
+          mv, mv.where(col("doc_id") < 3), k = 5, nPlanes = 4, dims = 64)
+        .orderBy("q_doc", "rnk")
     }))
 
   private val quantCte =
@@ -507,6 +528,17 @@ object VectorQueries {
       .foldLeft(pqFitCte)((s, n) => s.replaceAll("\\b" + n + "\\b", "pq_" + n))
 
   val oracles: Map[String, String] = Map(
+    // the full MaxSim pipeline replayed relationally: integer
+    // micro-cosine per token pair, MAX per (query-token, doc), SUM
+    // per (query, doc); the pruned twin additionally replays the
+    // md5-hyperplane shortlist before the identical scoring tail
+    "q175_maxsim_exact" ->
+      s"""WITH $quantCte,
+         ${graft.ops.MaxSim.exactSql(m = 4, k = 5, v => s"$v // 4 < 3")}""",
+    "q176_maxsim_lsh" ->
+      s"""WITH $quantCte,
+         ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
+            nPlanes = 4, dims = 64)}""",
     // replays fitQuantized (ivfAssignCte's assigned) + one Lloyd step:
     // floor-of-IEEE-quotient centroid means (exact parity — both
     // engines floor the same correctly-rounded double quotient of the
