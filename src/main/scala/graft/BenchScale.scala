@@ -1155,6 +1155,15 @@ object BenchScale {
         require(merges.length == 6)
         seg.unpersist()
       },
+      time("epoch_shuffle_export_500k") {
+        // full epoch export: content-addressed (shard, pos)
+        // assignment + hive-per-shard write with in-file stream
+        // order — the one-shuffle dataloader hand-off
+        val assigned = graft.ops.Export.epochShards(
+          spark.read.parquet(s"$tmp/docs.parquet"), "doc_id",
+          epoch = 1, nShards = 64)
+        graft.ops.Export.writeEpoch(assigned, s"$tmp/epoch1")
+      },
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one
         // Exchange on user_id serves both window passes

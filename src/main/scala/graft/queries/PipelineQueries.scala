@@ -444,6 +444,27 @@ object PipelineQueries {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // deterministic epoch shuffle into fixed shards — the training
+    // dataloader contract: (shard, pos) is a pure md5 function of
+    // (doc_id, epoch), reproducible on any engine/cluster/rerun
+    "q177_epoch_shuffle" -> ((s, dir) => {
+      graft.ops.Export.epochShards(t(s, dir, "documents"), "doc_id",
+          epoch = 1, nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
+    // curriculum export: within a shard, ascending quality stage
+    // (size-bucket proxy), shuffled within each stage by the epoch key
+    "q178_curriculum_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("stage", expr("n_chars DIV 256"))
+      graft.ops.Export.curriculumShards(d, "doc_id", "stage",
+          epoch = 2, nShards = 4)
+        .select("doc_id", "stage", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     // BPE tokenizer training: 6 merge rounds over the word vocabulary
     // (the corpus is shuffled ONCE into word counts; the loop runs on
     // the compact vocab, one argmax row to the driver per round). The
@@ -479,6 +500,18 @@ object PipelineQueries {
     // counting, tie-breaking, or greedy application breaks the hash
     "q173_bpe_merges" -> graft.ops.Bpe.mergesSql("documents", 6),
     "q174_bpe_tokens" -> graft.ops.Bpe.encodeSql("documents", 6),
+    "q177_epoch_shuffle" ->
+      (graft.ops.Export.epochShardsSql("documents", "doc_id", 1, 8) +
+        "\nORDER BY shard, pos"),
+    "q178_curriculum_shards" ->
+      """WITH d AS (SELECT doc_id, n_chars // 256 AS stage FROM documents),
+         h AS (SELECT doc_id, stage,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#e2'), 1, 13))::BIGINT AS hk
+           FROM d)
+         SELECT doc_id, stage, CAST(hk % 4 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hk % 4
+             ORDER BY stage, hk, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY shard, pos""",
     // the rewrite must be INVISIBLE in values: the oracle recomputes
     // the aggregate straight from the raw events — if answering from
     // the maintained rollup changed any number, the hash breaks
