@@ -1155,6 +1155,25 @@ object BenchScale {
         require(merges.length == 6)
         seg.unpersist()
       },
+      timeOnce("bpe_train32_batch8_500k_docs") {
+        // production cadence: 32 merges in ~4 batched rounds (top-8
+        // disjoint pairs per round, one fold pass each) vs 32
+        // sequential argmax rounds — the lever that makes a
+        // 30k-merge tokenizer trainable (rounds, not merges, pay the
+        // synchronization cost)
+        val vocab = graft.ops.Bpe.wordVocab(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"), "text")
+        val (merges, seg) = graft.ops.Bpe.trainBatched(spark, vocab, 32, 8)
+        require(merges.length == 32)
+        seg.unpersist()
+      },
+      timeOnce("bpe_train32_seq_500k_docs") {
+        val vocab = graft.ops.Bpe.wordVocab(
+          spark.read.parquet(s"$tmp/docs_gram.parquet"), "text")
+        val (merges, seg) = graft.ops.Bpe.train(spark, vocab, 32)
+        require(merges.length == 32)
+        seg.unpersist()
+      },
       time("epoch_shuffle_export_500k") {
         // full epoch export: content-addressed (shard, pos)
         // assignment + hive-per-shard write with in-file stream

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -127,6 +127,102 @@ object Bpe {
         if (r == 1) cur.unpersist() // the initial persisted frame
         cur = next
         r += 1
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** One greedy pass applying a SET of pairwise-disjoint merges in a
+    * single fold — the batched-round workhorse. `pairs` must be
+    * conflict-free (no shared symbols, no merged string colliding
+    * with another pair's symbol — [[trainBatched]] selects them so);
+    * under that precondition application order is immaterial and the
+    * pass equals applying each merge sequentially.
+    */
+  def applyMerges(syms: Column, pairs: Seq[(String, String)]): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) => {
+        // exact per-pair equality chain (a concatenated-key map
+        // lookup is ambiguous when symbols share boundaries, e.g.
+        // (a,bc) vs (ab,c)); batch sizes are small by contract
+        val last = element_at(acc, -1)
+        val hit = pairs
+          .map { case (a, b) =>
+            (last === lit(a) && s === lit(b), lit(a + b)) }
+          .foldRight(lit(null).cast("string")) { case ((c, v), e) =>
+            when(c, v).otherwise(e)
+          }
+        when(size(acc) > 0 && hit.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+          .otherwise(concat(acc, array(s)))
+      })
+
+  /** Production-scale training: each round takes the TOP-`batch`
+    * pairwise-DISJOINT pairs by count (ties (count DESC, s1, s2) as
+    * ever) and applies them in one fold pass — a 30k-merge tokenizer
+    * becomes ~30k/batch synchronous rounds instead of 30k. The
+    * greedy disjointness filter (skip a pair sharing a symbol with an
+    * already-picked one, or whose merged string collides with a
+    * picked symbol) makes the single fold pass provably equal to
+    * applying the picked merges one at a time: disjoint pairs can
+    * never overlap an occurrence, and the collision check stops a
+    * freshly-merged symbol from feeding a same-round pair. The
+    * APPROXIMATION vs strict sequential BPE is the standard batched
+    * one — pairs CREATED by an earlier merge in the batch (x, a∥b)
+    * only compete from the next round; picked pairs' own counts are
+    * exact (disjointness means no pick disturbs another's
+    * occurrences). `batch = 1` is bit-identical to [[train]]
+    * (spec-pinned). Driver reads ≤ 4·batch candidate rows per round
+    * (KB-scale contract).
+    */
+  def trainBatched(spark: SparkSession, vocab: DataFrame, totalMerges: Int,
+                   batch: Int): (Seq[Merge], DataFrame) = {
+    require(batch >= 1, s"batch must be >= 1 (got $batch)")
+    var cur = charSymbols(vocab)
+      .select("word", "cnt", "syms")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val merges = Seq.newBuilder[Merge]
+    var got = 0
+    var round = 1
+    var done = false
+    while (got < totalMerges && !done) {
+      val want = math.min(batch, totalMerges - got)
+      val top = cur
+        .select(
+          col("cnt"),
+          explode(expr(
+            "transform(slice(syms, 1, size(syms) - 1)," +
+              " (s, i) -> struct(s AS s1, syms[i + 1] AS s2))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("s1"), col("s2"))
+        .limit(4 * want) // oversample: some candidates conflict
+        .collect() // <= 4*batch rows — documented driver read
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        top.foreach { r =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (n < want && !used(a) && !used(b) && !used(a + b)) {
+            picked += ((a, b, c)); used += a; used += b; used += (a + b)
+            n += 1
+          }
+        }
+        val sel = picked.result()
+        sel.foreach { case (a, b, c) => merges += Merge(round, a, b, c) }
+        got += sel.length
+        val next = cur
+          .withColumn("syms",
+            applyMerges(col("syms"), sel.map(p => (p._1, p._2))))
+          .localCheckpoint(true)
+        if (round == 1) cur.unpersist()
+        cur = next
+        round += 1
       }
     }
     (merges.result(), cur)

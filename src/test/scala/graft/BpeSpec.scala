@@ -83,4 +83,45 @@ class BpeSpec extends SparkSpec {
     assert(enc.toSeq == Seq((1L, 3L, 5L), (2L, 1L, 1L)))
     seg.unpersist()
   }
+
+  test("trainBatched with batch=1 is bit-identical to train") {
+    val v = vocabOf("low" -> 5L, "lower" -> 2L, "lowest" -> 3L,
+      "newer" -> 4L, "wider" -> 1L)
+    val (seq, segA) = Bpe.train(spark, v, 5)
+    val (bat, segB) = Bpe.trainBatched(spark, v, 5, batch = 1)
+    assert(bat.map(m => (m.s1, m.s2, m.cnt)) ==
+      seq.map(m => (m.s1, m.s2, m.cnt)))
+    val sa = segA.orderBy("word").collect().map(_.getSeq[String](2)).toSeq
+    val sb = segB.orderBy("word").collect().map(_.getSeq[String](2)).toSeq
+    assert(sa == sb)
+    segA.unpersist(); segB.unpersist()
+  }
+
+  test("batched round picks pairwise-disjoint pairs and applies them in one pass") {
+    // (l,o)=7, (o,w)=7 conflict on o: the round must take (l,o) and
+    // then the best o-free pair
+    val v = vocabOf("low" -> 5L, "lower" -> 2L, "anna" -> 6L)
+    val (bat, seg) = Bpe.trainBatched(spark, v, 2, batch = 2)
+    assert(bat.length == 2)
+    assert(bat.forall(_.round == 1)) // both landed in one round
+    val syms = bat.flatMap(m => Seq(m.s1, m.s2, m.s1 + m.s2))
+    assert(syms.distinct.length == syms.length) // fully disjoint
+    // (l,o) first, then the best o-free pair (a,n); counts are the
+    // PRE-round exact counts
+    assert(bat.map(m => (m.s1, m.s2, m.cnt)) ==
+      Seq(("l", "o", 7L), ("a", "n", 6L)))
+    seg.unpersist()
+  }
+
+  test("batched equals sequential when the top pairs don't interact") {
+    val v = vocabOf("abab" -> 5L, "cdcd" -> 4L)
+    val (seq, s1) = Bpe.train(spark, v, 2)
+    val (bat, s2) = Bpe.trainBatched(spark, v, 2, batch = 2)
+    assert(bat.map(m => (m.s1, m.s2, m.cnt)).toSet ==
+      seq.map(m => (m.s1, m.s2, m.cnt)).toSet)
+    val a = s1.orderBy("word").collect().map(_.getSeq[String](2)).toSeq
+    val b = s2.orderBy("word").collect().map(_.getSeq[String](2)).toSeq
+    assert(a == b)
+    s1.unpersist(); s2.unpersist()
+  }
 }

@@ -77,4 +77,11 @@ class ExportSpec extends SparkSpec {
       .where(col("prev").isNotNull && col("pos") <= col("prev"))
     assert(disorder.count() == 0)
   }
+
+  test("plan: the whole epoch assignment is ONE hash shuffle") {
+    val plan = Export.epochShards(docs(100), "doc_id", 1, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
 }

@@ -63,4 +63,13 @@ class MaxSimSpec extends SparkSpec {
       .select("doc_id", "tok").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(mv.toSet == Set((0L, 0L), (0L, 1L), (1L, 0L)))
   }
+
+  test("plan: query side broadcasts — no sort-merge join anywhere") {
+    val d = toks((0L, 0L, Seq(1f, 0f)), (1L, 0L, Seq(0f, 1f)),
+      (2L, 0L, Seq(1f, 1f)))
+    val plan = MaxSim.scoreExact(d, d.where(col("doc_id") === 0), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
 }

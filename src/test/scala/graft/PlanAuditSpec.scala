@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "q145_token_mixture",      // single-row w_total scalar cross join (q98 shape)
     "q151_passage_bm25",       // single-row corpus-stats scalar cross join (q115 shape)
     "q157_embedding_drift",    // single-row snapshot-totals scalar cross join
-    "q158_bigram_nll")         // single-row n_total scalar cross join (q91 shape)
+    "q158_bigram_nll",         // single-row n_total scalar cross join (q91 shape)
+    "q175_maxsim_exact",       // corpus tokens x broadcast query-token bag (q48 shape)
+    "q176_maxsim_lsh")         // same broadcast re-rank tail over the LSH shortlist
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
