@@ -59,11 +59,19 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
-  /** (word, cnt) → (word, cnt, syms): character-level start state. */
+  /** (word, cnt) → (word, cnt, syms): character-level start state.
+    * Empty words are dropped defensively ([[wordVocab]] never emits
+    * them, but `train` accepts any (word, cnt) frame — and
+    * `sequence(1, 0)` DESCENDS, which would fabricate two
+    * empty-string symbols and a phantom ("","") pair carrying the
+    * word's full weight into the argmax).
+    */
   def charSymbols(vocab: DataFrame): DataFrame =
-    vocab.withColumn(
-      "syms",
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    vocab
+      .where(length(col("word")) > 0)
+      .withColumn(
+        "syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
 
   /** One greedy merge pass of (s1, s2) over a symbol-array column —
     * in-row, narrow, codegen'd comparisons inside the HOF.
@@ -159,10 +167,15 @@ object Bpe {
           .otherwise(concat(acc, array(s)))
       })
 
-  /** Production-scale training: each round takes the TOP-`batch`
-    * pairwise-DISJOINT pairs by count (ties (count DESC, s1, s2) as
-    * ever) and applies them in one fold pass — a 30k-merge tokenizer
-    * becomes ~30k/batch synchronous rounds instead of 30k. The
+  /** Production-scale training: each round greedily picks up to
+    * `batch` pairwise-DISJOINT pairs from the round's top-4·batch
+    * candidates by count (ties (count DESC, s1, s2) as ever) and
+    * applies them in one fold pass — a 30k-merge tokenizer becomes
+    * ~30k/batch synchronous rounds instead of 30k. Conflict-dense
+    * rounds (one hot symbol dominating the top of the list) may pick
+    * fewer than `batch`; the shortfall just rolls into the next
+    * round — progress per round is ≥ 1 merge, so termination holds
+    * and total merges are unchanged. The
     * greedy disjointness filter (skip a pair sharing a symbol with an
     * already-picked one, or whose merged string collides with a
     * picked symbol) makes the single fold pass provably equal to
@@ -255,6 +268,13 @@ object Bpe {
   /** CTE chain `toks, vocab, s0, p1..w1..m1..s1, …, s<rounds>`.
     * `w<r>` holds round r's winning pair; `s<rounds>` the final
     * segmentation as (word, cnt, pos, sym) rows.
+    *
+    * Contract: `rounds` must not exceed the merges the corpus can
+    * yield — each s<r> is built `CROSS JOIN w<r>`, so an empty round
+    * empties every later CTE, where the Spark side early-stops
+    * instead. Real corpora yield thousands of merges; the contract
+    * only bites on degenerate vocabularies (single fully-merged
+    * word), which callers pin `rounds` well below.
     */
   def trainSqlCtes(docsRel: String, rounds: Int): String = {
     val init =

@@ -31,36 +31,34 @@ object Export {
     conv(substring(md5(concat(idCol.cast("string"), lit(s"#e$epoch"))),
       1, 13), 16, 10).cast(LongType)
 
-  /** Assign (shard, pos): shard = key % nShards, pos = dense 1-based
-    * rank of the key within the shard (ties — 2^-52 events — broken
-    * by id for total determinism).
+  /** Shared assignment body: shard = key % nShards, pos = dense
+    * 1-based rank within the shard by `orderCols` (the hash key plus
+    * tie-breaking id, optionally prefixed — ties on the 52-bit key
+    * are 2^-52 events, broken by id for total determinism).
     */
-  def epochShards(df: DataFrame, idCol: String, epoch: Int,
-                  nShards: Int): DataFrame = {
+  private def assign(df: DataFrame, idCol: String, epoch: Int, nShards: Int,
+                     orderPrefix: Seq[Column]): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
-    val hk = shuffleKey(col(idCol), epoch)
-    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col(idCol))
-    df.withColumn("hk", hk)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderPrefix ++ Seq(col("hk"), col(idCol)): _*)
+    df.withColumn("hk", shuffleKey(col(idCol), epoch))
       .withColumn("shard", pmod(col("hk"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast(LongType))
       .drop("hk")
   }
+
+  /** Assign (shard, pos): the plain epoch shuffle. */
+  def epochShards(df: DataFrame, idCol: String, epoch: Int,
+                  nShards: Int): DataFrame =
+    assign(df, idCol, epoch, nShards, Seq.empty)
 
   /** Curriculum variant: within a shard, rows stream in ascending
     * `stageCol` order (e.g. a quality bucket — easy first), shuffled
     * WITHIN each stage by the epoch key. Same single-shuffle shape.
     */
   def curriculumShards(df: DataFrame, idCol: String, stageCol: String,
-                       epoch: Int, nShards: Int): DataFrame = {
-    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
-    val hk = shuffleKey(col(idCol), epoch)
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col(stageCol), col("hk"), col(idCol))
-    df.withColumn("hk", hk)
-      .withColumn("shard", pmod(col("hk"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast(LongType))
-      .drop("hk")
-  }
+                       epoch: Int, nShards: Int): DataFrame =
+    assign(df, idCol, epoch, nShards, Seq(col(stageCol)))
 
   /** Materialize an epoch: one shard = one hive directory, rows
     * inside stored in stream order (`pos`), so the dataloader reads

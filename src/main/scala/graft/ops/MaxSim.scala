@@ -54,14 +54,15 @@ object MaxSim {
     * Deterministic rank: (score_micro desc, doc_id).
     */
   def scoreExact(docToks: DataFrame, queryToks: DataFrame, k: Int): DataFrame =
-    rerank(quantized(docToks), queryToks, k)
+    rerank(quantized(docToks), quantized(queryToks), k)
 
-  /** Exact MaxSim over an ALREADY-quantized corpus token table —
-    * shared tail of the exact and pruned paths, so the two can never
-    * drift in scoring.
+  /** Exact MaxSim over ALREADY-quantized corpus and query token
+    * tables — shared tail of the exact and pruned paths, so the two
+    * can never drift in scoring (and each side is quantized exactly
+    * once per pipeline).
     */
-  private def rerank(corpusQ: DataFrame, queryToks: DataFrame, k: Int): DataFrame = {
-    val q = quantized(queryToks)
+  private def rerank(corpusQ: DataFrame, queryQ: DataFrame, k: Int): DataFrame = {
+    val q = queryQ
       .select(col("doc_id").as("q_doc"), col("vec_id").as("q_vec"),
         col("ei").as("qe"), col("nn").as("qn"))
     val tokSim = corpusQ
@@ -84,17 +85,12 @@ object MaxSim {
       .select(col("q_doc"), col("rnk"), col("doc_id"), col("score_micro"))
   }
 
-  /** Per-token LSH bucket id from the deterministic hyperplanes —
-    * identical to [[Similarity.lshCandidates]]'s bucketing.
+  /** Per-token LSH bucket id — [[Similarity.lshBucket]] verbatim, so
+    * the shortlist can never drift from the LSH index family's (or
+    * the shared DuckDB replay's) bucket convention.
     */
-  private def bucketCol(nPlanes: Int, dims: Int): Column = {
-    val weights = Similarity.planeWeights(nPlanes, dims)
-    weights.zipWithIndex.map { case (ws, p) =>
-      val dot = Similarity.dotLong(col("ei"),
-        array(ws.map(w => lit(w)): _*))
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  private def bucketCol(nPlanes: Int, dims: Int): Column =
+    Similarity.lshBucket(col("ei"), Similarity.planeWeights(nPlanes, dims))
 
   /** Production path: hyperplane buckets shortlist candidate docs
     * (any query token's bucket == any doc token's bucket), then the
@@ -113,7 +109,7 @@ object MaxSim {
     val candDocs = cBuckets
       .join(broadcast(qBuckets.select("b").distinct()), "b")
       .select("doc_id").distinct()
-    rerank(corpusQ.join(candDocs, "doc_id"), queryToks, k)
+    rerank(corpusQ.join(candDocs, "doc_id"), qQ, k)
   }
 
   // ---------------------------------------------------------------

@@ -485,7 +485,10 @@ object PipelineQueries {
 
     // BPE encode: per-doc token counts under the 6 trained merges —
     // the corpus-side apply path (words join the segmented vocab's
-    // per-word segment count; big-big hash join on the word key)
+    // per-word segment count; big-big hash join on the word key).
+    // `seg` is localCheckpointed and the returned plan references it,
+    // so its blocks live exactly as long as the result frame does —
+    // ContextCleaner reclaims them when the caller drops the result
     "q174_bpe_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val vocab = graft.ops.Bpe.wordVocab(d, "text")
