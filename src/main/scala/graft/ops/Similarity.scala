@@ -115,6 +115,36 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar corpus vectors carrying a DIFFERENT label —
+    * the "nearest non-match" negatives that make an embedding model
+    * learn boundaries instead of memorizing easy contrasts. Same
+    * plan as [[bruteForceTopK]] (broadcast queries, one corpus scan,
+    * integer micro-cosine, (sim desc, id) rank) with the label
+    * inequality riding the scan filter; at billion-vector scale,
+    * route through the IVF probe first and re-rank the probed cells
+    * with the same predicate ([[Ivf.searchQuantized]] composition —
+    * inequality can't pre-prune partitions, so it filters candidates
+    * in-plan either way).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withQuantized(corpus, "embedding")
+    val q = withQuantized(queries, "embedding")
+      .select(col(idCol).as("q_id"), col(labelCol).as("q_lbl"),
+        col("ei").as("qe"), col("nn").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("q_id") && col(labelCol) =!= col("q_lbl"))
+      .withColumn("sim_micro",
+        cosineMicro(dotLong(col("ei"), col("qe")), col("nn"), col("qn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_micro").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), col(labelCol),
+        col("sim_micro"))
+  }
+
   /** Sign-bucket id (0 .. 2^planes-1) for the quantized embedding
     * column `ei`: bit p set iff dot(ei, plane_p) > 0. Exact integer
     * arithmetic end to end.

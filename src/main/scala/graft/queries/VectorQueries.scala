@@ -328,6 +328,17 @@ object VectorQueries {
         .orderBy("q_doc", "rnk")
     }),
 
+    // hard-negative mining: per query, the k nearest corpus vectors
+    // with a DIFFERENT label — the contrastive-training negative
+    // miner; q48's broadcast-scan plan with the label inequality
+    // riding the scan filter
+    "q179_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 5), "vec_id",
+          "label", k = 5)
+        .orderBy("q_id", "rnk")
+    }),
+
     // MaxSim, production path: md5-hyperplane buckets shortlist
     // candidate docs, exact re-rank ONLY the shortlist (same scoring
     // tail as q175 — pruning can drop docs, never distort scores)
@@ -535,6 +546,31 @@ object VectorQueries {
     "q175_maxsim_exact" ->
       s"""WITH $quantCte,
          ${graft.ops.MaxSim.exactSql(m = 4, k = 5, v => s"$v // 4 < 3")}""",
+    // q48's replay with the label-inequality predicate on the dots
+    // join — labels ride alongside ids through rank and output
+    "q179_hard_negatives" ->
+      s"""WITH $quantCte,
+         lbl AS (SELECT vec_id, label FROM embeddings),
+         dots AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot
+                  FROM flat q JOIN flat c ON q.i = c.i
+                    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+                  GROUP BY 1, 2),
+         neg AS (SELECT d.q_id, d.vec_id, d.dot, lc.label
+                 FROM dots d
+                 JOIN lbl lq ON lq.vec_id = d.q_id
+                 JOIN lbl lc ON lc.vec_id = d.vec_id AND lc.label <> lq.label),
+         sims AS (SELECT q_id, n.vec_id, n.label,
+                    CAST(round(CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS sim_micro
+                  FROM neg n JOIN norms nq ON nq.vec_id = n.q_id
+                    JOIN norms nc ON nc.vec_id = n.vec_id)
+         SELECT q_id, rnk, vec_id, label, sim_micro FROM (
+           SELECT q_id, vec_id, label, sim_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim_micro DESC, vec_id) AS BIGINT) AS rnk
+           FROM sims)
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "q176_maxsim_lsh" ->
       s"""WITH $quantCte,
          ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "q157_embedding_drift",    // single-row snapshot-totals scalar cross join
     "q158_bigram_nll",         // single-row n_total scalar cross join (q91 shape)
     "q175_maxsim_exact",       // corpus tokens x broadcast query-token bag (q48 shape)
+    "q179_hard_negatives",     // q48 shape + label-inequality scan filter
     "q176_maxsim_lsh")         // same broadcast re-rank tail over the LSH shortlist
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
