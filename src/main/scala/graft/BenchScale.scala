@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
     val spark = GraftSession.local()
+    val load0 = loadAvg()
 
     val tmp = Files.createTempDirectory("graft_bench_scale").toString
 
@@ -88,12 +93,23 @@ object BenchScale {
     // best-of-2: the first run of an op pays one-time JIT/codegen and
     // cold page-cache costs that are noise at any real scale; the min
     // is the comparable round-over-round number
+    // load telemetry, the Bench.scala suspect discipline ported (the
+    // r9 gram_docfreq +60% drift was unfalsifiable without it): the
+    // 1-minute load average is sampled right after every row; a row
+    // whose sample exceeds 1.5x the worker thread count is flagged
+    // suspect in the artifact — read its value as "host was
+    // contended", not "operator regressed". Unlike Bench there is no
+    // warmup anchor (scaled inputs ARE the run), so contention itself
+    // is the signal.
+    val loadByRow = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val suspectLoad = spark.sparkContext.defaultParallelism * 1.5
     def time(name: String)(action: => Unit): (String, Double) = {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         action
         (System.nanoTime() - t0) / 1e9
       }
+      loadByRow(name) = loadAvg()
       println(f"ROW $name ${runs.min}%.3f") // progress + crash-resilient partials
       name -> runs.min
     }
@@ -104,6 +120,7 @@ object BenchScale {
       val t0 = System.nanoTime()
       action
       val sec = (System.nanoTime() - t0) / 1e9
+      loadByRow(name) = loadAvg()
       println(f"ROW $name $sec%.3f")
       name -> sec
     }
@@ -117,6 +134,7 @@ object BenchScale {
     def valueRow(name: String)(v: => Double): (String, Double) = {
       measureNames += name
       val x = v
+      loadByRow(name) = loadAvg()
       println(f"ROW $name $x%.3f")
       name -> x
     }
@@ -138,6 +156,7 @@ object BenchScale {
       try { action; Thread.sleep(1500) } // drain the listener bus
       finally spark.sparkContext.removeSparkListener(l)
       val mb = acc.get() / 1e6
+      loadByRow(name) = loadAvg()
       println(f"ROW $name $mb%.3f")
       measureNames += name
       name -> mb
@@ -164,6 +183,7 @@ object BenchScale {
       try { action; Thread.sleep(1500) } // drain the listener bus
       finally spark.sparkContext.removeSparkListener(l)
       val mb = mx.get() / 1e6
+      loadByRow(name) = loadAvg()
       println(f"ROW $name $mb%.3f")
       measureNames += name
       name -> mb
@@ -188,6 +208,7 @@ object BenchScale {
       try { action; Thread.sleep(1500) } // drain the listener bus
       finally spark.sparkContext.removeSparkListener(l)
       val mr = acc.get() / 1e6
+      loadByRow(name) = loadAvg()
       println(f"ROW $name $mr%.3f")
       measureNames += name
       name -> mr
@@ -495,8 +516,9 @@ object BenchScale {
         }
         var strideApprox: DataFrame = null
         val strideT = timeOnce("frontier_graph_probe_stride5000") {
-          strideApprox = graft.ops.GraphAnn.search(g, fcorpus, queries,
-            "vec_id", k = 10, beam = 16, hops = 3, entryStride = 5000)
+          strideApprox = graft.ops.GraphAnn.searchStrideEntries(g, fcorpus,
+            queries, "vec_id", k = 10, beam = 16, hops = 3,
+            entryStride = 5000)
           strideApprox.count()
           ()
         }
@@ -515,7 +537,12 @@ object BenchScale {
         // O(batch) search + touched-bucket rewrite vs the full
         // NN-Descent rebuild (frontier_graph_build row). The batch's
         // vectors are fresh jitters with fresh ids, so the insert does
-        // real neighbor discovery, not a replay.
+        // real neighbor discovery, not a replay. Round 10: the insert
+        // batch's beam search is ROUTER-SEEDED (an nProbe=1 IVF
+        // shortlist per batch row) — the r9 stride-seeded append cost
+        // 58% of a rebuild AND seeded from the mode whose probe recall
+        // measures 0.000 on this corpus; the router shortlist is the
+        // mode appendIndexSeeded now makes primary.
         val gIdx = s"$tmp/gann_idx_frontier"
         val writeT = timeOnce("frontier_graph_index_write") {
           graft.ops.GraphAnn.writeEdges(g, gIdx, buckets = 256)
@@ -527,11 +554,41 @@ object BenchScale {
               "vec_id * 64 + i + 13), 1000) - 500) / 2000.0 AS FLOAT))")
             .as("embedding"), col("label"))
         val corpus2 = fcorpus.unionByName(batch)
-        val appendT = timeOnce("frontier_graph_append_1pct") {
-          graft.ops.GraphAnn.appendIndex(spark, gIdx, corpus2, batch,
-            "vec_id", k = 4, beam = 16, hops = 3, entryStride = 5000,
+        val appendT = timeOnce("frontier_graph_append_1pct_routed") {
+          val batchSeeds = graft.ops.Ivf.searchIndex(spark, ivfIdx, batch,
+              "vec_id", fIvf, k = 8, nProbe = 1)
+            .select(col("q_id"), col("vec_id").as("node"))
+          graft.ops.GraphAnn.appendIndexSeeded(spark, gIdx, corpus2, batch,
+            "vec_id", k = 4, beam = 16, hops = 3, seeds = batchSeeds,
             buckets = 256)
         }
+        // recall AFTER the append, against fresh ground truth over the
+        // grown corpus — drift was previously only inferred from
+        // insFraction; this measures it on the recall axis directly
+        var gt2: DataFrame = null
+        val gt2T = timeOnce("frontier_graph_gt_after_append") {
+          gt2 = graft.ops.Similarity
+            .bruteForceTopKNative(corpus2, queries, "vec_id", k = 10)
+            .persist()
+          gt2.count()
+          ()
+        }
+        var afterApprox: DataFrame = null
+        val afterT = timeOnce("frontier_graph_probe_after_append") {
+          val seeds = graft.ops.Ivf.searchIndex(spark, ivfIdx, queries,
+              "vec_id", fIvf, k = 8, nProbe = 1)
+            .select(col("q_id"), col("vec_id").as("node"))
+          afterApprox = graft.ops.GraphAnn.searchIndexSeeded(spark, gIdx,
+            corpus2, queries, "vec_id", k = 10, beam = 16, hops = 3, seeds)
+          afterApprox.count()
+          ()
+        }
+        val afterRecall = valueRow("frontier_graph_recall_milli_after_append") {
+          graft.ops.AnnEval.recallAtK(afterApprox, gt2, "q_id", "vec_id",
+              k = 10)
+            .agg(avg("recall_milli")).head().getDouble(0)
+        }
+        gt2.unpersist()
         val out = Seq(gBuildT, strideT,
           valueRow("frontier_graph_recall_milli_stride5000") {
             meanRecall(strideApprox)
@@ -540,12 +597,89 @@ object BenchScale {
           valueRow("frontier_graph_recall_milli_ivfseed_np1") {
             meanRecall(seededApprox)
           },
-          writeT, appendT)
+          writeT, appendT, gt2T, afterT, afterRecall)
         g.unpersist()
         out
       }
+      // ---- graph build-quality sweep (round-10 adjudication) --------
+      // The only r9 build point (k=4, it=1) was dominated by its own
+      // IVF router; the open question was whether MORE build quality
+      // (k 8-16, 2 iterations) finds an operating point. NN-Descent's
+      // candidate volume is sum(deg^2) ~ (2k)^2 * n per round, so a
+      // full-frontier k=16/it=2 build would cost ~20x the 500 s k=4
+      // build — the sweep therefore runs on a deterministic 1/16
+      // subcorpus with the SAME cluster geometry (every base vector
+      // keeps ~80 of its 1280 jittered replicas) and fits its own IVF
+      // on that subcorpus, so recall comparisons stay apples-to-
+      // apples. The build walls themselves are frontier data: k=8 and
+      // k=16 builds on 1/16 of the corpus already rival the k=4
+      // full-corpus build, pinning the family's quadratic-in-k cost.
+      val sweepRows: Seq[(String, Double)] = {
+        val sub = fcorpus.where(pmod(xxhash64(col("vec_id")), lit(16)) === 3)
+          .persist()
+        val nSub = sub.count()
+        var sIvf: graft.ops.Ivf.Model = null
+        val sFitT = timeOnce("sweep16_ivf_fit") {
+          sIvf = graft.ops.Ivf.fit(
+            sub.sample(withReplacement = false, 0.1, seed = 7L),
+            "vec_id", nLists = 64, iterations = 2)
+        }
+        val sIvfIdx = s"$tmp/ivf_idx_sweep16"
+        val sBuildT = timeOnce("sweep16_ivf_index_build") {
+          graft.ops.Ivf.writeIndex(sub, sIvf, sIvfIdx)
+        }
+        var sExact: DataFrame = null
+        val sGtT = timeOnce("sweep16_exact_topk10") {
+          sExact = graft.ops.Similarity
+            .bruteForceTopKNative(sub, queries, "vec_id", k = 10)
+            .persist()
+          sExact.count()
+          ()
+        }
+        def sRecall(approx: DataFrame): Double =
+          graft.ops.AnnEval.recallAtK(approx, sExact, "q_id", "vec_id",
+              k = 10)
+            .agg(avg("recall_milli")).head().getDouble(0)
+        val ivfPts = Seq(1, 16).flatMap { np =>
+          var a: DataFrame = null
+          val t = timeOnce(s"sweep16_ivf_probe_np$np") {
+            a = graft.ops.Ivf.searchIndex(spark, sIvfIdx, queries,
+              "vec_id", sIvf, k = 10, nProbe = np)
+            a.count()
+            ()
+          }
+          Seq(t, valueRow(s"sweep16_ivf_recall_milli_np$np") { sRecall(a) })
+        }
+        def seeds() = graft.ops.Ivf.searchIndex(spark, sIvfIdx, queries,
+            "vec_id", sIvf, k = 8, nProbe = 1)
+          .select(col("q_id"), col("vec_id").as("node"))
+        val graphPts = Seq((8, 2), (16, 2)).flatMap { case (k, it) =>
+          var g: DataFrame = null
+          val bT = timeOnce(s"sweep16_graph_build_k${k}_it$it") {
+            g = graft.ops.GraphAnn.buildGraph(sub, "vec_id", k = k,
+              initBuckets = math.max((nSub / 20).toInt, 1),
+              iterations = it).persist()
+            g.count()
+            ()
+          }
+          var a: DataFrame = null
+          val pT = timeOnce(s"sweep16_graph_probe_ivfseed_k${k}_it$it") {
+            a = graft.ops.GraphAnn.searchSeeded(g, sub, queries, "vec_id",
+              k = 10, beam = 16, hops = 3, seeds())
+            a.count()
+            ()
+          }
+          val r = valueRow(s"sweep16_graph_recall_milli_k${k}_it$it") {
+            sRecall(a)
+          }
+          g.unpersist()
+          Seq(bT, pT, r)
+        }
+        sExact.unpersist(); sub.unpersist()
+        Seq(sFitT, sBuildT, sGtT) ++ ivfPts ++ graphPts
+      }
       val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++ ivfPoints ++
-        graphRows
+        graphRows ++ sweepRows
       exact.unpersist()
       rows
     }
@@ -1173,7 +1307,55 @@ object BenchScale {
         val (merges, seg) = graft.ops.Bpe.train(spark, vocab, 32)
         require(merges.length == 32)
         seg.unpersist()
-      },
+      }) ++ {
+      // tokenizer artifact lifecycle (round 10): train on 24/25 of the
+      // corpus and persist under Generations (setup), then price the
+      // two ways to absorb the remaining 1/25 ingest — the refresh
+      // (one batch-scale wordVocab + one vocab-scale count fold + an
+      // in-row merge replay for genuinely new words; the corpus is
+      // NEVER rescanned) vs the retrain the refresh replaces (full
+      // corpus re-count + 6 argmax rounds). The maintain probe prices
+      // the cadence tick that decides between them.
+      val bpeRoot = s"$tmp/bpe_model"
+      val gram = spark.read.parquet(s"$tmp/docs_gram.parquet")
+      val trainSlice = gram.where(pmod(col("doc_id"), lit(25L)) =!= 0L)
+      val batchSlice = gram.where(pmod(col("doc_id"), lit(25L)) === 0L)
+      Seq(
+        timeOnce("bpe_model_train6_write") {
+          val (merges, seg) = graft.ops.Bpe.train(spark,
+            graft.ops.Bpe.wordVocab(trainSlice, "text"), 6)
+          require(merges.length == 6)
+          graft.ops.Bpe.writeModelVersioned(spark, merges, seg, bpeRoot)
+          seg.unpersist()
+        },
+        timeOnce("bpe_refresh_4pct_batch") {
+          graft.ops.Bpe.refresh(spark, bpeRoot, batchSlice, "text")
+          ()
+        },
+        time("bpe_maintain_healthy_tick") {
+          val rep = graft.ops.Bpe.maintain(spark, bpeRoot, rounds = 6,
+            threshold = 1e9)
+          require(!rep.retrained)
+        },
+        timeOnce("bpe_retrain6_full_corpus") {
+          val (merges, seg) = graft.ops.Bpe.train(spark,
+            graft.ops.Bpe.wordVocab(gram, "text"), 6)
+          require(merges.length == 6)
+          seg.unpersist()
+        },
+        // the O(batch)-vs-O(corpus) claim in RECORDS READ (wall above
+        // is cache-flattered at this corpus size): the refresh reads
+        // the batch + the stored vocab; the retrain reads everything
+        inputMRows("bpe_refresh_mrows_read") {
+          graft.ops.Bpe.refresh(spark, bpeRoot, batchSlice, "text")
+          ()
+        },
+        inputMRows("bpe_retrain_mrows_read") {
+          val (_, seg) = graft.ops.Bpe.train(spark,
+            graft.ops.Bpe.wordVocab(gram, "text"), 6)
+          seg.unpersist()
+        })
+    } ++ Seq(
       time("epoch_shuffle_export_500k") {
         // full epoch export: content-addressed (shard, pos)
         // assignment + hive-per-shard write with in-file stream
@@ -1182,6 +1364,50 @@ object BenchScale {
           spark.read.parquet(s"$tmp/docs.parquet"), "doc_id",
           epoch = 1, nShards = 64)
         graft.ops.Export.writeEpoch(assigned, s"$tmp/epoch1")
+      },
+      // the export's scale contract, measured on its own axes: total
+      // exchange volume (the documented ONE-shuffle shape — assignment
+      // window + co-keyed write repartition) and the max per-reducer
+      // read (the shard-fits-a-task contract: corpus/nShards plus
+      // md5-uniform imbalance, no hot shard by construction)
+      shuffleMb("epoch_export_shuffle_mb") {
+        val assigned = graft.ops.Export.epochShards(
+          spark.read.parquet(s"$tmp/docs.parquet"), "doc_id",
+          epoch = 1, nShards = 64)
+        graft.ops.Export.writeEpoch(assigned, s"$tmp/epoch1")
+      },
+      maxTaskShuffleReadMb("epoch_export_maxtask_mb") {
+        val assigned = graft.ops.Export.epochShards(
+          spark.read.parquet(s"$tmp/docs.parquet"), "doc_id",
+          epoch = 1, nShards = 64)
+        graft.ops.Export.writeEpoch(assigned, s"$tmp/epoch1")
+      },
+      // MaxSim stored token-bucket index lifecycle (round 10): build
+      // once (quantization + bucketing paid at build, not per query),
+      // probe = bucket-pruned postings read + doc-hash-pruned re-rank
+      // read + the shared exact tail, append = O(batch) partitioned
+      // file adds. Compare maxsim_index_probe against
+      // maxsim_lsh_2m_toks (same params): the probe's win is exactly
+      // the per-batch corpus quantization it no longer pays.
+      timeOnce("maxsim_index_build") {
+        graft.ops.MaxSim.writeIndex(
+          graft.ops.MaxSim.multiVector(embBig, "vec_id", 8),
+          s"$tmp/maxsim_idx", nPlanes = 8, dims = 64)
+      },
+      time("maxsim_index_probe") {
+        val mv = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
+        require(graft.ops.MaxSim.searchIndex(spark, s"$tmp/maxsim_idx",
+            mv.where(col("doc_id") < 4), k = 10, nPlanes = 8, dims = 64)
+          .collect().length > 0)
+      },
+      timeOnce("maxsim_index_append_1pct") {
+        graft.ops.MaxSim.appendIndex(
+          graft.ops.MaxSim.multiVector(
+            embBig.where(pmod(xxhash64(col("vec_id")), lit(100)) === 7)
+              .select((col("vec_id") + 200000000L).as("vec_id"),
+                col("embedding"), col("label")),
+            "vec_id", 8),
+          s"$tmp/maxsim_idx", nPlanes = 8, dims = 64)
       },
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one
@@ -1235,29 +1461,33 @@ object BenchScale {
             "CAST(aggregate(proj, 0L, (acc, x) -> acc + x*x) AS DOUBLE)")))
           .collect().nonEmpty)
       },
-      // salted-join when-to-use, measured on a genuinely hot key:
-      // half of the 12M fact rows collapse onto ONE dim key, and the
-      // dim side (3M rows) is too big to broadcast — a shuffle join
-      // whose hot partition is half the table. WALL rows (plain+AQE /
-      // plain no-AQE / salted) measure the local story honestly: on
-      // local[32] the page cache absorbs a 6M-row hot partition, so
-      // plain WINS wall time here and salting's dim-replication costs
-      // ~2x — do NOT salt at single-node scale. The per-REDUCER rows
-      // below them measure the axis that inverts on a cluster: the
-      // hot reducer's shuffle-read bytes (the straggler at 1000
-      // executors) drop by ~saltFactor under salting while plain
-      // serializes half the table through one task. Same reading
-      // discipline as the topk-vs-window shuffle_mb rows: wall for
-      // the local truth, bytes for the cluster truth (thresholds in
-      // Skew's scaladoc).
+      // salted-join when-to-use, measured in the regime the operator
+      // exists for (round 10 — the r9 synthetic was too tame: a
+      // narrow 3-column fact let the page cache absorb the hot
+      // partition and salted lost BOTH axes). Now: half of the 12M
+      // fact rows collapse onto ONE dim key AND every row drags a
+      // 128-byte HIGH-ENTROPY payload (md5 concat — the shuffle codec
+      // cannot compress it away) through the exchange, so the plain
+      // hot reducer must pull ~half the table's bytes through one
+      // task. The dim (3M rows) is past auto-broadcast; AQE skew
+      // splitting is disabled inside the rows so the OPERATOR is
+      // measured as the fallback it is documented to be (AQE first —
+      // the plain_aqe row shows the free fix). saltFactor=8 bounds
+      // the dim replication to 24M narrow rows while fanning the hot
+      // key over 8 reducers. WALL rows tell the local story; the
+      // per-REDUCER maxtask rows measure the axis that decides at
+      // 1000 executors (the hot reducer's bytes ARE the straggler).
+      // Thresholds land in Skew's scaladoc from these rows.
       time("skew_hotkey_plain_aqe") {
         val big = liBig.select(
           expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
-          col("l_orderkey"), col("l_quantity"))
+          col("l_orderkey"), col("l_quantity"),
+          expr("concat(md5(CAST(l_orderkey AS STRING)), md5(CAST(l_partkey AS STRING)), md5(CAST(l_suppkey * 31 + l_linenumber AS STRING)), md5(CAST(l_extendedprice AS STRING)))").as("payload"))
         val dim = spark.range(0, 3000000).select(col("id").as("k"),
           (col("id") % 97L).as("w"))
         require(big.join(dim, "k")
-          .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+          .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
+            sum(length(col("payload"))))
           .collect().nonEmpty)
       },
       timeOnce("skew_hotkey_plain_noaqe") {
@@ -1265,11 +1495,13 @@ object BenchScale {
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
-            col("l_orderkey"), col("l_quantity"))
+            col("l_orderkey"), col("l_quantity"),
+            expr("concat(md5(CAST(l_orderkey AS STRING)), md5(CAST(l_partkey AS STRING)), md5(CAST(l_suppkey * 31 + l_linenumber AS STRING)), md5(CAST(l_extendedprice AS STRING)))").as("payload"))
           val dim = spark.range(0, 3000000).select(col("id").as("k"),
             (col("id") % 97L).as("w"))
           require(big.join(dim, "k")
-            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
+              sum(length(col("payload"))))
             .collect().nonEmpty)
         } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
@@ -1280,12 +1512,14 @@ object BenchScale {
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
-            col("l_orderkey"), col("l_quantity"))
+            col("l_orderkey"), col("l_quantity"),
+            expr("concat(md5(CAST(l_orderkey AS STRING)), md5(CAST(l_partkey AS STRING)), md5(CAST(l_suppkey * 31 + l_linenumber AS STRING)), md5(CAST(l_extendedprice AS STRING)))").as("payload"))
           val dim = spark.range(0, 3000000).select(col("id").as("k"),
             (col("id") % 97L).as("w"))
           require(graft.ops.Skew
-            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 32)
-            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 8)
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
+              sum(length(col("payload"))))
             .collect().nonEmpty)
         } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
@@ -1294,11 +1528,13 @@ object BenchScale {
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
-            col("l_orderkey"), col("l_quantity"))
+            col("l_orderkey"), col("l_quantity"),
+            expr("concat(md5(CAST(l_orderkey AS STRING)), md5(CAST(l_partkey AS STRING)), md5(CAST(l_suppkey * 31 + l_linenumber AS STRING)), md5(CAST(l_extendedprice AS STRING)))").as("payload"))
           val dim = spark.range(0, 3000000).select(col("id").as("k"),
             (col("id") % 97L).as("w"))
           require(big.join(dim, "k")
-            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
+              sum(length(col("payload"))))
             .collect().nonEmpty)
         } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
@@ -1307,12 +1543,14 @@ object BenchScale {
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
-            col("l_orderkey"), col("l_quantity"))
+            col("l_orderkey"), col("l_quantity"),
+            expr("concat(md5(CAST(l_orderkey AS STRING)), md5(CAST(l_partkey AS STRING)), md5(CAST(l_suppkey * 31 + l_linenumber AS STRING)), md5(CAST(l_extendedprice AS STRING)))").as("payload"))
           val dim = spark.range(0, 3000000).select(col("id").as("k"),
             (col("id") % 97L).as("w"))
           require(graft.ops.Skew
-            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 32)
-            .agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+            .saltedJoin(big, dim, "k", col("l_orderkey"), saltFactor = 8)
+            .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
+              sum(length(col("payload"))))
             .collect().nonEmpty)
         } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       },
@@ -1333,7 +1571,13 @@ object BenchScale {
       case (k, v) if !measureNames.contains(k) => v
     }.sum
     val measures = measureNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"measures":$measures,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
+    val loads = loadByRow.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val suspects = loadByRow.collect {
+      case (k, v) if v > suspectLoad => "\"" + k + "\":true"
+    }.mkString("{", ",", "}")
+    val load1 = loadAvg()
+    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","ops":$ops,"measures":$measures,"loads":$loads,"suspect":$suspects,"load_avg_start":$load0%.2f,"load_avg_end":$load1%.2f,"suspect_load_threshold":$suspectLoad%.1f,"rows":{"lineitem":$liRows,"documents":$docRows,"embeddings":$embRows,"events":$evRows},"scale":$scale,"base":"$base"}""")
     spark.stop()
     // scaled inputs are gigabytes; leaving them accumulates dirty
     // page-cache + disk across runs and skews later write-heavy ops

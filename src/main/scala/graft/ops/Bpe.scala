@@ -90,6 +90,21 @@ object Bpe {
   /** One trained merge. */
   final case class Merge(round: Int, s1: String, s2: String, cnt: Long)
 
+  /** Explicitly drop a SUPERSEDED localCheckpoint's blocks. A
+    * checkpointed Dataset's `.unpersist()` is a no-op (the blocks
+    * live on the underlying RDD, not in the CacheManager), so the
+    * training loops free each round's frame through the plan's
+    * LogicalRDD leaf once the next round has eagerly materialized.
+    * Best-effort: if the plan shape ever changes, leaking to GC is
+    * the old behavior, not a correctness problem.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   /** Train `rounds` merges over a (word, cnt) vocabulary. Returns the
     * merge table and the final segmented vocabulary
     * (word, cnt, syms). Driver reads: exactly one argmax ROW per
@@ -126,13 +141,15 @@ object Bpe {
           (w.getString(0), w.getString(1), w.getLong(2))
         merges += Merge(r, s1, s2, c)
         // eager localCheckpoint truncates lineage: O(1) plan depth
-        // across rounds (the LPA discipline — checkpoint blocks of
-        // superseded rounds are dropped when the session GCs them;
-        // the live working set is one vocab copy per retained round)
+        // across rounds (the LPA discipline). The superseded round's
+        // blocks are freed EXPLICITLY once the next round has
+        // materialized (freeCheckpoint) — relying on driver GC lets a
+        // 30k-merge run accumulate many vocab-sized checkpoint sets
+        // between GCs; the live working set is exactly one vocab copy
         val next = cur
           .withColumn("syms", applyMerge(col("syms"), s1, s2))
           .localCheckpoint(true)
-        if (r == 1) cur.unpersist() // the initial persisted frame
+        if (r == 1) cur.unpersist() else freeCheckpoint(cur)
         cur = next
         r += 1
       }
@@ -233,7 +250,7 @@ object Bpe {
           .withColumn("syms",
             applyMerges(col("syms"), sel.map(p => (p._1, p._2))))
           .localCheckpoint(true)
-        if (round == 1) cur.unpersist()
+        if (round == 1) cur.unpersist() else freeCheckpoint(cur)
         cur = next
         round += 1
       }
@@ -256,6 +273,164 @@ object Bpe {
       .join(nseg, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_bpe_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted tokenizer artifact — the [[Generations]] lifecycle for
+  // the trained model, so encode reads a STORED artifact instead of
+  // retraining per pipeline run, and corpus growth folds in as one
+  // vocab-scale delta instead of a retrain.
+  //
+  // Layout under one model path:
+  //   path/merges/  (ord, round, s1, s2, cnt)   ord = application order
+  //   path/vocab/   (word, cnt, syms)           segmented vocabulary
+  //   path/meta/    (trained_total)             corpus mass at train time
+  //
+  // `vocab` is the encode-side artifact (per-word segment counts via
+  // one join — [[encodeCounts]]); `merges` is the cold path for words
+  // the vocabulary has never seen ([[segmentWords]]); `meta` anchors
+  // the retrain cadence: [[countShift]] = live vocab mass vs mass at
+  // train time, the drift signal [[maintain]] trips on (the
+  // [[Ivf.maintain]] shape).
+  // ---------------------------------------------------------------
+
+  /** Persist a trained model at `path` (see layout above). `ord` is
+    * the position in `merges` — the exact application order, which
+    * [[segmentWords]] must replay (batched rounds pick several merges
+    * per round; within a round order is provably immaterial, but
+    * storing the true sequence keeps the replay contract trivial).
+    */
+  def writeModel(spark: SparkSession, merges: Seq[Merge],
+                 segmented: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.round, m.s1, m.s2, m.cnt) }
+      .toDF("ord", "round", "s1", "s2", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val seg = segmented.select("word", "cnt", "syms")
+    seg.write.mode("overwrite").parquet(s"$path/vocab")
+    seg.agg(sum(col("cnt")).as("trained_total"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[writeModel]] into the next [[Generations]] slot + pointer
+    * flip. Encode against `Generations.livePath(spark, root)`.
+    */
+  def writeModelVersioned(spark: SparkSession, merges: Seq[Merge],
+                          segmented: DataFrame, root: String): String = {
+    val gen = Generations.nextPath(spark, root)
+    writeModel(spark, merges, segmented, gen)
+    Generations.publish(spark, root, gen)
+    gen
+  }
+
+  /** The stored merge table in application order — `rounds`-scale
+    * (thousands of rows at production vocab sizes), a documented
+    * driver read.
+    */
+  def readMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(s"$path/merges").orderBy("ord").collect().toSeq
+      .map(r => Merge(r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
+  /** Segment a (word, cnt) frame by replaying a merge list over its
+    * characters — one in-row greedy fold per merge, zero shuffles.
+    * Plan depth is O(merges), so this is the OOV/refresh cold path
+    * for the handful of new words a batch brings, not the bulk
+    * encode (which joins the stored vocab, [[encodeCounts]]).
+    */
+  def segmentWords(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(charSymbols(vocab)) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.s1, m.s2))
+    }.select("word", "cnt", "syms")
+
+  /** Per-doc BPE token counts from the STORED artifact — [[
+    * encodeCounts]] against the model's segmented vocabulary; no
+    * training, no merge replay. Words absent from the stored vocab
+    * are dropped (inner join) — refresh the model ([[refresh]]) to
+    * absorb new corpus batches before encoding them.
+    */
+  def encodeCountsStored(spark: SparkSession, docs: DataFrame, path: String,
+                         idCol: String, textCol: String): DataFrame =
+    encodeCounts(docs, spark.read.parquet(s"$path/vocab"), idCol, textCol)
+
+  /** Vocabulary-mass drift since train time: live cnt mass /
+    * trained_total - 1. One vocab-scale aggregation + a 1-row meta
+    * read; the [[maintain]] trip signal.
+    */
+  def countShift(spark: SparkSession, path: String): Double = {
+    val trained = spark.read.parquet(s"$path/meta").head().getLong(0)
+    val live = spark.read.parquet(s"$path/vocab")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    live.toDouble / trained.toDouble - 1.0
+  }
+
+  /** Fold a new corpus batch into the live model as a NEW generation:
+    * one batch-scale [[wordVocab]] aggregation, one vocab-scale
+    * outer-join count fold, and an in-row merge replay for the
+    * batch's genuinely new words ([[segmentWords]] — existing words
+    * keep their stored segmentation, which depends only on the merge
+    * table and is therefore already correct). Merges and meta carry
+    * over unchanged — a refresh updates counts, never the tokenizer
+    * itself, so encode stays bit-stable across refreshes and
+    * [[countShift]] keeps measuring drift against train time.
+    */
+  def refresh(spark: SparkSession, root: String, newDocs: DataFrame,
+              textCol: String): String = {
+    val live = Generations.livePath(spark, root)
+    val merges = readMerges(spark, live)
+    val delta = wordVocab(newDocs, textCol)
+      .select(col("word"), col("cnt").as("nc"))
+    val stored = spark.read.parquet(s"$live/vocab")
+      .select(col("word"), col("cnt").as("oc"), col("syms"))
+    val folded = stored.join(delta, Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("oc"), lit(0L)) + coalesce(col("nc"), lit(0L))).as("cnt"),
+        col("syms"))
+      .localCheckpoint(true) // snapshot: the write below must not rescan `live`
+    val known = folded.where(col("syms").isNotNull)
+    val fresh = segmentWords(
+      folded.where(col("syms").isNull).select("word", "cnt"), merges)
+    val gen = Generations.nextPath(spark, root)
+    known.unionByName(fresh)
+      .write.mode("overwrite").parquet(s"$gen/vocab")
+    spark.read.parquet(s"$live/merges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/merges")
+    spark.read.parquet(s"$live/meta")
+      .write.mode("overwrite").parquet(s"$gen/meta")
+    Generations.publish(spark, root, gen)
+    freeCheckpoint(folded)
+    gen
+  }
+
+  /** Outcome of one [[maintain]] tick. */
+  final case class TokenizerReport(countShift: Double, retrained: Boolean)
+
+  /** Retrain cadence: probe [[countShift]] on the live generation;
+    * under `threshold` a tick costs one aggregation and touches
+    * nothing; past it, retrain `rounds` merges from the LIVE folded
+    * vocabulary (refreshes already absorbed the corpus growth — no
+    * corpus rescan) into the next generation and flip. Same
+    * determinism contract as [[train]]: a rebuild is exactly the
+    * from-scratch model over the current vocabulary.
+    */
+  def maintain(spark: SparkSession, root: String, rounds: Int,
+               threshold: Double = 0.2, batch: Int = 1,
+               keep: Int = 2): TokenizerReport = {
+    val live = Generations.livePath(spark, root)
+    val shift = countShift(spark, live)
+    if (shift <= threshold) TokenizerReport(shift, retrained = false)
+    else {
+      val vocab = spark.read.parquet(s"$live/vocab").select("word", "cnt")
+      val (merges, seg) =
+        if (batch <= 1) train(spark, vocab, rounds)
+        else trainBatched(spark, vocab, rounds, batch)
+      writeModelVersioned(spark, merges, seg, root)
+      seg.unpersist() // zero-merge degenerate case: seg is the persist
+      freeCheckpoint(seg)
+      Generations.prune(spark, root, keep)
+      TokenizerReport(shift, retrained = true)
+    }
   }
 
   // ---------------------------------------------------------------

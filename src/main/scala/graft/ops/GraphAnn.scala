@@ -164,18 +164,31 @@ object GraphAnn {
     edges
   }
 
-  /** Beam search over a built graph: per query, expand the top-`beam`
-    * scored nodes through the undirected adjacency for `hops` rounds,
-    * scoring each candidate exactly once (pool = every (q, node) ever
-    * scored; expansion anti-joins it). Entry set = nodes whose md5
-    * hash is 0 mod `entryStride` (~n/entryStride scattered seeds, no
-    * driver collect). Self-matches (node == q_id) are excluded, like
+  /** Beam search with SCATTERED HASH entries — explicit opt-in, NOT
+    * the default search mode. Entry set = nodes whose md5 hash is 0
+    * mod `entryStride` (~n/entryStride seeds, no driver collect).
+    *
+    * WARNING (measured): on cluster-structured corpora this mode's
+    * recall is ~ZERO — a kNN graph has no long-range links (every
+    * node's top-k stays inside its cluster), so a scattered entry set
+    * cannot reach clusters it didn't land in
+    * (`frontier_graph_recall_milli_stride5000` = 0.000 on the
+    * BenchScale frontier corpus). Use [[searchSeeded]] with a cheap
+    * coarse router's shortlist (e.g. an nProbe=1 [[Ivf]] probe) as
+    * seeds — the primary API. Stride entries are defensible only on
+    * corpora verified to have small-world connectivity.
+    *
+    * Per query, expand the top-`beam` scored nodes through the
+    * undirected adjacency for `hops` rounds, scoring each candidate
+    * exactly once (pool = every (q, node) ever scored; expansion
+    * anti-joins it). Self-matches (node == q_id) are excluded, like
     * every ANN query in the engine. Output: (q_id, rnk, vec_id,
     * sim_micro), rnk <= k.
     */
-  def search(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
-             idCol: String, k: Int, beam: Int, hops: Int,
-             entryStride: Int): DataFrame = {
+  def searchStrideEntries(edges: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, idCol: String, k: Int,
+                          beam: Int, hops: Int,
+                          entryStride: Int): DataFrame = {
     require(entryStride >= 1, s"entryStride must be >= 1 (got $entryStride)")
     val c = prep(corpus, idCol)
     val entries = c.where(hash8(col("id")) % entryStride === 0)
@@ -186,15 +199,16 @@ object GraphAnn {
       q.crossJoin(entries))
   }
 
-  /** [[search]] with an explicit per-query seed set (q_id, node) —
-    * the composition hook: a kNN graph over a many-cluster corpus has
-    * no long-range links (each node's top-k stays inside its
-    * cluster), so a scattered hash entry set cannot reach clusters it
-    * didn't land in. Seeding from a cheap coarse router fixes that
-    * at the architecture level — e.g. an nProbe=1 IVF probe's
-    * shortlist as seeds, graph walk as the refinement stage (the
-    * two-layer shape BenchScale's `frontier_graph_*` rows price).
-    * Self-matches are dropped here, so routers may seed carelessly.
+  /** THE primary search: beam walk from an explicit per-query seed
+    * set (q_id, node) — the composition hook. A kNN graph over a
+    * many-cluster corpus has no long-range links (each node's top-k
+    * stays inside its cluster), so a scattered hash entry set cannot
+    * reach clusters it didn't land in (recall ~0 measured; see
+    * [[searchStrideEntries]]'s warning). Seed from a cheap coarse
+    * router — e.g. an nProbe=1 IVF probe's shortlist as seeds, graph
+    * walk as the refinement stage (the two-layer shape BenchScale's
+    * `frontier_graph_*` rows price). Self-matches are dropped here,
+    * so routers may seed carelessly.
     */
   def searchSeeded(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
                    idCol: String, k: Int, beam: Int, hops: Int,
@@ -297,13 +311,18 @@ object GraphAnn {
     writeEdges(buildGraph(corpus, idCol, k, initBuckets, iterations),
       path, buckets)
 
-  /** Beam-search a materialized index: one bucketed read of the edge
-    * list, then [[search]] (stride entries) over it.
+  /** Stride-entry beam search over a materialized index — explicit
+    * opt-in with [[searchStrideEntries]]'s recall hazard (measured
+    * ~0 on clustered corpora); the primary stored-index probe is
+    * [[searchIndexSeeded]].
     */
-  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  corpus: DataFrame, queries: DataFrame, idCol: String,
-                  k: Int, beam: Int, hops: Int, entryStride: Int): DataFrame =
-    search(spark.read.parquet(path).select("src", "dst", "sim_micro"),
+  def searchIndexStrideEntries(spark: org.apache.spark.sql.SparkSession,
+                               path: String, corpus: DataFrame,
+                               queries: DataFrame, idCol: String, k: Int,
+                               beam: Int, hops: Int,
+                               entryStride: Int): DataFrame =
+    searchStrideEntries(
+      spark.read.parquet(path).select("src", "dst", "sim_micro"),
       corpus, queries, idCol, k, beam, hops, entryStride)
 
   /** [[searchSeeded]] over a materialized index — the two-layer
@@ -318,15 +337,17 @@ object GraphAnn {
 
   /** Join-shaped insert — the HNSW insert loop without the sequential
     * dependency. Each batch node finds its top-k neighbors by beam-
-    * searching the EXISTING graph (`corpus` must already contain the
-    * batch rows; neighbors can be prior nodes or other batch nodes
-    * that entered the walk); its edges AND the reverse edges then
-    * merge into the index under the same per-src bounded top-k the
-    * build uses, so (a) every node's out-degree stays <= k and (b)
-    * every touched node's k-th best similarity is monotonically
-    * nondecreasing — a reverse edge only displaces a worse edge
-    * (spec-pinned, the NN-Descent convergence handle carried over to
-    * inserts).
+    * searching the EXISTING graph from a caller-provided ROUTER seed
+    * set (`seeds` = (q_id, node) per batch row, e.g. an nProbe=1
+    * [[Ivf]] shortlist — the same seeding contract as
+    * [[searchSeeded]]; `corpus` must already contain the batch rows;
+    * neighbors can be prior nodes or other batch nodes that entered
+    * the walk); its edges AND the reverse edges then merge into the
+    * index under the same per-src bounded top-k the build uses, so
+    * (a) every node's out-degree stays <= k and (b) every touched
+    * node's k-th best similarity is monotonically nondecreasing — a
+    * reverse edge only displaces a worse edge (spec-pinned, the
+    * NN-Descent convergence handle carried over to inserts).
     *
     * Cost is O(batch): the search reads the adjacency once; the merge
     * reads and dynamically overwrites ONLY the hive buckets holding a
@@ -337,12 +358,39 @@ object GraphAnn {
     * heavy indexes drift from the from-scratch graph; [[insFraction]]
     * probes that drift and [[maintain]] rebuilds past threshold.
     */
-  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  corpus: DataFrame, batch: DataFrame, idCol: String,
-                  k: Int, beam: Int, hops: Int, entryStride: Int,
-                  buckets: Int = 64): Unit = {
-    val found = searchIndex(spark, path, corpus, batch, idCol,
-      k, beam, hops, entryStride)
+  def appendIndexSeeded(spark: org.apache.spark.sql.SparkSession,
+                        path: String, corpus: DataFrame, batch: DataFrame,
+                        idCol: String, k: Int, beam: Int, hops: Int,
+                        seeds: DataFrame, buckets: Int = 64): Unit =
+    mergeFound(spark, path,
+      searchIndexSeeded(spark, path, corpus, batch, idCol, k, beam, hops,
+        seeds), k, buckets)
+
+  /** [[appendIndexSeeded]] with stride entries seeding the insert
+    * batch's beam search — explicit opt-in carrying
+    * [[searchStrideEntries]]'s recall hazard: on clustered corpora a
+    * stride-seeded insert finds near-random "neighbors", so the
+    * inserted nodes' edges are junk and the O(batch) promise buys a
+    * degraded graph (measured: the r9 stride append cost 58% of a
+    * full rebuild AND seeded from a mode whose probe recall is 0).
+    * Route inserts through a router shortlist instead.
+    */
+  def appendIndexStrideEntries(spark: org.apache.spark.sql.SparkSession,
+                               path: String, corpus: DataFrame,
+                               batch: DataFrame, idCol: String, k: Int,
+                               beam: Int, hops: Int, entryStride: Int,
+                               buckets: Int = 64): Unit =
+    mergeFound(spark, path,
+      searchIndexStrideEntries(spark, path, corpus, batch, idCol, k, beam,
+        hops, entryStride), k, buckets)
+
+  /** Shared insert-merge tail: fold a batch search result's forward +
+    * reverse edges into the stored index under the per-src bounded
+    * top-k, rewriting only touched hive buckets.
+    */
+  private def mergeFound(spark: org.apache.spark.sql.SparkSession,
+                         path: String, found: DataFrame, k: Int,
+                         buckets: Int): Unit = {
     val fwd = found.select(col("q_id").as("src"), col("vec_id").as("dst"),
       col("sim_micro"))
     val rev = found.select(col("vec_id").as("src"), col("q_id").as("dst"),

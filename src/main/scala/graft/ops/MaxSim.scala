@@ -113,6 +113,128 @@ object MaxSim {
   }
 
   // ---------------------------------------------------------------
+  // Persisted token-bucket index — the [[LshIndex]]/[[Ivf]] storage
+  // discipline applied to late interaction: quantization and bucket
+  // assignment happen ONCE at build (q176's in-memory path recomputes
+  // both per query batch), probes read only the query tokens'
+  // bucket partitions for the shortlist and only the candidate docs'
+  // doc-hash partitions for the re-rank, and appends are O(batch)
+  // partitioned parquet appends. The retrieval shape RAG deploys:
+  // stored shortlist index + exact re-rank.
+  //
+  // Layout under one index path:
+  //   path/postings/ bucket=B/  -> (doc_id)        distinct per bucket
+  //   path/toks/     dbucket=D/ -> (doc_id, tok, vec_id, ei, nn)
+  //
+  // `postings` answers "which docs have ANY token in these buckets"
+  // from exactly the query buckets' partitions (static pruning — the
+  // bucket list is a bounded driver value, <= distinct query-token
+  // buckets). `toks` holds the pre-quantized token vectors keyed by
+  // a doc-id hash so the re-rank reads only candidate docs' buckets
+  // (the candidate DBUCKET set, <= dBuckets values, is the second
+  // bounded driver read). Scores are bit-identical to [[scoreExact]]
+  // on the shortlist — pruning can drop docs, never distort scores —
+  // so a stored-index probe hash-equals [[scoreLshPruned]] with the
+  // same (nPlanes, dims).
+  // ---------------------------------------------------------------
+
+  /** Doc-hash partition key for the re-rank table: first 8 md5 hex
+    * chars of doc_id mod `dBuckets` (the [[GraphAnn]] hash8 idiom).
+    */
+  private def dbucketCol(docId: Column, dBuckets: Int): Column =
+    (conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast(LongType) % dBuckets).cast("int")
+
+  /** Build (overwrite) the token-bucket index at `path` from a doc
+    * token table (doc_id, tok, embedding). One quantization pass; two
+    * partitioned writes (postings by LSH bucket, token vectors by doc
+    * hash).
+    */
+  def writeIndex(docToks: DataFrame, path: String, nPlanes: Int, dims: Int,
+                 dBuckets: Int = 64): Unit = {
+    require(nPlanes >= 1 && nPlanes <= 31,
+      s"nPlanes in [1,31] for int partition keys (got $nPlanes)")
+    val q = quantized(docToks)
+      .withColumn("bucket", bucketCol(nPlanes, dims).cast("int"))
+      .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
+      .persist()
+    q.select("bucket", "doc_id").distinct()
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    q.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/toks")
+    q.unpersist()
+    ()
+  }
+
+  /** O(batch) append: the batch's postings and token vectors land as
+    * new files in their partitions — existing files are never read or
+    * rewritten (the [[LshIndex.append]] discipline). The caller owns
+    * doc-id uniqueness (re-ingesting a doc_id would double its
+    * tokens, like any append-only store).
+    */
+  def appendIndex(batchToks: DataFrame, path: String, nPlanes: Int,
+                  dims: Int, dBuckets: Int = 64): Unit = {
+    require(nPlanes >= 1 && nPlanes <= 31,
+      s"nPlanes in [1,31] for int partition keys (got $nPlanes)")
+    val q = quantized(batchToks)
+      .withColumn("bucket", bucketCol(nPlanes, dims).cast("int"))
+      .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
+      .persist()
+    q.select("bucket", "doc_id").distinct()
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    q.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+      .write.mode("append").partitionBy("dbucket").parquet(s"$path/toks")
+    q.unpersist()
+    ()
+  }
+
+  /** Probe a stored index: (1) the query tokens' distinct buckets
+    * (bounded driver read #1, <= distinct query-token buckets) prune
+    * the postings read to exactly those partitions -> candidate docs;
+    * (2) the candidates' distinct doc-hash buckets (bounded driver
+    * read #2, <= dBuckets values) prune the token read; (3) the
+    * shared exact re-rank tail scores the shortlist bit-identically
+    * to [[scoreLshPruned]]. No corpus-side quantization at probe
+    * time — `ei`/`nn` come off the index.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queryToks: DataFrame, k: Int, nPlanes: Int, dims: Int,
+                  dBuckets: Int = 64): DataFrame = {
+    val qQ = quantized(queryToks).persist()
+    val qBuckets = qQ.select(bucketCol(nPlanes, dims).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val candDocs = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
+      .select("doc_id").distinct()
+    val candDb = candDocs
+      .select(dbucketCol(col("doc_id"), dBuckets).as("db"))
+      .distinct().collect().map(_.getInt(0))
+    val corpusQ = spark.read.parquet(s"$path/toks")
+      .where(col("dbucket").isin(candDb.map(Integer.valueOf): _*))
+      .join(candDocs, "doc_id")
+      .select("doc_id", "tok", "vec_id", "ei", "nn")
+    val out = rerank(corpusQ, qQ, k)
+    qQ.unpersist()
+    out
+  }
+
+  /** [[writeIndex]] into the next [[Generations]] slot under `root`,
+    * pointer-flipped — rebuilds never disturb an in-flight probe.
+    * Probe via `searchIndex(spark, Generations.livePath(spark, root),
+    * ...)`.
+    */
+  def writeIndexVersioned(docToks: DataFrame, root: String, nPlanes: Int,
+                          dims: Int, dBuckets: Int = 64): String = {
+    val spark = docToks.sparkSession
+    val gen = Generations.nextPath(spark, root)
+    writeIndex(docToks, gen, nPlanes, dims, dBuckets)
+    Generations.publish(spark, root, gen)
+    gen
+  }
+
+  // ---------------------------------------------------------------
   // DuckDB oracle rendering. `quantCtePrefix` must define flat
   // (vec_id, i, v) and norms (vec_id, nn) — VectorQueries' shared
   // quantCte. Scores replay the integer micro-cosine convention.

@@ -495,6 +495,24 @@ object PipelineQueries {
       val (_, seg) = graft.ops.Bpe.train(s, vocab, 6)
       graft.ops.Bpe.encodeCounts(d, seg, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // BPE encode from the PERSISTED tokenizer artifact: train once,
+    // store merges + segmented vocab + meta under a Generations root,
+    // then encode by reading the stored vocabulary — no retraining in
+    // the encode path. Oracle = q174's full training+encode replay,
+    // so the storage round-trip must be segmentation-invisible
+    "q181_bpe_stored_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (merges, seg) = graft.ops.Bpe.train(s,
+        graft.ops.Bpe.wordVocab(d, "text"), 6)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q181").toString
+      graft.ops.Bpe.writeModelVersioned(s, merges, seg, root)
+      seg.unpersist()
+      graft.ops.Bpe.encodeCountsStored(s, d,
+          graft.ops.Generations.livePath(s, root), "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +521,7 @@ object PipelineQueries {
     // counting, tie-breaking, or greedy application breaks the hash
     "q173_bpe_merges" -> graft.ops.Bpe.mergesSql("documents", 6),
     "q174_bpe_tokens" -> graft.ops.Bpe.encodeSql("documents", 6),
+    "q181_bpe_stored_encode" -> graft.ops.Bpe.encodeSql("documents", 6),
     "q177_epoch_shuffle" ->
       (graft.ops.Export.epochShardsSql("documents", "doc_id", 1, 8) +
         "\nORDER BY shard, pos"),

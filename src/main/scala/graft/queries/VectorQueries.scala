@@ -114,7 +114,7 @@ object VectorQueries {
       val e = t(s, dir, "embeddings")
       val g = graft.ops.GraphAnn.buildGraph(e, "vec_id", k = 4,
         initBuckets = 32, iterations = 2)
-      graft.ops.GraphAnn.search(g, e, e.where(col("vec_id") < 5), "vec_id",
+      graft.ops.GraphAnn.searchStrideEntries(g, e, e.where(col("vec_id") < 5), "vec_id",
           k = 5, beam = 8, hops = 2, entryStride = 50)
         .orderBy("q_id", "rnk")
     }),
@@ -347,6 +347,21 @@ object VectorQueries {
       graft.ops.MaxSim.scoreLshPruned(
           mv, mv.where(col("doc_id") < 3), k = 5, nPlanes = 4, dims = 64)
         .orderBy("q_doc", "rnk")
+    }),
+
+    // MaxSim against the PERSISTED token-bucket index: quantization +
+    // bucketing paid once at build, probe = bucket-pruned postings
+    // read -> doc-hash-pruned token read -> the shared exact re-rank.
+    // Same (nPlanes, dims) as q176, so the oracle IS q176's SQL —
+    // the stored index must hash-equal the in-memory pruned path
+    "q180_maxsim_index" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q180").toString
+      graft.ops.MaxSim.writeIndex(mv, idx, nPlanes = 4, dims = 64,
+        dBuckets = 16)
+      graft.ops.MaxSim.searchIndex(s, idx, mv.where(col("doc_id") < 3),
+          k = 5, nPlanes = 4, dims = 64, dBuckets = 16)
+        .orderBy("q_doc", "rnk")
     }))
 
   private val quantCte =
@@ -572,6 +587,12 @@ object VectorQueries {
            FROM sims)
          WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "q176_maxsim_lsh" ->
+      s"""WITH $quantCte,
+         ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
+            nPlanes = 4, dims = 64)}""",
+    // the stored-index probe replays the SAME relational pipeline —
+    // storage layout must be score-invisible
+    "q180_maxsim_index" ->
       s"""WITH $quantCte,
          ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
             nPlanes = 4, dims = 64)}""",

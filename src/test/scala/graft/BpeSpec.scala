@@ -113,6 +113,80 @@ class BpeSpec extends SparkSpec {
     seg.unpersist()
   }
 
+  test("stored-artifact encode is bit-identical to in-memory encode") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest"),
+      (3L, "newer wider")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(spark, Bpe.wordVocab(docs, "text"), 4)
+    val mem = Bpe.encodeCounts(docs, seg, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.writeModelVersioned(spark, merges, seg, root)
+    seg.unpersist()
+    val live = graft.ops.Generations.livePath(spark, root)
+    val stored = Bpe.encodeCountsStored(spark, docs, live, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == mem && mem.nonEmpty)
+    // the merge table round-trips in application order
+    assert(Bpe.readMerges(spark, live) == merges)
+  }
+
+  test("refresh: counts fold, new words segment under the STORED merges") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "low low lower low low")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(spark, Bpe.wordVocab(oldDocs, "text"), 2)
+    // r1: (l,o); r2: (lo,w) — pinned so the new-word replay is known
+    assert(merges.map(m => (m.s1, m.s2)) == Seq(("l", "o"), ("lo", "w")))
+    val root = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.writeModelVersioned(spark, merges, seg, root)
+    seg.unpersist()
+    val batch = Seq((9L, "low slow lower")).toDF("doc_id", "text")
+    Bpe.refresh(spark, root, batch, "text")
+    val vocab = spark.read
+      .parquet(s"${graft.ops.Generations.livePath(spark, root)}/vocab")
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(vocab.toSeq == Seq(
+      ("low", 5L, Seq("low")),          // 4 + 1, stored segmentation kept
+      ("lower", 2L, Seq("low", "e", "r")),
+      ("slow", 1L, Seq("s", "low"))))   // NEW word, replayed merges
+    // merges + trained_total carry over: the refresh moved count mass
+    // (5+2+1=8 vs trained 4+1=5), which countShift reports as drift
+    val live = graft.ops.Generations.livePath(spark, root)
+    assert(Bpe.readMerges(spark, live) == merges)
+    assert(math.abs(Bpe.countShift(spark, live) - (8.0 / 5.0 - 1.0)) < 1e-9)
+  }
+
+  test("maintain: healthy tick is read-only; drift past threshold retrains") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(spark, Bpe.wordVocab(docs, "text"), 2)
+    val root = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.writeModelVersioned(spark, merges, seg, root)
+    seg.unpersist()
+    val gen1 = graft.ops.Generations.livePath(spark, root)
+    val healthy = Bpe.maintain(spark, root, rounds = 2, threshold = 0.5)
+    assert(!healthy.retrained && healthy.countShift == 0.0)
+    assert(graft.ops.Generations.livePath(spark, root) == gen1)
+    // flood: a big batch of a new word shifts the mass past threshold
+    Bpe.refresh(spark, root,
+      Seq((9L, ("zq " * 10).trim)).toDF("doc_id", "text"), "text")
+    val tripped = Bpe.maintain(spark, root, rounds = 2, threshold = 0.5)
+    assert(tripped.retrained && tripped.countShift > 0.5)
+    val gen3 = graft.ops.Generations.livePath(spark, root)
+    assert(gen3 != gen1)
+    // the retrained model IS the from-scratch train over the live
+    // vocabulary (determinism), and its meta re-anchors the cadence
+    val (fresh, segF) = Bpe.train(spark,
+      Bpe.wordVocab(Seq((1L, "abab abab abc"),
+        (9L, ("zq " * 10).trim)).toDF("doc_id", "text"), "text"), 2)
+    assert(Bpe.readMerges(spark, gen3) == fresh)
+    assert(Bpe.countShift(spark, gen3) == 0.0)
+    segF.unpersist()
+  }
+
   test("batched equals sequential when the top pairs don't interact") {
     val v = vocabOf("abab" -> 5L, "cdcd" -> 4L)
     val (seq, s1) = Bpe.train(spark, v, 2)

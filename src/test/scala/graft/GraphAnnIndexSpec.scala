@@ -44,10 +44,10 @@ class GraphAnnIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("gann").toString
     GraphAnn.writeIndex(corpus, "vec_id", K, initBuckets = 16,
       iterations = 1, path = dir, buckets = 8)
-    val stored = GraphAnn.searchIndex(spark, dir, corpus, queries, "vec_id",
+    val stored = GraphAnn.searchIndexStrideEntries(spark, dir, corpus, queries, "vec_id",
         k = 5, beam = 8, hops = 2, entryStride = 8)
       .as[(Long, Long, Long, Long)].collect().toSet
-    val mem = GraphAnn.search(
+    val mem = GraphAnn.searchStrideEntries(
         GraphAnn.buildGraph(corpus, "vec_id", K, initBuckets = 16,
           iterations = 1),
         corpus, queries, "vec_id", k = 5, beam = 8, hops = 2, entryStride = 8)
@@ -69,7 +69,7 @@ class GraphAnnIndexSpec extends SparkSpec {
       .where(col("deg") === K)
       .select("src", "kth").as[(Long, Long)].collect().toMap
 
-    GraphAnn.appendIndex(spark, dir, corpus, batch, "vec_id",
+    GraphAnn.appendIndexStrideEntries(spark, dir, corpus, batch, "vec_id",
       k = K, beam = 8, hops = 3, entryStride = 8, buckets = 8)
 
     val idx = spark.read.parquet(dir)
@@ -88,10 +88,44 @@ class GraphAnnIndexSpec extends SparkSpec {
     assert(newSrc.size == 24 && newSrc.values.forall(_ == K))
     // and a stored probe can FIND a batch node from old entries
     val probes = batch.limit(2)
-    val got = GraphAnn.searchIndex(spark, dir, corpus, probes, "vec_id",
+    val got = GraphAnn.searchIndexStrideEntries(spark, dir, corpus, probes, "vec_id",
       k = 5, beam = 8, hops = 3, entryStride = 4)
     assert(got.count() > 0)
     // inserts are marked: insert-only nodes drive the health probe
+    assert(GraphAnn.insFraction(spark, dir) > 0.0)
+  }
+
+  test("appendIndexSeeded: router-seeded insert preserves the invariants and finds true neighbors") {
+    val old = clustered(40)
+    val batch = clustered(6, idOffset = 500000L)
+    val corpus = old.unionByName(batch)
+    val dir = java.nio.file.Files.createTempDirectory("gann").toString
+    GraphAnn.writeIndex(old, "vec_id", K, initBuckets = 16,
+      iterations = 1, path = dir, buckets = 8)
+    // router stand-in: each batch node seeded with scattered SAME-
+    // cluster members (what an nProbe=1 IVF shortlist delivers) —
+    // batch ids are 500000 + c*1000 + i, cluster peers at c*1000 + j
+    val seeds = batch.select(col("vec_id").as("q_id"),
+      explode(array(col("vec_id") - 500000L + 1L,
+        col("vec_id") - 500000L + 13L,
+        col("vec_id") - 500000L + 26L)).as("node"))
+    GraphAnn.appendIndexSeeded(spark, dir, corpus, batch, "vec_id",
+      k = K, beam = 8, hops = 3, seeds = seeds, buckets = 8)
+    val idx = spark.read.parquet(dir)
+    val maxDeg = idx.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= K, s"out-degree $maxDeg > k=$K after seeded append")
+    // every batch node entered with a full edge set, and a seeded
+    // insert finds SAME-cluster neighbors (the router's whole point:
+    // batch node 500000+c*1000+i's true neighbors live in cluster c)
+    val batchEdges = idx.where(col("src") >= 500000L)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(batchEdges.groupBy(_._1).size == 24 &&
+      batchEdges.groupBy(_._1).values.forall(_.length == K))
+    val crossCluster = batchEdges.count { case (s, d) =>
+      ((s - 500000L) / 1000) != (d % 500000L) / 1000
+    }
+    assert(crossCluster == 0,
+      s"$crossCluster seeded-insert edges left the true cluster")
     assert(GraphAnn.insFraction(spark, dir) > 0.0)
   }
 
@@ -108,7 +142,7 @@ class GraphAnnIndexSpec extends SparkSpec {
       else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
     }
     val beforeFiles = (0 until 32).map(b => b -> fileSet(b)).toMap
-    GraphAnn.appendIndex(spark, dir, corpus, batch, "vec_id",
+    GraphAnn.appendIndexStrideEntries(spark, dir, corpus, batch, "vec_id",
       k = K, beam = 8, hops = 3, entryStride = 8, buckets = 32)
     val touched = (0 until 32).count(b => fileSet(b) != beforeFiles(b))
     assert(touched > 0, "append touched nothing")
@@ -130,7 +164,7 @@ class GraphAnnIndexSpec extends SparkSpec {
     // flood with inserted nodes until the insert fraction trips
     val batch = clustered(40, idOffset = 500000L)
     val corpus = old.unionByName(batch)
-    GraphAnn.appendIndex(spark, gen1, corpus, batch, "vec_id",
+    GraphAnn.appendIndexStrideEntries(spark, gen1, corpus, batch, "vec_id",
       k = K, beam = 8, hops = 3, entryStride = 8, buckets = 8)
     val tripped = GraphAnn.maintain(spark, root, corpus, "vec_id", K,
       initBuckets = 16, iterations = 1, threshold = 0.4, buckets = 8)

@@ -91,7 +91,7 @@ class GraphAnnSpec extends SparkSpec {
       initBuckets = 16, iterations = 1)
     // stride 1 seeds the pool with the whole corpus: the beam search
     // must return exactly the brute-force ranking, graph regardless
-    val got = GraphAnn.search(g, corpus, queries, "vec_id",
+    val got = GraphAnn.searchStrideEntries(g, corpus, queries, "vec_id",
         k = 5, beam = 4, hops = 2, entryStride = 1)
       .as[(Long, Long, Long, Long)].collect().toSet
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", k = 5)
@@ -125,7 +125,7 @@ class GraphAnnSpec extends SparkSpec {
     val queries = corpus.where($"vec_id" % 50 === 7)
     val g = GraphAnn.buildGraph(corpus, "vec_id", k = K,
       initBuckets = 16, iterations = 2)
-    val approx = GraphAnn.search(g, corpus, queries, "vec_id",
+    val approx = GraphAnn.searchStrideEntries(g, corpus, queries, "vec_id",
       k = 5, beam = 8, hops = 5, entryStride = 16)
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", k = 5)
     val recall = AnnEval.recallAtK(approx, exact, "q_id", "vec_id", k = 5)

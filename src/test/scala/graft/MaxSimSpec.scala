@@ -64,6 +64,83 @@ class MaxSimSpec extends SparkSpec {
     assert(mv.toSet == Set((0L, 0L), (0L, 1L), (1L, 0L)))
   }
 
+  /** The pruned-spec corpus: 16 docs x 2 tokens of deterministic
+    * 8-dim vectors — shared by the stored-index tests below.
+    */
+  private def corpus16 = toks((0 until 16).flatMap { doc =>
+    (0 until 2).map { t =>
+      val v = (0 until 8).map(i =>
+        (math.sin(doc * 2.7 + t * 1.3 + i) * 10).toFloat)
+      (doc.toLong, t.toLong, v)
+    }
+  }: _*)
+
+  test("stored index probe equals the in-memory pruned path exactly") {
+    val d = corpus16
+    val q = d.where(col("doc_id") < 2)
+    val idx = java.nio.file.Files.createTempDirectory("maxsim").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    val stored = MaxSim.searchIndex(spark, idx, q, k = 16, nPlanes = 3,
+        dims = 8, dBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mem = MaxSim.scoreLshPruned(d, q, k = 16, nPlanes = 3, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(stored == mem && mem.nonEmpty)
+  }
+
+  test("stored index probe prunes both reads to the relevant partitions") {
+    val d = corpus16
+    val q = d.where(col("doc_id") === 0)
+    val idx = java.nio.file.Files.createTempDirectory("maxsim").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    val plan = MaxSim.searchIndex(spark, idx, q, k = 4, nPlanes = 3,
+      dims = 8, dBuckets = 4).queryExecution.executedPlan.toString
+    // both scans carry static partition filters (the bounded
+    // bucket/dbucket driver reads) — the probe never lists, let
+    // alone reads, unrelated bucket directories
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"postings read not bucket-pruned:\n$plan")
+    assert(plan.contains("PartitionFilters: [dbucket"),
+      s"token read not dbucket-pruned:\n$plan")
+  }
+
+  test("O(batch) append: new doc becomes findable, old partitions untouched") {
+    val d = corpus16
+    val idx = java.nio.file.Files.createTempDirectory("maxsim").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = files()
+    // the appended doc duplicates doc 3's tokens under a new id, so
+    // its buckets collide with doc 3's and a doc-3-token query must
+    // now surface BOTH
+    val batch = d.where(col("doc_id") === 3)
+      .select((col("doc_id") + 100L).as("doc_id"), col("tok"),
+        (col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    MaxSim.appendIndex(batch, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    assert(before.subsetOf(files()), "append rewrote existing files")
+    val got = MaxSim.searchIndex(spark, idx, d.where(col("doc_id") === 3),
+        k = 16, nPlanes = 3, dims = 8, dBuckets = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(103L), s"appended doc not found: $got")
+  }
+
+  test("versioned index: build under Generations, probe the live path") {
+    val d = corpus16
+    val root = java.nio.file.Files.createTempDirectory("maxsimroot").toString
+    MaxSim.writeIndexVersioned(d, root, nPlanes = 3, dims = 8, dBuckets = 4)
+    val live = graft.ops.Generations.livePath(spark, root)
+    val got = MaxSim.searchIndex(spark, live, d.where(col("doc_id") < 2),
+      k = 4, nPlanes = 3, dims = 8, dBuckets = 4)
+    assert(got.count() > 0)
+  }
+
   test("plan: query side broadcasts — no sort-merge join anywhere") {
     val d = toks((0L, 0L, Seq(1f, 0f)), (1L, 0L, Seq(0f, 1f)),
       (2L, 0L, Seq(1f, 1f)))
