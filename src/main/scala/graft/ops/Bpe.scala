@@ -445,11 +445,14 @@ object Bpe {
     * segmentation as (word, cnt, pos, sym) rows.
     *
     * Contract: `rounds` must not exceed the merges the corpus can
-    * yield — each s<r> is built `CROSS JOIN w<r>`, so an empty round
-    * empties every later CTE, where the Spark side early-stops
-    * instead. Real corpora yield thousands of merges; the contract
-    * only bites on degenerate vocabularies (single fully-merged
-    * word), which callers pin `rounds` well below.
+    * yield — the Spark side early-stops, the relational unroll cannot.
+    * The contract is ENFORCED loudly: each round carries a one-row
+    * guard CTE (wchk<r>) that raises a DuckDB `error(...)` naming the
+    * exhausted round if w<r> came up empty, so a degenerate vocabulary
+    * fails the oracle run with a message instead of surfacing as an
+    * opaque hash mismatch on silently-emptied CTEs. Real corpora yield
+    * thousands of merges; the guard only fires on degenerate
+    * vocabularies (single fully-merged word).
     */
   def trainSqlCtes(docsRel: String, rounds: Int): String = {
     val init =
@@ -467,6 +470,8 @@ object Bpe {
             FROM $pv a JOIN $pv b ON b.word = a.word AND b.pos = a.pos + 1
             GROUP BY 1, 2),
           w$r AS (SELECT s1, s2, c FROM p$r ORDER BY c DESC, s1, s2 LIMIT 1),
+          wchk$r AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM w$r) THEN 1
+              ELSE CAST(error('BPE oracle: vocabulary exhausted before round $r — lower rounds') AS INT) END AS ok),
           c$r AS (SELECT a.word, a.pos
             FROM $pv a JOIN $pv b ON b.word = a.word AND b.pos = a.pos + 1
             JOIN w$r w ON a.sym = w.s1 AND b.sym = w.s2),
@@ -485,6 +490,7 @@ object Bpe {
                 CASE WHEN ma.pos IS NOT NULL THEN w.s1 || w.s2 ELSE s.sym END AS sym
               FROM $pv s
               CROSS JOIN w$r w
+              CROSS JOIN wchk$r
               LEFT JOIN m$r ma ON ma.word = s.word AND ma.pos = s.pos
               LEFT JOIN m$r mb ON mb.word = s.word AND mb.pos = s.pos - 1
               WHERE mb.pos IS NULL) u)"""

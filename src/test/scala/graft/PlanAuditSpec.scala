@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q158_bigram_nll",         // single-row n_total scalar cross join (q91 shape)
     "q175_maxsim_exact",       // corpus tokens x broadcast query-token bag (q48 shape)
     "q179_hard_negatives",     // q48 shape + label-inequality scan filter
-    "q176_maxsim_lsh")         // same broadcast re-rank tail over the LSH shortlist
+    "q176_maxsim_lsh",         // same broadcast re-rank tail over the LSH shortlist
+    "q180_maxsim_index")       // same broadcast re-rank tail over the stored shortlist
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
     val dir = "/root/testdata/sf0.001"
