@@ -234,6 +234,52 @@ object MaxSim {
     gen
   }
 
+  /** Maintenance compaction into a new generation: postings are
+    * re-distincted (appends can re-add a (bucket, doc_id) pair) and
+    * buckets holding more than `maxBucketDocs` docs are DROPPED —
+    * the [[LshIndex]] bucket-cap discipline. A flooded bucket is
+    * boilerplate (at 2^nPlanes buckets over a healthy corpus each
+    * holds ~n/2^nPlanes docs; one holding a large corpus fraction
+    * means a degenerate token direction), and every query colliding
+    * with it would drag the whole cluster through the exact re-rank.
+    * Capping drops only that bucket's POSTINGS: a capped doc stays
+    * findable through its other tokens' buckets, and its token
+    * vectors stay in `toks` for re-ranks it still qualifies for.
+    * The cap is maintenance-only (OFF in [[writeIndex]]) because the
+    * capped shortlist deliberately diverges from [[scoreLshPruned]]'s
+    * uncapped contract — production recall/cost tradeoff, not the
+    * oracle path. `toks` is rewritten as-is (file compaction after
+    * many O(batch) appends). Returns the new live generation.
+    */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession,
+                       root: String, maxBucketDocs: Long = 100000L,
+                       keep: Int = 2): String = {
+    val live = Generations.livePath(spark, root)
+    val gen = Generations.nextPath(spark, root)
+    val w = Window.partitionBy("bucket")
+    val kept = spark.read.parquet(s"$live/postings")
+      .select("bucket", "doc_id").distinct()
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= maxBucketDocs)
+      .drop("_n")
+      .persist()
+    // an all-boilerplate index (every bucket over the cap) must fail
+    // LOUDLY here, not publish a generation whose empty postings dir
+    // cannot even be schema-inferred by a later probe
+    require(kept.limit(1).count() > 0,
+      s"bucket cap $maxBucketDocs drops every posting under $live — " +
+        "cap too low or the index is all boilerplate")
+    kept.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$gen/postings")
+    kept.unpersist()
+    spark.read.parquet(s"$live/toks")
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$gen/toks")
+    Generations.publish(spark, root, gen)
+    Generations.prune(spark, root, keep)
+    gen
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle rendering. `quantCtePrefix` must define flat
   // (vec_id, i, v) and norms (vec_id, nn) — VectorQueries' shared

@@ -513,6 +513,22 @@ object PipelineQueries {
       graft.ops.Bpe.encodeCountsStored(s, d,
           graft.ops.Generations.livePath(s, root), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // OLS quality probe: fit n_chars ~ b0 + b1*tokens + b2*count('e')
+    // by exact-integer normal equations (ONE aggregation) + in-plan
+    // Cramer solve, score every doc off the broadcast 1-row
+    // coefficient frame, surface the top-20 residual outliers — model
+    // fitting as aggregation, zero driver math. Every output value a
+    // micro-rounded BIGINT (double math = identical formula tree both
+    // engines, the q152 parity discipline)
+    "q182_ols_quality_probe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.LinearProbe.residualOutliers(d, "doc_id",
+          x1 = TextAnalysis.tokenCount(col("text")),
+          x2 = expr("length(text) - length(replace(text, 'e', ''))"),
+          y = col("n_chars"), k = 20)
+        .orderBy("rnk")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -522,6 +538,13 @@ object PipelineQueries {
     "q173_bpe_merges" -> graft.ops.Bpe.mergesSql("documents", 6),
     "q174_bpe_tokens" -> graft.ops.Bpe.encodeSql("documents", 6),
     "q181_bpe_stored_encode" -> graft.ops.Bpe.encodeSql("documents", 6),
+    // identical sums + Cramer formula tree + micro rounding — see
+    // LinearProbe's determinism contract
+    "q182_ols_quality_probe" -> graft.ops.LinearProbe.residualOutliersSql(
+      "documents", "doc_id",
+      x1 = "len(string_split_regex(lower(trim(text)), '\\s+'))",
+      x2 = "length(text) - length(replace(text, 'e', ''))",
+      y = "n_chars", k = 20),
     "q177_epoch_shuffle" ->
       (graft.ops.Export.epochShardsSql("documents", "doc_id", 1, 8) +
         "\nORDER BY shard, pos"),

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.ops.{Generations, MaxSim}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming late-interaction intake: a continuous document stream
+  * scored against EVERYTHING already indexed, then folded into the
+  * index — the RAG ingest loop (link/dedup each arriving doc against
+  * the corpus, then make it retrievable) as a micro-batch twin of the
+  * stored-index MaxSim family.
+  *
+  * The cross-batch memory is the persisted token-bucket index
+  * ([[MaxSim.writeIndex]]'s layout under a [[Generations]] root), not
+  * operator state — a multi-vector corpus at 100 TB is table-tier,
+  * same argument as [[SegmentDedupStream]]. Each micro-batch:
+  *
+  *   1. probes the LIVE index with the batch's token bags
+  *      ([[MaxSim.searchIndex]]: bucket-pruned shortlist + exact
+  *      re-rank), so every score is against the corpus as of the
+  *      PREVIOUS batch — scores are bit-identical to the batch
+  *      [[MaxSim.scoreLshPruned]] over that corpus (spec-pinned);
+  *   2. appends the scored top-k rows to `outPath`;
+  *   3. appends the batch's tokens into the live index
+  *      ([[MaxSim.appendIndex]], O(batch) partitioned file adds) so
+  *      the NEXT batch retrieves against the grown corpus.
+  *
+  * The loop is NOT naturally idempotent (a replayed batch would
+  * re-append its tokens and double them in every later score), so the
+  * whole step runs under the [[BatchMarkers]] replay guard — the same
+  * transactional-sink discipline as [[RollupStream]]/[[Scd2Stream]].
+  *
+  * Probe-before-append makes the loop deterministic under monotone
+  * ingest and keeps a batch from matching itself (self-docs are also
+  * excluded by the scoring tail). Run [[MaxSim.compactVersioned]] at
+  * maintenance cadence to re-distinct postings and cap boilerplate
+  * buckets the appends may have grown.
+  */
+object MaxSimStream {
+
+  def start(docToks: DataFrame, indexRoot: String, outPath: String,
+            k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
+            checkpointDir: String): StreamingQuery =
+    docToks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          BatchMarkers.applyOnce(batch.sparkSession, outPath, batchId) {
+            applyBatch(batch, indexRoot, outPath, k, nPlanes, dims, dBuckets)
+          }
+          ()
+        }
+      }
+      .start()
+
+  /** One micro-batch of the loop; also the unit the spec replays.
+    * `batchToks` must carry (doc_id, tok, vec_id, embedding).
+    */
+  def applyBatch(batchToks: DataFrame, indexRoot: String, outPath: String,
+                 k: Int, nPlanes: Int, dims: Int, dBuckets: Int): Unit = {
+    val spark = batchToks.sparkSession
+    val live = Generations.livePath(spark, indexRoot)
+    // snapshot the scores BEFORE the index append: the append adds
+    // files to the partitions the probe plan's scans list
+    val scored = MaxSim.searchIndex(spark, live, batchToks, k, nPlanes,
+      dims, dBuckets).localCheckpoint(true)
+    scored.write.mode("append").parquet(outPath)
+    MaxSim.appendIndex(batchToks, live, nPlanes, dims, dBuckets)
+  }
+}
