@@ -1316,10 +1316,23 @@ object BenchScale {
       // NEVER rescanned) vs the retrain the refresh replaces (full
       // corpus re-count + 6 argmax rounds). The maintain probe prices
       // the cadence tick that decides between them.
+      // the PLAIN replica corpus, deliberately: its vocabulary is the
+      // base corpus's (replicas add count mass, not words), so the
+      // mrows axis separates refresh (batch + compact vocab) from
+      // retrain (full corpus) — the tagged gram corpus's synthetic
+      // singleton vocabulary would hide exactly that separation.
+      // Both slices are MATERIALIZED as their own files (a real
+      // ingest reads its batch from storage — a filter over the full
+      // corpus file would charge the refresh a corpus-wide scan and
+      // flatten the very axis being measured, the rollup-row lesson)
       val bpeRoot = s"$tmp/bpe_model"
-      val gram = spark.read.parquet(s"$tmp/docs_gram.parquet")
-      val trainSlice = gram.where(pmod(col("doc_id"), lit(25L)) =!= 0L)
-      val batchSlice = gram.where(pmod(col("doc_id"), lit(25L)) === 0L)
+      docsBig.where(pmod(col("doc_id"), lit(25L)) =!= 0L)
+        .write.mode("overwrite").parquet(s"$tmp/bpe_train.parquet")
+      docsBig.where(pmod(col("doc_id"), lit(25L)) === 0L)
+        .write.mode("overwrite").parquet(s"$tmp/bpe_batch.parquet")
+      val gram = docsBig
+      val trainSlice = spark.read.parquet(s"$tmp/bpe_train.parquet")
+      val batchSlice = spark.read.parquet(s"$tmp/bpe_batch.parquet")
       Seq(
         timeOnce("bpe_model_train6_write") {
           val (merges, seg) = graft.ops.Bpe.train(spark,
@@ -1477,6 +1490,10 @@ object BenchScale {
       // key over 8 reducers. WALL rows tell the local story; the
       // per-REDUCER maxtask rows measure the axis that decides at
       // 1000 executors (the hot reducer's bytes ARE the straggler).
+      // Broadcast is pinned OFF inside the operator rows (AQE happily
+      // runtime-broadcasts this 3M-row dim and the whole scenario
+      // evaporates — the plain_aqe row keeps that honest baseline);
+      // the operator's stated regime is a dim too big to broadcast.
       // Thresholds land in Skew's scaladoc from these rows.
       time("skew_hotkey_plain_aqe") {
         val big = liBig.select(
@@ -1492,6 +1509,8 @@ object BenchScale {
       },
       timeOnce("skew_hotkey_plain_noaqe") {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
@@ -1503,12 +1522,18 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        } finally {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
       },
       timeOnce("skew_hotkey_salted") {
         // same no-AQE-skew setting: the row measures the OPERATOR as
         // the fallback, not AQE rescuing it
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
@@ -1521,10 +1546,16 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        } finally {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
       },
       maxTaskShuffleReadMb("skew_hotkey_plain_maxtask_mb") {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
@@ -1536,10 +1567,16 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        } finally {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
       },
       maxTaskShuffleReadMb("skew_hotkey_salted_maxtask_mb") {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
@@ -1552,7 +1589,11 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        } finally {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
       },
       time("historyload_pipeline") {
         val hl = new graft.pipeline.HistoryLoad(spark,

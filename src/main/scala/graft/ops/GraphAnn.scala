@@ -45,9 +45,34 @@ import org.apache.spark.sql.types.LongType
   *
   * Approximation is ONLY in which pairs get scored, never in a score:
   * recall is governed by (k, iterations) at build and (beam, hops,
-  * entryStride) at search; `AnnEval.recallAtK` measures it (BenchScale
+  * seed quality) at search; `AnnEval.recallAtK` measures it (BenchScale
   * frontier rows put this family on the same recall/latency axes as
   * IVF / IVF-PQ).
+  *
+  * ==FAMILY SCOPE: EXPERIMENTAL (measured verdict, round 10)==
+  * On cluster-structured corpora — the shape web-scale embedding
+  * corpora actually have — this family is DOMINATED by the IVF
+  * family at every measured operating point, and the round-10
+  * build-quality sweep (`BENCH_SCALE_r10.json` `sweep16_*` rows)
+  * shows more build quality cannot fix it: k=8/it=2 and k=16/it=2
+  * builds lift router-seeded recall only to 0.23/0.27 against their
+  * own nProbe=1 router's 0.24, while plain IVF nProbe=16 reads 0.80
+  * at a tenth of the probe latency and ~zero build cost (the k=16
+  * build on 1/16 of the corpus already costs 1.5x the IVF build on
+  * the FULL corpus; NN-Descent candidate volume scales as (2k)^2·n).
+  * The mechanism is structural, not a tuning gap: a CONVERGED kNN
+  * graph over a many-cluster corpus is cluster-pure (every node's
+  * top-k is intra-cluster), so the beam walk can never leave the
+  * clusters its seeds landed in — recall is ceilinged by router
+  * coverage, and the walk only re-ranks what IVF's exact distances
+  * already rank exactly. Appends share the verdict: even
+  * router-seeded, a 1% batch costs ~54% of a from-scratch build
+  * (`frontier_graph_append_1pct_routed`), because a random batch
+  * touches every storage bucket and the rewrite dominates. Use
+  * [[Ivf]] / [[IvfPq]] (+ refine) for production ANN; reach for this
+  * family only on corpora VERIFIED to have small-world connectivity
+  * (long-range links a graph can exploit), and measure recall on the
+  * `frontier_*` axes before shipping it.
   */
 object GraphAnn {
 

@@ -13,20 +13,31 @@ import org.apache.spark.sql.functions._
   * speculative execution); the small side is replicated `saltFactor`
   * ways. Join fans the hot key across `saltFactor` tasks.
   *
-  * When to use (measured: BenchScale `skew_hotkey_*` rows, half of a
-  * 12M-row fact on ONE key against a 3M-row non-broadcastable dim):
-  * reach for salting when (a) AQE is unavailable or its skew split
-  * doesn't apply — the skewed side feeds an AGGREGATION or window on
-  * the same key (aggregation partitions can't be split), or the
-  * planner picked a broadcast/nested-loop shape AQE won't rewrite —
-  * or (b) the hot key is known AHEAD of time and you want the fan-out
-  * pinned (deterministic task sizing) rather than discovered at
-  * runtime. Under plain AQE-managed sort-merge joins, prefer doing
-  * nothing: the split is free and adaptive. `saltFactor` ~ the number
-  * of tasks one hot key should spread over (cores for one dominant
-  * key); the small side pays a `saltFactor`x replication, so keep it
-  * bounded by hot-key-rows / healthy-task-rows. Correctness is
-  * oracle-gated equal to the plain join (q167).
+  * When to use — measured (BenchScale r10 `skew_hotkey_*` rows: half
+  * of a 12M-row fact carrying an incompressible 128 B payload
+  * collapses onto ONE key of a 3M-row dim, broadcast pinned off):
+  *
+  *  - AQE available and applicable: do nothing. The adaptive skew
+  *    split + runtime broadcast ran the scenario in 2.5 s — the free
+  *    fix wins (`skew_hotkey_plain_aqe`).
+  *  - AQE unavailable or inapplicable (the skewed side feeds an
+  *    AGGREGATION or window on the same key — aggregation partitions
+  *    can't be split — or the plan shape AQE won't rewrite, or the
+  *    dim genuinely can't broadcast): this operator is the fallback,
+  *    and in that regime it wins BOTH axes — wall 7.1 s -> 4.2 s and,
+  *    the axis that decides on a real cluster, the hot reducer's
+  *    shuffle-read 802.6 MB -> 132.7 MB (~saltFactor=8's division;
+  *    at 1000 executors that per-reducer ceiling IS the straggler).
+  *  - Also when the hot key is known AHEAD of time and the fan-out
+  *    should be pinned (deterministic task sizing) rather than
+  *    discovered at runtime.
+  *
+  * `saltFactor` ~ the number of tasks one hot key should spread over
+  * (hot-key bytes / healthy-task shuffle read); the small side pays a
+  * `saltFactor`x replication (the measured run replicated a 3M-row
+  * dim 8x and still won wall), so keep it bounded by hot-key-rows /
+  * healthy-task-rows. Correctness is oracle-gated equal to the plain
+  * join (q167).
   */
 object Skew {
 
