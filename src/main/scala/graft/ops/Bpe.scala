@@ -498,6 +498,72 @@ object Bpe {
     (init +: roundCtes).mkString(",\n")
   }
 
+  /** One greedy-merge application round rendered relationally: apply
+    * the (already-defined) winner CTE `w` to symbol rows `pv`,
+    * emitting `$out` — the parity-rule merge identical to
+    * [[trainSqlCtes]]'s per-round application block, factored so the
+    * REFRESH oracle can replay stored merges over a different word
+    * set (the new-word chain) without recounting pairs.
+    */
+  private def applyRoundSql(pfx: String, pv: String, w: String,
+                            out: String): String =
+    s"""${pfx}c AS (SELECT a.word, a.pos
+          FROM $pv a JOIN $pv b ON b.word = a.word AND b.pos = a.pos + 1
+          JOIN $w w ON a.sym = w.s1 AND b.sym = w.s2),
+        ${pfx}g AS (SELECT word, pos,
+            pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM ${pfx}c),
+        ${pfx}m AS (SELECT word, pos FROM (
+            SELECT word, pos,
+              row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+            FROM ${pfx}g) t WHERE k % 2 = 1),
+        $out AS (SELECT word, cnt,
+            CAST(row_number() OVER (PARTITION BY word ORDER BY opos) AS BIGINT) AS pos,
+            sym
+          FROM (
+            SELECT s.word, s.cnt, s.pos AS opos,
+              CASE WHEN ma.pos IS NOT NULL THEN w.s1 || w.s2 ELSE s.sym END AS sym
+            FROM $pv s
+            CROSS JOIN $w w
+            LEFT JOIN ${pfx}m ma ON ma.word = s.word AND ma.pos = s.pos
+            LEFT JOIN ${pfx}m mb ON mb.word = s.word AND mb.pos = s.pos - 1
+            WHERE mb.pos IS NULL) u)"""
+
+  /** Full oracle for [[refresh]]: train `rounds` merges on `oldRel`,
+    * fold `newRel`'s word counts in, keep the OLD segmentation for
+    * known words (it depends only on the merges, which a refresh
+    * never changes) and segment genuinely NEW words by replaying the
+    * stored merges over their characters — exactly the Spark path's
+    * contract. Emits the refreshed segmented vocabulary as
+    * (word, cnt, pos, sym) rows ordered by (word, pos).
+    */
+  def refreshSql(oldRel: String, newRel: String, rounds: Int): String = {
+    val newChain = (1 to rounds).map { r =>
+      applyRoundSql(s"n${r}_", s"n${r - 1}", s"w$r", s"n$r")
+    }.mkString(",\n")
+    GraphAnn.materializeCtes(
+      s"""WITH ${trainSqlCtes(oldRel, rounds)},
+          ntoks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM $newRel),
+          nvocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ntoks WHERE length(word) > 0 GROUP BY 1),
+          uvocab AS (SELECT COALESCE(a.word, b.word) AS word,
+              COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+            FROM vocab a FULL OUTER JOIN nvocab b ON a.word = b.word),
+          oldseg AS (SELECT s.word, u.cnt, s.pos, s.sym
+            FROM s$rounds s JOIN uvocab u ON u.word = s.word),
+          nw AS (SELECT u.word, u.cnt FROM uvocab u
+            LEFT JOIN vocab v ON v.word = u.word WHERE v.word IS NULL),
+          n0 AS (SELECT word, cnt, CAST(p AS BIGINT) AS pos,
+              substring(word, CAST(p AS INTEGER), 1) AS sym
+            FROM (SELECT word, cnt,
+                    unnest(range(1, length(word) + 1)) AS p FROM nw) u),
+          $newChain
+          SELECT word, cnt, pos, sym FROM oldseg
+          UNION ALL SELECT word, cnt, pos, sym FROM n$rounds
+          ORDER BY word, pos""")
+  }
+
   /** Full oracle for the merge table: (round, sym_a, sym_b, merged,
     * pair_cnt) ordered by round.
     */

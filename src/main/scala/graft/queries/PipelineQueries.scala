@@ -515,6 +515,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the tokenizer REFRESH path end-to-end: train 6 merges on 90% of
+    // the corpus, persist, fold the held-out 10% in as an ingest
+    // batch, and emit the refreshed segmented vocabulary. The oracle
+    // replays the whole contract relationally: union counts, OLD
+    // segmentation kept for known words (merges never change on
+    // refresh), stored merges replayed over new words' characters
+    "q183_bpe_refresh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldD = d.where(col("doc_id") % 10 =!= 0)
+      val newD = d.where(col("doc_id") % 10 === 0)
+      val (merges, seg) = graft.ops.Bpe.train(s,
+        graft.ops.Bpe.wordVocab(oldD, "text"), 6)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q183").toString
+      graft.ops.Bpe.writeModelVersioned(s, merges, seg, root)
+      seg.unpersist()
+      graft.ops.Bpe.refresh(s, root, newD, "text")
+      s.read.parquet(
+          s"${graft.ops.Generations.livePath(s, root)}/vocab")
+        .select(col("word"), col("cnt"), posexplode(col("syms")))
+        .select(col("word"), col("cnt"),
+          (col("pos") + 1).cast(LongType).as("pos"), col("col").as("sym"))
+        .orderBy("word", "pos")
+    }),
+
     // OLS quality probe: fit n_chars ~ b0 + b1*tokens + b2*count('e')
     // by exact-integer normal equations (ONE aggregation) + in-plan
     // Cramer solve, score every doc off the broadcast 1-row
@@ -538,6 +563,9 @@ object PipelineQueries {
     "q173_bpe_merges" -> graft.ops.Bpe.mergesSql("documents", 6),
     "q174_bpe_tokens" -> graft.ops.Bpe.encodeSql("documents", 6),
     "q181_bpe_stored_encode" -> graft.ops.Bpe.encodeSql("documents", 6),
+    "q183_bpe_refresh" -> graft.ops.Bpe.refreshSql(
+      "(SELECT text FROM documents WHERE doc_id % 10 <> 0)",
+      "(SELECT text FROM documents WHERE doc_id % 10 = 0)", 6),
     // identical sums + Cramer formula tree + micro rounding — see
     // LinearProbe's determinism contract
     "q182_ols_quality_probe" -> graft.ops.LinearProbe.residualOutliersSql(
