@@ -280,6 +280,37 @@ object MaxSim {
     gen
   }
 
+  /** Outcome of one [[maintain]] tick. */
+  final case class MaintenanceReport(maxBucketDocs: Long, dupPostings: Long,
+                                     compacted: Boolean)
+
+  /** The compaction cadence ([[Ivf.maintain]] shape): probe the live
+    * generation's postings health in ONE aggregation — the largest
+    * bucket's doc count (boilerplate flooding) and the duplicate
+    * (bucket, doc_id) volume appends accrued — and run
+    * [[compactVersioned]] only when either passes its trip point. A
+    * healthy tick costs one postings scan and touches nothing.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, root: String,
+               maxBucketDocs: Long = 100000L, maxDupPostings: Long = 0L,
+               keep: Int = 2): MaintenanceReport = {
+    val live = Generations.livePath(spark, root)
+    val h = spark.read.parquet(s"$live/postings")
+      .groupBy("bucket", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum(col("n") - 1).as("dups"))
+      .agg(max("docs"), sum("dups")).head()
+    val (mx, dups) =
+      (if (h.isNullAt(0)) 0L else h.getLong(0),
+        if (h.isNullAt(1)) 0L else h.getLong(1))
+    if (mx <= maxBucketDocs && dups <= maxDupPostings)
+      MaintenanceReport(mx, dups, compacted = false)
+    else {
+      compactVersioned(spark, root, maxBucketDocs, keep)
+      MaintenanceReport(mx, dups, compacted = true)
+    }
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle rendering. `quantCtePrefix` must define flat
   // (vec_id, i, v) and norms (vec_id, nn) — VectorQueries' shared

@@ -77,4 +77,21 @@ class MaxSimStreamSpec extends SparkSpec {
     assert(Generations.livePath(spark, root) == gen2,
       "failed compaction must not move the pointer")
   }
+
+  test("maintain: healthy tick is read-only; duplicate postings trip a compaction") {
+    val root = java.nio.file.Files.createTempDirectory("msroot").toString
+    MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)
+    val gen1 = Generations.livePath(spark, root)
+    val healthy = MaxSim.maintain(spark, root, maxBucketDocs = 1000L)
+    assert(!healthy.compacted && healthy.dupPostings == 0L)
+    assert(Generations.livePath(spark, root) == gen1)
+    // a replayed ingest without the marker guard duplicates postings
+    MaxSim.appendIndex(toks(3 until 4), gen1, nP, dms, dB)
+    val tripped = MaxSim.maintain(spark, root, maxBucketDocs = 1000L)
+    assert(tripped.compacted && tripped.dupPostings > 0L)
+    val gen2 = Generations.livePath(spark, root)
+    assert(gen2 != gen1)
+    val p = spark.read.parquet(s"$gen2/postings")
+    assert(p.count() == p.distinct().count())
+  }
 }
