@@ -554,6 +554,20 @@ object PipelineQueries {
           x2 = expr("length(text) - length(replace(text, 'e', ''))"),
           y = col("n_chars"), k = 20)
         .orderBy("rnk")
+    }),
+
+    // segmented calibration: one OLS model PER LANGUAGE in the same
+    // two scans (sums aggregate gains the group key; the #langs-row
+    // coefficient frame broadcasts onto one corpus scan), top-5
+    // residual outliers within each language — per-domain quality
+    // models at corpus scale with zero driver math
+    "q184_grouped_ols" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.LinearProbe.residualOutliersGrouped(d, "doc_id", "lang",
+          x1 = TextAnalysis.tokenCount(col("text")),
+          x2 = expr("length(text) - length(replace(text, 'e', ''))"),
+          y = col("n_chars"), kPerGroup = 5)
+        .orderBy("lang", "rnk")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -573,6 +587,11 @@ object PipelineQueries {
       x1 = "len(string_split_regex(lower(trim(text)), '\\s+'))",
       x2 = "length(text) - length(replace(text, 'e', ''))",
       y = "n_chars", k = 20),
+    "q184_grouped_ols" -> graft.ops.LinearProbe.residualOutliersGroupedSql(
+      "documents", "doc_id", "lang",
+      x1 = "len(string_split_regex(lower(trim(text)), '\\s+'))",
+      x2 = "length(text) - length(replace(text, 'e', ''))",
+      y = "n_chars", kPerGroup = 5),
     "q177_epoch_shuffle" ->
       (graft.ops.Export.epochShardsSql("documents", "doc_id", 1, 8) +
         "\nORDER BY shard, pos"),

@@ -42,6 +42,31 @@ class LinearProbeSpec extends SparkSpec {
     assert(res == res.sortBy(-_))
   }
 
+  test("grouped fit recovers each group's coefficients independently") {
+    // group a: y = 1 + 2*x1 + 3*x2 ; group b: y = 5 + 7*x1 + 1*x2 —
+    // a pooled fit could satisfy neither; the grouped fit must nail both
+    val pts = Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 5L), (7L, 2L))
+    val rows =
+      pts.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, "a", a, b, 1L + 2L * a + 3L * b) } ++
+      pts.zipWithIndex.map { case ((a, b), i) =>
+        (100L + i, "b", a, b, 5L + 7L * a + 1L * b) }
+    val df = rows.toDF("id", "grp", "x1", "x2", "y")
+    val fit = graft.ops.LinearProbe
+      .fitGrouped(df, "grp", col("x1"), col("x2"), col("y"))
+      .select("grp", "b0_micro", "b1_micro", "b2_micro")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fit("a") == ((1000000L, 2000000L, 3000000L)))
+    assert(fit("b") == ((5000000L, 7000000L, 1000000L)))
+    val out = graft.ops.LinearProbe.residualOutliersGrouped(df, "id", "grp",
+      col("x1"), col("x2"), col("y"), kPerGroup = 3).collect()
+    assert(out.length == 6 && out.forall(_.getLong(3) == 0L))
+    // rank restarts per group
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set("a", "b").flatMap(g => (1L to 3L).map(g -> _)))
+  }
+
   test("singular design (collinear features) fails loudly, not silently") {
     val df = Seq((1L, 1L, 1L, 10L), (2L, 2L, 1L, 20L), (3L, 3L, 1L, 30L))
       .toDF("id", "x1", "x2", "y") // x2 constant: [1, x2] dependent
