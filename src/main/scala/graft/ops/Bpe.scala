@@ -335,14 +335,29 @@ object Bpe {
 
   /** Segment a (word, cnt) frame by replaying a merge list over its
     * characters — one in-row greedy fold per merge, zero shuffles.
-    * Plan depth is O(merges), so this is the OOV/refresh cold path
-    * for the handful of new words a batch brings, not the bulk
-    * encode (which joins the stored vocab, [[encodeCounts]]).
+    * The replay is CHUNKED: every `chunk` merges the frame is eagerly
+    * localCheckpointed (superseded blocks freed), so plan depth stays
+    * O(chunk) and a production 30k-merge model replays in ~30k/chunk
+    * bounded projections instead of one 30k-deep expression tree that
+    * no analyzer survives. Still the OOV/refresh cold path for the
+    * handful of new words a batch brings — the bulk encode joins the
+    * stored vocab ([[encodeCounts]]).
     */
-  def segmentWords(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(charSymbols(vocab)) { (df, m) =>
-      df.withColumn("syms", applyMerge(col("syms"), m.s1, m.s2))
-    }.select("word", "cnt", "syms")
+  def segmentWords(vocab: DataFrame, merges: Seq[Merge],
+                   chunk: Int = 16): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1 (got $chunk)")
+    var cur = charSymbols(vocab).select("word", "cnt", "syms")
+    var first = true
+    merges.grouped(chunk).foreach { g =>
+      val next = g.foldLeft(cur) { (df, m) =>
+        df.withColumn("syms", applyMerge(col("syms"), m.s1, m.s2))
+      }.localCheckpoint(true)
+      if (!first) freeCheckpoint(cur)
+      first = false
+      cur = next
+    }
+    cur
+  }
 
   /** Per-doc BPE token counts from the STORED artifact — [[
     * encodeCounts]] against the model's segmented vocabulary; no
@@ -400,6 +415,7 @@ object Bpe {
       .write.mode("overwrite").parquet(s"$gen/meta")
     Generations.publish(spark, root, gen)
     freeCheckpoint(folded)
+    freeCheckpoint(fresh) // segmentWords' final chunk checkpoint
     gen
   }
 

@@ -159,6 +159,25 @@ class BpeSpec extends SparkSpec {
     assert(math.abs(Bpe.countShift(spark, live) - (8.0 / 5.0 - 1.0)) < 1e-9)
   }
 
+  test("segmentWords chunked replay equals the trainer's own segmentation") {
+    import spark.implicits._
+    // enough text to yield 9 merges, then replay them with chunk=2 —
+    // 5 chunk boundaries cross merge dependencies (later merges
+    // consume earlier merges' symbols), so any boundary bug breaks it
+    val docs = Seq((1L, "lower lowest newer wider slow slower low low low"))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.wordVocab(docs, "text")
+    val (merges, seg) = Bpe.train(spark, vocab, 9)
+    assert(merges.length == 9)
+    val expect = seg.orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](2))).toSeq
+    val replay = Bpe.segmentWords(vocab, merges, chunk = 2)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getSeq[String](2))).toSeq
+    assert(replay == expect)
+    seg.unpersist()
+  }
+
   test("maintain: healthy tick is read-only; drift past threshold retrains") {
     import spark.implicits._
     val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
