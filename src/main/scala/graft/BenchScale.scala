@@ -124,6 +124,25 @@ object BenchScale {
       println(f"ROW $name $sec%.3f")
       name -> sec
     }
+    // skew rows override three join configs; capture the PRIOR values
+    // and restore exactly those (not hardcoded defaults) so config
+    // drift — or a future Spark default change — can't leak an
+    // altered broadcast threshold into every row after the skew block
+    def withSkewOverrides(body: => Unit): Unit = {
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prior = keys.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(keys(0), "false")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "-1")
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     // Non-second rows (counts, recalls, MB, Mrows) register here so
     // the headline `value` stays a pure sum of SECONDS — r9 fix: the
     // r8-shape artifact summed measure rows into the total, which a
@@ -1508,10 +1527,7 @@ object BenchScale {
           .collect().nonEmpty)
       },
       timeOnce("skew_hotkey_plain_noaqe") {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try {
+        withSkewOverrides {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
             col("l_orderkey"), col("l_quantity"),
@@ -1522,19 +1538,12 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally {
-          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         }
       },
       timeOnce("skew_hotkey_salted") {
         // same no-AQE-skew setting: the row measures the OPERATOR as
         // the fallback, not AQE rescuing it
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try {
+        withSkewOverrides {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
             col("l_orderkey"), col("l_quantity"),
@@ -1546,17 +1555,10 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally {
-          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         }
       },
       maxTaskShuffleReadMb("skew_hotkey_plain_maxtask_mb") {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try {
+        withSkewOverrides {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
             col("l_orderkey"), col("l_quantity"),
@@ -1567,17 +1569,10 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally {
-          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         }
       },
       maxTaskShuffleReadMb("skew_hotkey_salted_maxtask_mb") {
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try {
+        withSkewOverrides {
           val big = liBig.select(
             expr("IF(l_orderkey % 2 = 0, 7L, l_suppkey)").as("k"),
             col("l_orderkey"), col("l_quantity"),
@@ -1589,10 +1584,6 @@ object BenchScale {
             .agg(count(lit(1)), sum(col("l_quantity") * col("w")),
               sum(length(col("payload"))))
             .collect().nonEmpty)
-        } finally {
-          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         }
       },
       time("historyload_pipeline") {

@@ -95,8 +95,16 @@ object Bpe {
     * live on the underlying RDD, not in the CacheManager), so the
     * training loops free each round's frame through the plan's
     * LogicalRDD leaf once the next round has eagerly materialized.
-    * Best-effort: if the plan shape ever changes, leaking to GC is
-    * the old behavior, not a correctness problem.
+    *
+    * CONTRACT: a freed frame must NEVER be acted on again. Local
+    * checkpoints truncate lineage, so the dropped blocks were the
+    * frame's ONLY data copy — a later action fails with
+    * missing-block errors rather than recomputing (a job error, not
+    * a leak). Every call site frees a frame only after its successor
+    * has eagerly materialized and the reference is dropped. The
+    * "best effort" below covers only the LOOKUP (if Spark's plan
+    * shape ever hides the LogicalRDD leaf, the blocks leak to GC —
+    * the old behavior); it does not soften the never-reuse contract.
     */
   private def freeCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.collectLeaves().foreach {

@@ -40,17 +40,25 @@ object LinearProbe {
       a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
       a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
 
-  /** The nine exact-integer normal-equation sums. */
-  private def sumExprs(x1: Column, x2: Column, y: Column): Seq[Column] = Seq(
-    count(lit(1)).as("n"),
-    sum(x1.cast(LongType)).as("s1"),
-    sum(x2.cast(LongType)).as("s2"),
-    sum((x1 * x1).cast(LongType)).as("s11"),
-    sum((x1 * x2).cast(LongType)).as("s12"),
-    sum((x2 * x2).cast(LongType)).as("s22"),
-    sum(y.cast(LongType)).as("sy"),
-    sum((x1 * y).cast(LongType)).as("s1y"),
-    sum((x2 * y).cast(LongType)).as("s2y"))
+  /** The nine exact-integer normal-equation sums. Features are cast
+    * to BIGINT BEFORE forming the products — matching the DuckDB
+    * oracle's cast-then-multiply order — so IntegerType inputs whose
+    * per-row product exceeds 2^31 multiply in 64-bit on both engines
+    * instead of tripping Spark's ANSI int overflow.
+    */
+  private def sumExprs(x1c: Column, x2c: Column, yc: Column): Seq[Column] = {
+    val (x1, x2, y) = (x1c.cast(LongType), x2c.cast(LongType), yc.cast(LongType))
+    Seq(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"),
+      sum(x2).as("s2"),
+      sum(x1 * x1).as("s11"),
+      sum(x1 * x2).as("s12"),
+      sum(x2 * x2).as("s22"),
+      sum(y).as("sy"),
+      sum(x1 * y).as("s1y"),
+      sum(x2 * y).as("s2y"))
+  }
 
   /** Raw Cramer coefficients `_b0.._b2` over a sums frame's columns. */
   private def rawCoefExprs: Seq[Column] = {

@@ -29,6 +29,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * re-append its tokens and double them in every later score), so the
   * whole step runs under the [[BatchMarkers]] replay guard — the same
   * transactional-sink discipline as [[RollupStream]]/[[Scd2Stream]].
+  * The guard is belt-AND-braces on the sink side: scored rows are
+  * stamped with the batch id and written as a `batch_id=` partition
+  * under dynamic partition overwrite, so a crash-replay inside the
+  * applyBatch window REPLACES its own partition instead of appending
+  * undetectable duplicate score rows. That shrinks the
+  * non-idempotent window to the index append alone — whose duplicate
+  * tokens are score-benign (MAX semantics) and whose duplicate
+  * postings [[MaxSim.maintain]] detects and compacts.
   *
   * Probe-before-append makes the loop deterministic under monotone
   * ingest and keeps a batch from matching itself (self-docs are also
@@ -46,7 +54,8 @@ object MaxSimStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           BatchMarkers.applyOnce(batch.sparkSession, outPath, batchId) {
-            applyBatch(batch, indexRoot, outPath, k, nPlanes, dims, dBuckets)
+            applyBatch(batch, indexRoot, outPath, k, nPlanes, dims, dBuckets,
+              batchId)
           }
           ()
         }
@@ -57,14 +66,22 @@ object MaxSimStream {
     * `batchToks` must carry (doc_id, tok, vec_id, embedding).
     */
   def applyBatch(batchToks: DataFrame, indexRoot: String, outPath: String,
-                 k: Int, nPlanes: Int, dims: Int, dBuckets: Int): Unit = {
+                 k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
+                 batchId: Long): Unit = {
     val spark = batchToks.sparkSession
     val live = Generations.livePath(spark, indexRoot)
     // snapshot the scores BEFORE the index append: the append adds
     // files to the partitions the probe plan's scans list
     val scored = MaxSim.searchIndex(spark, live, batchToks, k, nPlanes,
       dims, dBuckets).localCheckpoint(true)
-    scored.write.mode("append").parquet(outPath)
+    // batch-partitioned + dynamic overwrite: a replay of this batch id
+    // replaces ONLY its own partition (never other batches' rows), so
+    // the sink carries no undetectable duplicates from a crash-replay
+    scored.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
     MaxSim.appendIndex(batchToks, live, nPlanes, dims, dBuckets)
   }
 }

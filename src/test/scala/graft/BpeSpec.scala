@@ -206,6 +206,50 @@ class BpeSpec extends SparkSpec {
     segF.unpersist()
   }
 
+  test("train frees superseded checkpoint blocks: net +1 persisted RDD") {
+    // a checkpointed frame's .unpersist() is a no-op, so without the
+    // explicit freeCheckpoint a 5-round train would leave 5 vocab
+    // copies pinned between driver GCs; the loop must net exactly ONE
+    // new persisted RDD — the final segmentation it returns
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (merges, seg) = Bpe.train(spark,
+      vocabOf("low" -> 5L, "lower" -> 2L, "lowest" -> 3L,
+        "newer" -> 4L, "wider" -> 1L), 5)
+    assert(merges.length == 5)
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(delta.size == 1,
+      s"train leaked checkpoint blocks: ${delta.size} new persisted RDDs")
+    seg.count() // the survivor is live and readable
+  }
+
+  test("trainBatched frees superseded checkpoint blocks too") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (merges, seg) = Bpe.trainBatched(spark,
+      vocabOf("low" -> 5L, "lower" -> 2L, "lowest" -> 3L,
+        "newer" -> 4L, "wider" -> 1L), 4, batch = 2)
+    assert(merges.nonEmpty)
+    val delta = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(delta.size == 1,
+      s"trainBatched leaked checkpoint blocks: ${delta.size} new persisted RDDs")
+    seg.count()
+  }
+
+  test("oracle unroll guards every round against vocabulary exhaustion") {
+    // the relational unroll can't early-stop like the Spark side; it
+    // must fail LOUDLY via a per-round error() guard instead of
+    // silently emptying CTEs into an opaque hash mismatch
+    val sql = Bpe.trainSqlCtes("docs", 3)
+    (1 to 3).foreach { r =>
+      assert(sql.contains(s"wchk$r"), s"round $r missing its guard CTE")
+      assert(sql.contains(s"exhausted before round $r"))
+    }
+    // the guard participates in each round's application block (a
+    // dead CTE would never evaluate), and the refresh oracle inherits
+    // the full guarded chain
+    assert(sql.contains("CROSS JOIN wchk1"))
+    assert(Bpe.refreshSql("old_docs", "new_docs", 2).contains("wchk2"))
+  }
+
   test("batched equals sequential when the top pairs don't interact") {
     val v = vocabOf("abab" -> 5L, "cdcd" -> 4L)
     val (seq, s1) = Bpe.train(spark, v, 2)

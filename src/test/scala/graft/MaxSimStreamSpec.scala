@@ -34,16 +34,35 @@ class MaxSimStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
 
-    MaxSimStream.applyBatch(toks(8 until 12), root, out, k, nP, dms, dB)
+    MaxSimStream.applyBatch(toks(8 until 12), root, out, k, nP, dms, dB, 0L)
     val after1 = rows(spark.read.parquet(out))
     assert(after1 == rows(MaxSim.scoreLshPruned(toks(0 until 8),
       toks(8 until 12), k, nP, dms)) && after1.nonEmpty)
 
     // batch 2 scores against corpus 0..11 — batch 1 is already indexed
-    MaxSimStream.applyBatch(toks(12 until 16), root, out, k, nP, dms, dB)
+    MaxSimStream.applyBatch(toks(12 until 16), root, out, k, nP, dms, dB, 1L)
     val batch2 = rows(spark.read.parquet(out)) -- after1
     assert(batch2 == rows(MaxSim.scoreLshPruned(toks(0 until 12),
       toks(12 until 16), k, nP, dms)) && batch2.nonEmpty)
+  }
+
+  test("a crash-replayed batch REPLACES its sink partition, never appends") {
+    val root = java.nio.file.Files.createTempDirectory("msroot").toString
+    val out = java.nio.file.Files.createTempDirectory("msout").toString + "/out"
+    MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)
+    MaxSimStream.applyBatch(toks(8 until 12), root, out, k, nP, dms, dB, 0L)
+    assert(spark.read.parquet(out).count() > 0)
+    // crash inside the BatchMarkers window -> the SAME batch replays
+    // with the SAME id; dynamic partition overwrite must leave exactly
+    // one copy of each (q_doc, rnk) in the sink (append mode left two)
+    MaxSimStream.applyBatch(toks(8 until 12), root, out, k, nP, dms, dB, 0L)
+    val re = spark.read.parquet(out)
+    assert(re.groupBy("q_doc", "rnk").count()
+      .agg(max("count")).head().getLong(0) == 1L)
+    assert(re.select("batch_id").distinct().count() == 1L)
+    // the index append DID replay (postings duplicated) — exactly the
+    // residue the maintenance cadence owns
+    assert(MaxSim.maintain(spark, root, maxBucketDocs = 1000L).compacted)
   }
 
   test("compactVersioned: postings re-distinct, flooded buckets capped, toks intact") {
