@@ -1440,7 +1440,89 @@ object BenchScale {
                 col("embedding"), col("label")),
             "vec_id", 8),
           s"$tmp/maxsim_idx", nPlanes = 8, dims = 64)
-      },
+      }) ++ {
+      // ---- MaxSim pruned-path recall + append-chain (round 11) ----
+      // The production shortlist's QUALITY vs the exact path — the
+      // measurement the graph-ANN adjudication taught us never to
+      // skip. Ground truth once (exact top-10, 4 query docs, 2.56M
+      // corpus tokens); each sweep point is mean recall@10 in milli
+      // over the query docs (the q138 AnnEval convention). nPlanes
+      // trades probe cost against recall; the _mp2 rows price the
+      // multi-probe rescue (each query token also probes its 2
+      // nearest-boundary buckets) where single-probe decays.
+      val mvR = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
+      val qR = mvR.where(col("doc_id") < 4)
+      var gtR: org.apache.spark.sql.DataFrame = null
+      val gtRow = timeOnce("maxsim_exact_gt_topk10") {
+        gtR = graft.ops.MaxSim.scoreExact(mvR, qR, k = 10)
+          .localCheckpoint(true)
+        require(gtR.count() > 0)
+      }
+      def maxsimRecall(nPlanes: Int, multiProbe: Int): Double =
+        graft.ops.AnnEval.recallAtK(
+            graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+              nPlanes = nPlanes, dims = 64, multiProbe = multiProbe),
+            gtR, "q_doc", "doc_id", k = 10)
+          .agg(avg(col("recall_milli"))).head().getDouble(0)
+      val sweep = Seq(8, 12, 16).map { p =>
+        valueRow(s"maxsim_recall_milli_p$p") { maxsimRecall(p, 0) }
+      } ++ Seq(
+        valueRow("maxsim_recall_milli_p12_mp2") { maxsimRecall(12, 2) },
+        valueRow("maxsim_recall_milli_p16_mp2") { maxsimRecall(16, 2) },
+        // the cost axis of the same tradeoff: the aggressive-prune
+        // probe with and without the multi-probe expansion (compare
+        // against maxsim_lsh_2m_toks, the p8 wall)
+        timeOnce("maxsim_lsh_probe_p16") {
+          require(graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+            nPlanes = 16, dims = 64).collect().nonEmpty)
+        },
+        timeOnce("maxsim_lsh_probe_p16_mp2") {
+          require(graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+            nPlanes = 16, dims = 64, multiProbe = 2).collect().nonEmpty)
+        })
+      // Append-chain degradation + maintenance recovery (the
+      // invidx_probe_after_12appends shape): 12 O(batch) appends —
+      // one deliberately REPLAYED, the crash-without-marker case —
+      // grow file count and duplicate postings; the probe row prices
+      // the decay, maintain detects the dups and compacts, and the
+      // post-compact probe proves the cadence restores probe cost.
+      val msRoot = s"$tmp/maxsim_vroot"
+      def msBatch(i: Int) = graft.ops.MaxSim.multiVector(
+        embBig.where(pmod(xxhash64(col("vec_id")), lit(100)) === i)
+          .select((col("vec_id") + i * 10000000L + 300000000L).as("vec_id"),
+            col("embedding"), col("label")),
+        "vec_id", 8)
+      val msChain = Seq(
+        timeOnce("maxsim_vidx_build") {
+          graft.ops.MaxSim.writeIndexVersioned(mvR, msRoot,
+            nPlanes = 8, dims = 64)
+          ()
+        },
+        timeOnce("maxsim_12appends_one_replayed") {
+          val live = graft.ops.Generations.livePath(spark, msRoot)
+          (1 to 12).foreach { i =>
+            graft.ops.MaxSim.appendIndex(msBatch(i), live,
+              nPlanes = 8, dims = 64)
+          }
+          graft.ops.MaxSim.appendIndex(msBatch(7), live,
+            nPlanes = 8, dims = 64)
+        },
+        time("maxsim_probe_after_12appends") {
+          val live = graft.ops.Generations.livePath(spark, msRoot)
+          require(graft.ops.MaxSim.searchIndex(spark, live, qR, k = 10,
+            nPlanes = 8, dims = 64).collect().nonEmpty)
+        },
+        timeOnce("maxsim_maintain_compact") {
+          require(graft.ops.MaxSim.maintain(spark, msRoot).compacted,
+            "replayed append left no dup postings to trip maintain")
+        },
+        time("maxsim_probe_after_compact") {
+          val live = graft.ops.Generations.livePath(spark, msRoot)
+          require(graft.ops.MaxSim.searchIndex(spark, live, qR, k = 10,
+            nPlanes = 8, dims = 64).collect().nonEmpty)
+        })
+      (gtRow +: sweep) ++ msChain
+    } ++ Seq(
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one
         // Exchange on user_id serves both window passes

@@ -92,22 +92,59 @@ object MaxSim {
   private def bucketCol(nPlanes: Int, dims: Int): Column =
     Similarity.lshBucket(col("ei"), Similarity.planeWeights(nPlanes, dims))
 
+  /** Query-side MULTI-PROBE bucket expansion: the token's primary
+    * bucket plus `multiProbe` neighbors obtained by flipping the
+    * least-confident plane bits — the planes whose |dot| with the
+    * token is smallest, i.e. the boundaries the token sits closest
+    * to (classic multi-probe LSH). Only the QUERY side expands; the
+    * corpus keeps one bucket per token, so the index layout and the
+    * candidate-join shape are unchanged and the extra cost is
+    * exactly `multiProbe` more probe buckets per query token.
+    * Deterministic: integer dots, (|dot|, plane) tiebreak.
+    */
+  private def probeBucketsCol(nPlanes: Int, dims: Int,
+                              multiProbe: Int): Column = {
+    val primary = bucketCol(nPlanes, dims)
+    if (multiProbe <= 0) array(primary)
+    else {
+      val conf = Similarity.planeWeights(nPlanes, dims).zipWithIndex.map {
+        case (w, p) =>
+          struct(abs(Similarity.dotLong(col("ei"), typedLit(w))).as("a"),
+            lit(p).as("p"), lit(1L << p).as("m"))
+      }
+      val flips = slice(sort_array(array(conf: _*)), 1, multiProbe)
+      concat(array(primary),
+        transform(flips, f => primary.bitwiseXOR(f.getField("m"))))
+    }
+  }
+
   /** Production path: hyperplane buckets shortlist candidate docs
     * (any query token's bucket == any doc token's bucket), then the
     * exact MaxSim re-ranks ONLY the shortlist. The candidate set is
     * doc-level — a doc whose one token collides is re-ranked with
     * ALL its tokens, so surviving scores equal the exact path's
     * bit-for-bit (pruning can only drop docs, never distort scores).
+    *
+    * `multiProbe` > 0 additionally probes, per query token, that many
+    * nearest-boundary neighbor buckets ([[probeBucketsCol]]) —
+    * recall's rescue lever when nPlanes is high. Measured on the
+    * 2.56M-token frontier corpus (BENCH_SCALE_r11 `maxsim_recall_*`
+    * rows, recall@10 vs [[scoreExact]]): the default single-probe
+    * shortlist holds recall ≈ 1.0 at nPlanes ∈ {8, 12}; at
+    * nPlanes = 16 single-probe drops and multiProbe = 2 restores it
+    * (exact values in the artifact — re-measure after changing the
+    * bucket family).
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
-                     nPlanes: Int, dims: Int): DataFrame = {
+                     nPlanes: Int, dims: Int,
+                     multiProbe: Int = 0): DataFrame = {
     val corpusQ = quantized(docToks)
     val qQ = quantized(queryToks)
-    val b = bucketCol(nPlanes, dims)
-    val cBuckets = corpusQ.select(col("doc_id"), b.as("b"))
-    val qBuckets = qQ.select(col("doc_id").as("q_doc"), b.as("b"))
+    val cBuckets = corpusQ.select(col("doc_id"), bucketCol(nPlanes, dims).as("b"))
+    val qBuckets = qQ.select(
+      explode(probeBucketsCol(nPlanes, dims, multiProbe)).as("b"))
     val candDocs = cBuckets
-      .join(broadcast(qBuckets.select("b").distinct()), "b")
+      .join(broadcast(qBuckets.distinct()), "b")
       .select("doc_id").distinct()
     rerank(corpusQ.join(candDocs, "doc_id"), qQ, k)
   }
@@ -197,13 +234,18 @@ object MaxSim {
     * read #2, <= dBuckets values) prune the token read; (3) the
     * shared exact re-rank tail scores the shortlist bit-identically
     * to [[scoreLshPruned]]. No corpus-side quantization at probe
-    * time — `ei`/`nn` come off the index.
+    * time — `ei`/`nn` come off the index. `multiProbe` expands the
+    * query bucket list exactly as [[scoreLshPruned]]'s does (the
+    * stored postings layout is untouched — multi-probe only reads
+    * more partitions).
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryToks: DataFrame, k: Int, nPlanes: Int, dims: Int,
-                  dBuckets: Int = 64): DataFrame = {
+                  dBuckets: Int = 64, multiProbe: Int = 0): DataFrame = {
     val qQ = quantized(queryToks).persist()
-    val qBuckets = qQ.select(bucketCol(nPlanes, dims).cast("int").as("b"))
+    val qBuckets = qQ
+      .select(explode(probeBucketsCol(nPlanes, dims, multiProbe)).as("bl"))
+      .select(col("bl").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
     val candDocs = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
@@ -347,10 +389,27 @@ object MaxSim {
 
   /** CTEs for the LSH-pruned path: plane weights from md5 (the q49
     * convention), doc-level candidate shortlist, exact re-rank on
-    * shortlisted docs only.
+    * shortlisted docs only. `multiProbe` > 0 replays
+    * [[probeBucketsCol]]'s query-side expansion: per query token,
+    * also probe the buckets reached by flipping its `multiProbe`
+    * least-confident plane bits (|dot| asc, plane asc).
     */
   def lshPrunedSql(m: Int, k: Int, qPred: String => String, nPlanes: Int,
-                   dims: Int): String =
+                   dims: Int, multiProbe: Int = 0): String = {
+    val qbCte =
+      if (multiProbe <= 0)
+        s"""qb AS (SELECT DISTINCT b FROM bucket WHERE
+          (${qPred("vec_id")}))"""
+      else
+        s"""qflips AS (SELECT vec_id, p,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(dp), p) AS r
+          FROM pdots WHERE (${qPred("vec_id")})),
+        qb AS (SELECT DISTINCT b FROM (
+          SELECT b FROM bucket WHERE (${qPred("vec_id")})
+          UNION ALL
+          SELECT xor(bk.b, (1::BIGINT << f.p)) AS b
+          FROM bucket bk JOIN qflips f
+            ON f.vec_id = bk.vec_id AND f.r <= $multiProbe))"""
     s"""planes AS (SELECT p, d,
             ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 4))::BIGINT
               - 32768 AS wt
@@ -362,8 +421,7 @@ object MaxSim {
         bucket AS (SELECT vec_id,
             CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
           FROM pdots GROUP BY 1),
-        qb AS (SELECT DISTINCT b FROM bucket WHERE
-          (${qPred("vec_id")})),
+        $qbCte,
         cand AS (SELECT DISTINCT c.vec_id // $m AS doc_id
           FROM bucket c JOIN qb ON qb.b = c.b),
         qdots AS (SELECT q.vec_id AS qv, c.vec_id AS cv, SUM(q.v * c.v) AS dot
@@ -388,4 +446,5 @@ object MaxSim {
           FROM score)
         SELECT q_doc, rnk, doc_id, score_micro FROM ranked
         WHERE rnk <= $k ORDER BY q_doc, rnk"""
+  }
 }

@@ -362,6 +362,19 @@ object VectorQueries {
       graft.ops.MaxSim.searchIndex(s, idx, mv.where(col("doc_id") < 3),
           k = 5, nPlanes = 4, dims = 64, dBuckets = 16)
         .orderBy("q_doc", "rnk")
+    }),
+
+    // MaxSim multi-probe: at nPlanes=6 the single-probe shortlist is
+    // aggressive (64 buckets over 4-token docs); each query token
+    // additionally probes the 2 buckets across its nearest hyperplane
+    // boundaries (|dot| asc). Same exact re-rank tail — multi-probe
+    // can only ADD candidate docs, never change a surviving score
+    "q186_maxsim_multiprobe" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      graft.ops.MaxSim.scoreLshPruned(
+          mv, mv.where(col("doc_id") < 3), k = 5, nPlanes = 6, dims = 64,
+          multiProbe = 2)
+        .orderBy("q_doc", "rnk")
     }))
 
   private val quantCte =
@@ -596,6 +609,13 @@ object VectorQueries {
       s"""WITH $quantCte,
          ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
             nPlanes = 4, dims = 64)}""",
+    // the multi-probe expansion replayed: per query token, the
+    // primary bucket plus the 2 buckets across its least-confident
+    // hyperplanes (xor of the flipped plane bit), identical re-rank
+    "q186_maxsim_multiprobe" ->
+      s"""WITH $quantCte,
+         ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
+            nPlanes = 6, dims = 64, multiProbe = 2)}""",
     // replays fitQuantized (ivfAssignCte's assigned) + one Lloyd step:
     // floor-of-IEEE-quotient centroid means (exact parity — both
     // engines floor the same correctly-rounded double quotient of the

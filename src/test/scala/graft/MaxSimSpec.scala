@@ -55,6 +55,40 @@ class MaxSimSpec extends SparkSpec {
     pruned.foreach { case (key, s) => assert(exact(key) == s) }
   }
 
+  test("multi-probe only ADDS candidates; surviving scores stay exact") {
+    val d = corpus16
+    val q = d.where(col("doc_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    // high nPlanes on a tiny corpus: single-probe misses docs
+    val single = rows(MaxSim.scoreLshPruned(d, q, k = 16, nPlanes = 8,
+      dims = 8))
+    val multi = rows(MaxSim.scoreLshPruned(d, q, k = 16, nPlanes = 8,
+      dims = 8, multiProbe = 3))
+    val exact = rows(MaxSim.scoreExact(d, q, k = 16))
+    assert(single.keySet.subsetOf(multi.keySet),
+      "multi-probe dropped a single-probe candidate")
+    assert(multi.size > single.size,
+      "fixture: multi-probe found nothing new at nPlanes=8")
+    multi.foreach { case (key, s) => assert(exact(key) == s) }
+  }
+
+  test("stored-index multi-probe equals the in-memory multi-probe path") {
+    val d = corpus16
+    val q = d.where(col("doc_id") < 2)
+    val idx = java.nio.file.Files.createTempDirectory("maxsim").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 8, dims = 8, dBuckets = 4)
+    val stored = MaxSim.searchIndex(spark, idx, q, k = 16, nPlanes = 8,
+        dims = 8, dBuckets = 4, multiProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mem = MaxSim.scoreLshPruned(d, q, k = 16, nPlanes = 8, dims = 8,
+        multiProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(stored == mem && mem.nonEmpty)
+  }
+
   test("multiVector splits vec_id into doc and token slots") {
     import spark.implicits._
     val e = Seq((0L, Seq(1f)), (1L, Seq(1f)), (4L, Seq(1f)))

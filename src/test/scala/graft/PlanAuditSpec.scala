@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "q179_hard_negatives",     // q48 shape + label-inequality scan filter
     "q176_maxsim_lsh",         // same broadcast re-rank tail over the LSH shortlist
     "q180_maxsim_index",       // same broadcast re-rank tail over the stored shortlist
+    "q186_maxsim_multiprobe",  // same broadcast re-rank tail over the expanded shortlist
     "q182_ols_quality_probe")  // single-row coefficient-frame scalar cross join
 
   test("no query plans a CartesianProduct or SortAggregate; BNLJ only where intended") {
