@@ -511,13 +511,33 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 8,
-                          maxBucketSize: Int = 1000): DataFrame = {
-    val sh = simhash60(df, idCol, textCol)
-    val bandExprs = (0 until 4).map(b => struct(lit(b).as("band"),
-      shiftright(col("simhash"), b * 15).bitwiseAND(32767).as("bandval")))
-    val keys = sh
-      .select(col(idCol), col("simhash"), explode(array(bandExprs: _*)).as("bs"))
-      .select(col(idCol).as("id"), col("simhash").as("h"),
+                          maxBucketSize: Int = 1000): DataFrame =
+    hashNearDupPairs(simhash60(df, idCol, textCol), idCol, "simhash",
+      bands = 4, bandBits = 15, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+
+  /** Banded Hamming near-dup pairs over ANY precomputed bitwise
+    * fingerprint column (SimHash, pHash, …): `bands` buckets of
+    * `bandBits` bits each, candidate pairs only within a (band,
+    * bandval) bucket, exact bit_count(xor) Hamming verify. Recall is
+    * guaranteed at Hamming < `bands` (a pair differing in fewer bits
+    * than there are bands leaves at least one band untouched),
+    * probabilistic above. Emits (doc_a, doc_b, hamming), doc_a <
+    * doc_b. Same scale shape as the text-specific banding this
+    * generalizes: one shuffle on the band keys, bucket-local pair
+    * expansion bounded by `maxBucketSize`.
+    */
+  def hashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                       bands: Int, bandBits: Int, maxHamming: Int,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands x bandBits must fit 64 bits (got $bands x $bandBits)")
+    val mask = (1L << bandBits) - 1
+    val bandExprs = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bandval")))
+    val keys = hashes
+      .select(col(idCol), col(hashCol), explode(array(bandExprs: _*)).as("bs"))
+      .select(col(idCol).as("id"), col(hashCol).as("h"),
         col("bs.band").as("band"), col("bs.bandval").as("bandval"))
     // array_sort over (id, h) structs orders by id (unique), so pair
     // expansion emits doc_a < doc_b with both signatures in-row

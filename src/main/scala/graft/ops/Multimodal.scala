@@ -422,53 +422,72 @@ object Multimodal {
       }
     }
 
-  /** DCT perceptual hash (pHash): 32×32 gray thumbnail → 2-D DCT-II →
-    * top-left 8×8 low-frequency block → threshold at the median of
-    * the 63 non-DC coefficients (bit 0, the DC slot, is always 0 —
-    * excluding DC is what buys uniform-brightness invariance:
-    * adding a constant to every pixel moves ONLY the DC coefficient,
-    * so the hash is bit-identical under brightness shifts that move
-    * every aHash pixel comparison's operands together but can flip
-    * its near-mean bits). Hamming-comparable, so image near-dup
-    * rides the existing SimHash banding machinery unchanged. Fixed
-    * summation order ⇒ deterministic doubles; coefficients are
-    * quantized to 1e-3 before thresholding so the ~1e-11 float
-    * residue of a mathematically-zero sum (e.g. a constant shift's
-    * contribution to every non-DC frequency) can never flip a bit
-    * in a cluster of near-equal coefficients.
+  /** The pHash DCT basis as EXACT integers: Q(u,x) =
+    * rint(cos((2x+1)·u·π/64) · 2^14). Every non-DC row sums to
+    * exactly zero (asserted below — the exact-math sum is zero and
+    * the rounded values inherit it through the basis' mirror
+    * antisymmetry), which is what makes [[pHash64]]'s brightness
+    * invariance EXACT rather than approximate: a uniform pixel shift
+    * contributes shift·ΣQ(u,·) = 0 to every non-DC coefficient.
+    * 2^14 scaling keeps the full 2-D transform inside 2^53
+    * (32·255·2^14 per row sum, ×32·2^14 in the column pass ≈ 7·10^13),
+    * so the whole hash is order-independent integer math — exactly
+    * replayable in any engine from the rendered table
+    * ([[phashTableSql]]).
+    */
+  val phashCosTable: Array[Array[Long]] = {
+    val t = Array.tabulate(8, 32)((u, x) =>
+      math.rint(math.cos((2 * x + 1) * u * math.Pi / 64.0) * 16384.0).toLong)
+    (1 until 8).foreach(u => require(t(u).sum == 0L,
+      s"pHash cos table row $u sums to ${t(u).sum}, not 0 — " +
+        "brightness invariance broken on this platform"))
+    t
+  }
+
+  /** DCT perceptual hash (pHash): 32×32 gray thumbnail → 2-D DCT-II
+    * over the scaled-INTEGER basis [[phashCosTable]] → top-left 8×8
+    * low-frequency block → threshold at the median of the 63 non-DC
+    * coefficients (bit 0, the DC slot, is always 0 — excluding DC is
+    * what buys uniform-brightness invariance: with zero-sum basis
+    * rows, adding a constant to every pixel moves ONLY the DC
+    * coefficient, exactly). The median compare is `2c > lo + hi`
+    * (the two middle order statistics), so no division ever leaves
+    * integers. Every value is an exact Long ⇒ the hash is
+    * bit-identical in any engine and under any summation order —
+    * the q152/q175 integer-parity discipline applied to image
+    * fingerprints. Hamming-comparable, so image near-dup rides the
+    * SimHash banding machinery unchanged ([[Dedup.hashNearDupPairs]]).
     */
   def pHash64(r: MediaRecord): Option[Long] =
     thumbnail(r, 32).map { t =>
       val n = 32
-      // DCT-II row pass then column pass, fixed order (separable)
-      val cosTab = Array.tabulate(8, n)((u, x) =>
-        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
-      val rows = Array.ofDim[Double](n, 8) // per row: first 8 freqs
+      val cosTab = phashCosTable
+      val rows = Array.ofDim[Long](n, 8) // per row: first 8 freqs
       var y = 0
       while (y < n) {
         var u = 0
         while (u < 8) {
-          var s = 0.0; var x = 0
+          var s = 0L; var x = 0
           while (x < n) { s += t(y * n + x) * cosTab(u)(x); x += 1 }
           rows(y)(u) = s; u += 1
         }
         y += 1
       }
-      val c = Array.ofDim[Double](64)
+      val c = Array.ofDim[Long](64)
       var v = 0
       while (v < 8) {
         var u = 0
         while (u < 8) {
-          var s = 0.0; var yy = 0
+          var s = 0L; var yy = 0
           while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
-          c(v * 8 + u) = math.rint(s * 1000.0) / 1000.0; u += 1
+          c(v * 8 + u) = s; u += 1
         }
         v += 1
       }
       val ac = c.drop(1).sorted
-      val median = (ac(30) + ac(31)) / 2.0
+      val (lo, hi) = (ac(30), ac(31))
       var h = 0L; var i = 1
-      while (i < 64) { if (c(i) > median) h |= (1L << i); i += 1 }
+      while (i < 64) { if (2 * c(i) > lo + hi) h |= (1L << i); i += 1 }
       h
     }
 
@@ -502,6 +521,101 @@ object Multimodal {
       }
     })
   }
+
+  /** Deterministic 24bpp bottom-up BMP from a row-major gray raster —
+    * the image twin of [[buildWav]]/[[Mp4.build]]: fixture media the
+    * oracle can regenerate arithmetically, run through the REAL
+    * decode path ([[grayRaster]] honors the bottom-up rows and 4-byte
+    * row padding this writes).
+    */
+  def buildBmp(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gray raster ${gray.length} != $width x $height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * height)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(out.length)
+    bb.putInt(0)
+    bb.putInt(54) // pixel data offset
+    bb.putInt(40) // BITMAPINFOHEADER
+    bb.putInt(width)
+    bb.putInt(height) // positive height = bottom-up rows
+    bb.putShort(1)
+    bb.putShort(24)
+    // compression/raw-size/ppm/palette fields stay zero
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // file row y holds image row h-1-y
+      var x = 0
+      while (x < width) {
+        val v = (gray(srcRow * width + x) & 0xff).toByte
+        val p = 54 + y * stride + x * 3
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- DuckDB oracle rendering for the pHash pipeline ---------------
+
+  /** [[phashCosTable]] rendered as a VALUES relation `tab(u, x, q)` —
+    * the basis ships as literals, so the replay involves no
+    * cross-engine transcendental functions at all.
+    */
+  def phashTableSql: String = {
+    val rows = (for {
+      u <- 0 until 8
+      x <- 0 until 32
+    } yield s"($u,$x,${phashCosTable(u)(x)})").mkString(",")
+    s"tab(u, x, q) AS (SELECT * FROM (VALUES $rows))"
+  }
+
+  /** CTE chain replaying [[pHash64]] + [[Dedup.hashNearDupPairs]] over
+    * a `pixels` CTE of (id, x, y, px) rows (0-based 32×32 raster, px
+    * the 8-bit gray value the BMP round-trip yields). Row pass, column
+    * pass, non-DC median threshold (`2c > lo + hi`, the two middle
+    * order statistics), then 4×16-bit band buckets with exact
+    * bit_count(xor) Hamming verify. Emits (doc_a, doc_b, hamming)
+    * ordered.
+    */
+  def phashNearDupSql(maxHamming: Int, maxBucketSize: Int): String =
+    s"""$phashTableSql,
+       rowp AS (SELECT p.id, p.y, t.u, SUM(p.px * t.q) AS s
+                FROM pixels p JOIN tab t ON t.x = p.x GROUP BY 1, 2, 3),
+       coef AS (SELECT r.id, t.u * 8 + r.u AS i, SUM(r.s * t.q) AS c
+                FROM rowp r JOIN tab t ON t.x = r.y GROUP BY 1, 2),
+       med AS (SELECT id,
+                 MAX(CASE WHEN rnk = 31 THEN c END) AS lo,
+                 MAX(CASE WHEN rnk = 32 THEN c END) AS hi
+               FROM (SELECT id, c,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY c, i) AS rnk
+                     FROM coef WHERE i >= 1)
+               GROUP BY 1),
+       ph AS (SELECT f.id,
+                CAST(SUM(CASE WHEN 2 * f.c > m.lo + m.hi THEN
+                      -- bit 63 is the sign bit: DuckDB rejects the
+                      -- overflowing 1<<63, so it ships as min-long
+                      -- (the exact two's-complement value 1L<<63 is)
+                      CASE WHEN f.i = 63 THEN -9223372036854775807 - 1
+                           ELSE (1::BIGINT << f.i) END
+                    ELSE 0 END) AS BIGINT) AS h
+              FROM coef f JOIN med m ON m.id = f.id
+              WHERE f.i >= 1 GROUP BY 1),
+       keys AS (SELECT id, h, b, (h >> (b * 16)) & 65535 AS bandval
+                FROM ph, (SELECT unnest(range(0, 4)) AS b) bb),
+       bkt AS (SELECT b, bandval FROM keys GROUP BY 1, 2
+               HAVING COUNT(*) BETWEEN 2 AND $maxBucketSize),
+       cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                  a.h AS ha, b.h AS hb
+                FROM keys a JOIN keys b ON a.b = b.b AND a.bandval = b.bandval
+                  AND a.id < b.id
+                JOIN bkt ON bkt.b = a.b AND bkt.bandval = a.bandval)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming
+       ORDER BY doc_a, doc_b"""
 
   // ---- frame sampling ----------------------------------------------
 

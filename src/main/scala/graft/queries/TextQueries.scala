@@ -366,6 +366,37 @@ object TextQueries {
         .orderBy("id", "win")
     }),
 
+    // image near-dup end-to-end: mux a deterministic 32x32 grayscale
+    // BMP per document (scene from doc_id DIV 4 arithmetic — 4 docs
+    // share a scene; member shifts are uniform brightness, which
+    // pHash is EXACTLY invariant to, and member 3 adds a diagonal
+    // perturbation for a nonzero-Hamming pair), DECODE THE BYTES
+    // back, pHash (integer DCT, q185's reason the basis is exact
+    // Longs), then the generalized banded-Hamming machinery (q104
+    // shape, 4x16-bit bands). The oracle regenerates the raster
+    // arithmetically and replays the identical integer pipeline
+    "q185_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docs.map { d =>
+        val g = d / 4
+        val gray = Array.tabulate(32 * 32) { i =>
+          val y = i / 32; val x = i % 32
+          40 + ((x * (3 + (g % 5).toInt) + y * (7 + (g % 3).toInt) +
+            ((x * y) % 11) * (1 + (g % 7).toInt)) % 150) +
+            (d % 4).toInt * 9 +
+            (if (d % 4 == 3 && x == y) 15 else 0)
+        }
+        graft.ops.Multimodal.MediaRecord(d, "image",
+          graft.ops.Multimodal.buildBmp(32, 32, gray))
+      }
+      val ph = graft.ops.Multimodal.perceptualHashes(media).toDF()
+        .select(col("id"), col("phash"))
+      graft.ops.Dedup.hashNearDupPairs(ph, "id", "phash", bands = 4,
+          bandBits = 16, maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // HTML -> text extraction end-to-end: wrap each document in a
     // deterministic page (title, style/script blocks, comment,
     // entities, two links), then extract visible text, title, links,
@@ -1344,6 +1375,23 @@ object TextQueries {
          SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ha, hb)) <= 8
          ORDER BY doc_a, doc_b""",
+    // the raster regenerated arithmetically (q142 pattern), then the
+    // full integer pHash + banding pipeline rendered by the op itself
+    // (basis table ships as literals — no cross-engine cos())
+    "q185_phash_neardup" ->
+      s"""WITH pixels AS (SELECT d.doc_id AS id, xx.x, yy.y,
+             40 + ((xx.x * (3 + (d.doc_id // 4) % 5)
+                  + yy.y * (7 + (d.doc_id // 4) % 3)
+                  + ((xx.x * yy.y) % 11) * (1 + (d.doc_id // 4) % 7)) % 150)
+               + (d.doc_id % 4) * 9
+               + CASE WHEN d.doc_id % 4 = 3 AND xx.x = yy.y THEN 15 ELSE 0 END
+               AS px
+           FROM documents d,
+                (SELECT unnest(range(0, 32)) AS x) xx,
+                (SELECT unnest(range(0, 32)) AS y) yy),
+         ${graft.ops.Multimodal.phashNearDupSql(maxHamming = 8,
+            maxBucketSize = 1000)}""",
+
     "q109_html_extract" ->
       """WITH raw AS (SELECT doc_id,
            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
