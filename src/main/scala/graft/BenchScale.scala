@@ -1270,11 +1270,21 @@ object BenchScale {
       },
       time("span_scrub_500k_docs") {
         // cross-doc duplicated-span accounting over the webby gram
-        // corpus (replica boilerplate + ~3/7 singleton tokens): the
-        // gram-df shuffle dominates, masked-position distinct second
+        // corpus (replica boilerplate + ~3/7 singleton tokens), on
+        // the two-pass path (round 11): the corpus-wide shuffle
+        // carries 8-byte gram hashes, strings are built in-row only
+        // for bloom survivors, and the string-df verify runs on the
+        // duplicated slice alone — bit-identical output to the
+        // single-pass row below, which prices what the rewrite saves
         require(graft.ops.SpanScrub.dupSpanStats(
             spark.read.parquet(s"$tmp/docs_gram.parquet"), "doc_id",
             "split(lower(trim(text)), '\\\\s+')", n = 5)
+          .agg(sum(col("n_masked"))).collect().nonEmpty)
+      },
+      timeOnce("span_scrub_500k_singlepass") {
+        require(graft.ops.SpanScrub.dupSpanStats(
+            spark.read.parquet(s"$tmp/docs_gram.parquet"), "doc_id",
+            "split(lower(trim(text)), '\\\\s+')", n = 5, twoPass = false)
           .agg(sum(col("n_masked"))).collect().nonEmpty)
       },
       time("maxsim_exact_2m_toks") {

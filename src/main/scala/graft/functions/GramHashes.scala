@@ -190,6 +190,56 @@ case class SurvivingGramsSharded(child: Expression, width: Int,
     copy(child = newChild)
 }
 
+/** The (position, gram string) pairs of a document's windows whose
+  * hash passes a Bloom filter — [[SurvivingGrams]]' POSITIONAL twin
+  * for span-level operators ([[graft.ops.SpanScrub]]): span masking
+  * needs WHERE the surviving windows sit, not just which grams
+  * survived, so this keeps every surviving window (no dedup) tagged
+  * with its 1-based start position. Same single pass, same hash
+  * family; a pruned window costs one 64-bit probe and nothing else.
+  */
+case class SurvivingGramPositions(child: Expression, width: Int,
+                                  bloom: Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  require(width > 0, "width must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sh", StringType, nullable = false))),
+    containsNull = false)
+
+  // null when the document has fewer than `width` tokens (no shingle)
+  override def nullable: Boolean = true
+
+  @transient private lazy val filter: graft.ops.LongMembership =
+    graft.ops.BloomMembership.wrap(bloom.value)
+
+  override def nullSafeEval(input: Any): Any =
+    SurvivingGrams.computePositions(input.asInstanceOf[ArrayData], width, filter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val lmClass = classOf[graft.ops.LongMembership].getName
+    val ref = ctx.addReferenceObj("survPosBloomBc", bloom,
+      classOf[Broadcast[_]].getName)
+    val local = ctx.addMutableState(lmClass, "survPosBloom",
+      v => s"$v = graft.ops.BloomMembership.wrap(($bfClass) $ref.value());")
+    val result = ctx.freshName("sgp")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $result =
+         |  graft.functions.SurvivingGrams.computePositions($c, $width, $local);
+         |if ($result == null) { ${ev.isNull} = true; } else { ${ev.value} = $result; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SurvivingGramPositions =
+    copy(child = newChild)
+}
+
 object SurvivingGrams {
 
   /** Same hashing as [[GramHashes.compute]]; a window that passes the
@@ -246,10 +296,69 @@ object SurvivingGrams {
       new Array[org.apache.spark.unsafe.types.UTF8String](seen.size)))
   }
 
+  /** [[SurvivingGramPositions]]' kernel: every surviving window as a
+    * (1-based pos, gram string) struct, in window order, duplicates
+    * kept (positions are the payload).
+    */
+  def computePositions(tokens: ArrayData, width: Int,
+                       bloom: graft.ops.LongMembership): ArrayData = {
+    val n = tokens.numElements()
+    if (n < width) return null
+
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = tokens.getUTF8String(i)
+      var h = 0xcbf29ce484222325L
+      var b = 0
+      val nb = u.numBytes()
+      while (b < nb) {
+        h = (h ^ (u.getByte(b) & 0xffL)) * 0x100000001b3L
+        b += 1
+      }
+      th(i) = h
+      i += 1
+    }
+
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    var s = 0
+    val last = n - width
+    while (s <= last) {
+      var hh = 0L
+      var w = 0
+      while (w < width) {
+        hh = hh * 0x9e3779b97f4a7c15L + th(s + w)
+        w += 1
+      }
+      hh ^= (hh >>> 30); hh *= 0xbf58476d1ce4e5b9L
+      hh ^= (hh >>> 27); hh *= 0x94d049bb133111ebL
+      hh ^= (hh >>> 31)
+      if (bloom.mightContainLong(hh)) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](width)
+        var j = 0
+        while (j < width) { parts(j) = tokens.getUTF8String(s + j); j += 1 }
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((s + 1).toLong,
+            org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))))
+        ()
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray(
+      new Array[org.apache.spark.sql.catalyst.InternalRow](out.size)))
+  }
+
   /** Column API: distinct surviving gram strings per document. */
   def survivingGrams(tokens: Column, width: Int,
                      bloom: Broadcast[BloomFilter]): Column =
     ColumnBridge.column(SurvivingGrams(ColumnBridge.expression(tokens), width, bloom))
+
+  /** Column API: (pos, gram) structs of surviving windows per doc. */
+  def survivingGramPositions(tokens: Column, width: Int,
+                             bloom: Broadcast[BloomFilter]): Column =
+    ColumnBridge.column(
+      SurvivingGramPositions(ColumnBridge.expression(tokens), width, bloom))
 
   /** Column API over a sharded survivor family. */
   def survivingGramsSharded(tokens: Column, width: Int,

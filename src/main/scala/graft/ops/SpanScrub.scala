@@ -42,26 +42,81 @@ object SpanScrub {
     * masked fraction in exact milli units. `tokensSql` is a SQL
     * expression producing the token array from each row (shared with
     * the other text ops so every pass sees one tokenization).
+    *
+    * `twoPass` (default, the [[Contamination.gramDocFrequency]]
+    * discipline): pass 1 counts per-doc-distinct gram HASHES — the
+    * corpus-wide shuffle carries 8-byte longs, combined map-side,
+    * instead of n-word strings — and blooms the `minDf` survivors;
+    * pass 2 materializes (pos, gram) ONLY for windows whose hash
+    * survived ([[graft.functions.SurvivingGrams.survivingGramPositions]],
+    * one 64-bit probe per pruned window), then an exact string df over
+    * that thinned stream re-verifies before masking. Hash collisions
+    * and bloom false positives can only ADMIT extra candidates to the
+    * exact pass — never change its verdict — so the output is
+    * bit-identical to the single-pass string formulation (and to the
+    * relational oracle), while the wide shuffles carry the duplicated
+    * SLICE of the corpus, not the corpus.
     */
   def dupSpanStats(docs: DataFrame, idCol: String, tokensSql: String,
-                   n: Int, minDf: Int = 2): DataFrame = {
+                   n: Int, minDf: Int = 2,
+                   twoPass: Boolean = true): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2 (got $n)")
     require(minDf >= 2, s"minDf < 2 would mask every position (got $minDf)")
     val d = docs.select(col(idCol), expr(tokensSql).as("tk"))
       .withColumn("n_tokens", expr("size(tk)").cast(LongType))
-    val occ = d.where(col("n_tokens") >= n)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, size(tk) - ${n - 1})," +
-          s" i -> concat_ws(' ', slice(tk, i, $n)))")).as(Seq("p0", "gram")))
-      .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
-    val freq = occ.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("df"))
-      .where(col("df") >= minDf)
-    // one row per duplicated anchor (pos is unique per doc; freq has
-    // one row per gram, so the join cannot duplicate) → sorted anchor
-    // array per doc → merged-interval length in one fold: each anchor
-    // contributes min(n, gap-to-previous), the first a full n
-    val masked = occ.join(freq, Seq("gram"))
+    val toks = d.where(col("n_tokens") >= n)
+
+    // duplicated anchor positions, one row per (doc, pos)
+    val anchors: DataFrame =
+      if (!twoPass) {
+        val occ = toks
+          .select(col(idCol), posexplode(expr(
+            s"transform(sequence(1, size(tk) - ${n - 1})," +
+              s" i -> concat_ws(' ', slice(tk, i, $n)))")).as(Seq("p0", "gram")))
+          .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
+        val freq = occ.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .where(col("df") >= minDf)
+        occ.join(freq.select("gram"), Seq("gram")).select(col(idCol), col("pos"))
+      } else {
+        val spark = docs.sparkSession
+        // pass 1: long-keyed df over per-doc-distinct window hashes
+        val survivors = toks
+          .select(explode(array_distinct(
+            graft.functions.GramHashes.gramHashArray(col("tk"), n))).as("gh"))
+          .groupBy("gh").agg(count(lit(1)).as("df"))
+          .where(col("df") >= minDf)
+          .select("gh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nSurv = survivors.count()
+        val bloom =
+          if (nSurv == 0L)
+            org.apache.spark.util.sketch.BloomFilter.create(1L, 0.001)
+          else survivors.stat.bloomFilter("gh", nSurv, 0.001)
+        survivors.unpersist()
+        val bc = spark.sparkContext.broadcast(bloom)
+        // pass 2: candidate (pos, gram) built in-row for survivors
+        // only; exact string df re-verifies (a true-df>=minDf gram's
+        // occurrences ALL pass the bloom, so its exact count is
+        // complete on the candidate stream)
+        val cand = toks
+          .select(col(idCol), explode(
+            graft.functions.SurvivingGrams
+              .survivingGramPositions(col("tk"), n, bc)).as("pg"))
+          .select(col(idCol), col("pg.pos").as("pos"), col("pg.sh").as("gram"))
+        val verified = cand.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .where(col("df") >= minDf)
+        cand.join(verified.select("gram"), Seq("gram"))
+          .select(col(idCol), col("pos"))
+      }
+
+    // one row per duplicated anchor (pos is unique per doc; a gram
+    // matches at most one freq row, so the join cannot duplicate) →
+    // sorted anchor array per doc → merged-interval length in one
+    // fold: each anchor contributes min(n, gap-to-previous), the
+    // first a full n
+    val masked = anchors
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("anchors"))
       .select(col(idCol), expr(

@@ -44,6 +44,26 @@ class SpanScrubSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L, 3L, 0L)))
   }
 
+  test("two-pass (hash df + bloom + string verify) equals single-pass exactly") {
+    // includes intra-doc repetition, a shared span, short docs, and a
+    // 3-host span under minDf=2 — every branch of the verify logic
+    val span = "alpha bravo charlie delta echo foxtrot"
+    val rows = Seq(
+      (1L, s"one two $span three four"),
+      (2L, s"p q r s $span t u"),
+      (3L, s"$span leading here"),
+      (4L, "x1 x2 x3 x4 x5 filler x1 x2 x3 x4 x5"),
+      (5L, "a b c"),
+      (6L, "totally unrelated words here nothing shared at all"))
+    val df = rows.toDF("doc_id", "text")
+    def run(two: Boolean) =
+      SpanScrub.dupSpanStats(df, "doc_id", tkSql, n = 5, twoPass = two)
+        .select("doc_id", "n_tokens", "n_masked", "n_kept", "masked_milli")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(two = true) == run(two = false))
+    assert(run(two = true).exists(_._3 > 0L), "fixture: nothing masked")
+  }
+
   test("masking threshold respects minDf") {
     val span = "s1 s2 s3 s4 s5"
     val df = Seq(
