@@ -56,6 +56,21 @@ object TypeMapper {
       throw new IllegalArgumentException(s"Unknown DDL type: '$other'")
   }
 
+  /** Dialect-aware resolution for the names whose meaning DIVERGES
+    * between the reference's two warehouses: MSSQL `timestamp` is a
+    * rowversion (stored as string, rdbms_operations.py:75), while
+    * Redshift/Postgres `timestamp` is a wall-clock timestamp
+    * (redshift_operations.py's information_schema path reports it as
+    * `timestamp without time zone`). The 1-arg [[toSparkType]] keeps
+    * the MSSQL reading (the reference's source side); this overload
+    * resolves per dialect so a Redshift DDL round-trips correctly.
+    */
+  def toSparkType(ddl: String, dialect: graft.sources.JdbcDialect): DataType =
+    ddl.trim.toLowerCase match {
+      case "timestamp" if dialect.timestampIsWallClock => TimestampType
+      case _ => toSparkType(ddl)
+    }
+
   /** Build a StructType from (name, ddlType, nullable) metadata rows —
     * the engine's replacement for the reference's string-codegen'd
     * PyArrow schemas (rdbms_operations.py:117-118,
