@@ -127,13 +127,19 @@ object MaxSim {
     *
     * `multiProbe` > 0 additionally probes, per query token, that many
     * nearest-boundary neighbor buckets ([[probeBucketsCol]]) —
-    * recall's rescue lever when nPlanes is high. Measured on the
-    * 2.56M-token frontier corpus (BENCH_SCALE_r11 `maxsim_recall_*`
-    * rows, recall@10 vs [[scoreExact]]): the default single-probe
-    * shortlist holds recall ≈ 1.0 at nPlanes ∈ {8, 12}; at
-    * nPlanes = 16 single-probe drops and multiProbe = 2 restores it
-    * (exact values in the artifact — re-measure after changing the
-    * bucket family).
+    * recall's rescue lever when the shortlist starves. MEASURED on
+    * the 2.56M-token frontier corpus (BENCH_SCALE_r11
+    * `maxsim_recall_milli_*` rows, recall@10 vs [[scoreExact]]
+    * ground truth, 4 query docs × 8 tokens): single-probe recall is
+    * **1.000 at nPlanes ∈ {8, 12, 16}** — the doc-level OR over
+    * 8 corpus tokens × 32 query tokens gives the shortlist 256
+    * chances per doc, so near-duplicate token bags collide with
+    * certainty at these plane counts. Multi-probe therefore costs
+    * nothing it needs to buy back here (p16_mp2 also 1.000); it is
+    * the insurance for SPARSER bags (1–2 tokens/doc, where the OR
+    * collapses to the single-vector LSH regime) and for nPlanes
+    * pushed past 16 — re-measure via the recall rows after changing
+    * either.
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
                      nPlanes: Int, dims: Int,
@@ -311,10 +317,17 @@ object MaxSim {
     require(kept.limit(1).count() > 0,
       s"bucket cap $maxBucketDocs drops every posting under $live — " +
         "cap too low or the index is all boilerplate")
-    kept.write.mode("overwrite").partitionBy("bucket")
+    // repartition on the write key: each partition directory lands as
+    // ONE file, undoing the O(batch)-append file accumulation — that
+    // file-count reset, not the posting dedup, is most of the probe
+    // recovery (r11 measured: streaming toks as-is left the
+    // post-compact probe ~3x the fresh-build probe)
+    kept.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$gen/postings")
     kept.unpersist()
     spark.read.parquet(s"$live/toks")
+      .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$gen/toks")
     Generations.publish(spark, root, gen)
