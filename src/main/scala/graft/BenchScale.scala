@@ -1489,7 +1489,31 @@ object BenchScale {
         timeOnce("maxsim_lsh_probe_p16_mp2") {
           require(graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
             nPlanes = 16, dims = 64, multiProbe = 2).collect().nonEmpty)
-        })
+        }) ++ {
+        // the SPARSE-bag regime (m=2 tokens/doc): the doc-level OR
+        // collapses toward single-vector LSH, which is where the
+        // shortlist actually starves and multi-probe earns its keep —
+        // measured so the scaladoc's "insurance for sparser bags"
+        // claim is a number, not a guess
+        val mvS = graft.ops.MaxSim.multiVector(embBig, "vec_id", 2)
+        val qS = mvS.where(col("doc_id") < 16)
+        var gtS: org.apache.spark.sql.DataFrame = null
+        val gtSRow = timeOnce("maxsim_exact_gt_m2_topk10") {
+          gtS = graft.ops.MaxSim.scoreExact(mvS, qS, k = 10)
+            .localCheckpoint(true)
+          require(gtS.count() > 0)
+        }
+        def recallS(nPlanes: Int, multiProbe: Int): Double =
+          graft.ops.AnnEval.recallAtK(
+              graft.ops.MaxSim.scoreLshPruned(mvS, qS, k = 10,
+                nPlanes = nPlanes, dims = 64, multiProbe = multiProbe),
+              gtS, "q_doc", "doc_id", k = 10)
+            .agg(avg(col("recall_milli"))).head().getDouble(0)
+        Seq(gtSRow,
+          valueRow("maxsim_recall_milli_m2_p16") { recallS(16, 0) },
+          valueRow("maxsim_recall_milli_m2_p16_mp2") { recallS(16, 2) },
+          valueRow("maxsim_recall_milli_m2_p16_mp4") { recallS(16, 4) })
+      }
       // Append-chain degradation + maintenance recovery (the
       // invidx_probe_after_12appends shape): 12 O(batch) appends —
       // one deliberately REPLAYED, the crash-without-marker case —
