@@ -134,12 +134,16 @@ object MaxSim {
     * **1.000 at nPlanes ∈ {8, 12, 16}** — the doc-level OR over
     * 8 corpus tokens × 32 query tokens gives the shortlist 256
     * chances per doc, so near-duplicate token bags collide with
-    * certainty at these plane counts. Multi-probe therefore costs
-    * nothing it needs to buy back here (p16_mp2 also 1.000); it is
-    * the insurance for SPARSER bags (1–2 tokens/doc, where the OR
-    * collapses to the single-vector LSH regime) and for nPlanes
-    * pushed past 16 — re-measure via the recall rows after changing
-    * either.
+    * certainty at these plane counts. The sparse-bag regime is
+    * measured too (`maxsim_recall_milli_m2_*`: m=2 tokens/doc,
+    * 1.28M docs): still 1.000 at p16 on this corpus — its planted
+    * neighbors are jittered replicas, which hyperplane LSH collides
+    * with near-certainty at any bag size. Multi-probe therefore buys
+    * nothing it needs to here (all `_mp2`/`_mp4` rows also 1.000);
+    * it is the insurance for corpora whose true neighbors sit FAR
+    * inside the cosine ball (angular gaps comparable to a hyperplane
+    * slice) and for nPlanes pushed past 16 — re-measure via the
+    * recall rows after changing either.
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
                      nPlanes: Int, dims: Int,
