@@ -367,8 +367,9 @@ object TextQueries {
     }),
 
     // image near-dup end-to-end: mux a deterministic 32x32 grayscale
-    // BMP per document (scene from doc_id DIV 4 arithmetic — 4 docs
-    // share a scene; member shifts are uniform brightness, which
+    // BMP per document (scene from doc_id DIV 4 arithmetic over a
+    // 29x23x19 parameter family, so distinct groups get distinct
+    // scenes at gate scale — 4 docs share a scene; member shifts are uniform brightness, which
     // pHash is EXACTLY invariant to, and member 3 adds a diagonal
     // perturbation for a nonzero-Hamming pair), DECODE THE BYTES
     // back, pHash (integer DCT, q185's reason the basis is exact
@@ -382,8 +383,8 @@ object TextQueries {
         val g = d / 4
         val gray = Array.tabulate(32 * 32) { i =>
           val y = i / 32; val x = i % 32
-          40 + ((x * (3 + (g % 5).toInt) + y * (7 + (g % 3).toInt) +
-            ((x * y) % 11) * (1 + (g % 7).toInt)) % 150) +
+          40 + ((x * (3 + (g % 29).toInt) + y * (7 + (g % 23).toInt) +
+            ((x * y) % 11) * (1 + (g % 19).toInt)) % 150) +
             (d % 4).toInt * 9 +
             (if (d % 4 == 3 && x == y) 15 else 0)
         }
@@ -1380,9 +1381,9 @@ object TextQueries {
     // (basis table ships as literals — no cross-engine cos())
     "q185_phash_neardup" ->
       s"""WITH pixels AS (SELECT d.doc_id AS id, xx.x, yy.y,
-             40 + ((xx.x * (3 + (d.doc_id // 4) % 5)
-                  + yy.y * (7 + (d.doc_id // 4) % 3)
-                  + ((xx.x * yy.y) % 11) * (1 + (d.doc_id // 4) % 7)) % 150)
+             40 + ((xx.x * (3 + (d.doc_id // 4) % 29)
+                  + yy.y * (7 + (d.doc_id // 4) % 23)
+                  + ((xx.x * yy.y) % 11) * (1 + (d.doc_id // 4) % 19)) % 150)
                + (d.doc_id % 4) * 9
                + CASE WHEN d.doc_id % 4 = 3 AND xx.x = yy.y THEN 15 ELSE 0 END
                AS px
