@@ -1287,6 +1287,29 @@ object BenchScale {
             "split(lower(trim(text)), '\\\\s+')", n = 5, twoPass = false)
           .agg(sum(col("n_masked"))).collect().nonEmpty)
       },
+      time("phash_neardup_500k_bmps") {
+        // image near-dup at corpus scale (the q185 pipeline priced):
+        // 500k 32x32 BMPs muxed in-flight (no I/O term), DECODED
+        // back, integer-DCT pHashed, banded 4x16 + exact Hamming
+        // verify — map-only until the 8-byte (band, hash) shuffle
+        import spark.implicits._
+        val media = spark.range(0, 500000L).as[Long].map { d =>
+          val g = d / 4
+          val gray = Array.tabulate(32 * 32) { i =>
+            val y = i / 32; val x = i % 32
+            40 + ((x * (3 + (g % 29).toInt) + y * (7 + (g % 23).toInt) +
+              ((x * y) % 11) * (1 + (g % 19).toInt)) % 150) +
+              (d % 4).toInt * 9 + (if (d % 4 == 3 && x == y) 15 else 0)
+          }
+          graft.ops.Multimodal.MediaRecord(d, "image",
+            graft.ops.Multimodal.buildBmp(32, 32, gray))
+        }
+        val ph = graft.ops.Multimodal.perceptualHashes(media).toDF()
+          .select(col("id"), col("phash"))
+        require(graft.ops.Dedup.hashNearDupPairs(ph, "id", "phash",
+            bands = 4, bandBits = 16, maxHamming = 8)
+          .agg(count(lit(1))).collect().nonEmpty)
+      },
       time("maxsim_exact_2m_toks") {
         // late-interaction ground truth: 4 query docs x 8 tokens
         // against 2.56M corpus token vectors — broadcast query side,

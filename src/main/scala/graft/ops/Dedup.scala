@@ -532,6 +532,10 @@ object Dedup {
                        maxBucketSize: Int = 1000): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands x bandBits must fit 64 bits (got $bands x $bandBits)")
+    // bandBits = 64 would wrap (1L << 64 == 1L) into a zero mask that
+    // funnels every hash through one bucket; a single 64-bit band is
+    // exact-dup grouping, not banding — use groupBy on the hash itself
+    require(bandBits <= 63, s"bandBits <= 63 (got $bandBits)")
     val mask = (1L << bandBits) - 1
     val bandExprs = (0 until bands).map(b => struct(lit(b).as("band"),
       shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bandval")))

@@ -202,6 +202,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("generalized banding: recall guaranteed under bands, degenerate configs refused") {
+    import org.apache.spark.sql.functions.col
+    // hand-built 64-bit fingerprints: b differs from a in 2 bits
+    // (< 4 bands -> guaranteed found), c differs in ~32 bits
+    val a = 0x0F0F0F0F0F0F0F0FL
+    val hashes = Seq((1L, a), (2L, a ^ 0x11L), (3L, a ^ 0x00FF00FF00FF00FFL))
+      .toDF("id", "h")
+    val got = Dedup.hashNearDupPairs(hashes, "id", "h", bands = 4,
+        bandBits = 16, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 2L)
+    assert(!got.keySet.exists { case (x, y) => x == 3L || y == 3L })
+    // 1L << 64 wraps to 1 in the JVM: a 64-bit "band" would mask to
+    // zero and funnel everything through one bucket — refused loudly
+    intercept[IllegalArgumentException] {
+      Dedup.hashNearDupPairs(hashes, "id", "h", bands = 1, bandBits = 64,
+        maxHamming = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hashNearDupPairs(hashes, "id", "h", bands = 5, bandBits = 16,
+        maxHamming = 3)
+    }
+  }
+
   test("verification join: exact Jaccard on candidates only, known values") {
     import org.apache.spark.sql.functions.col
     // doc 1 vs doc 2: shingle sets {a b c, b c d, c d e} vs
