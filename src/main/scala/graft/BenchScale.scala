@@ -1555,13 +1555,26 @@ object BenchScale {
             nPlanes = 8, dims = 64)
           ()
         },
+        // batch derivation (13 filtered corpus scans) is fixture cost,
+        // not operator cost — it lands as its own setup row (the
+        // invidx_chain_setup discipline) so the append row prices
+        // exactly the O(batch) index adds a real ingest pays
+        timeOnce("maxsim_chain_setup_12batches") {
+          (1 to 12).foreach { i =>
+            msBatch(i).write.mode("overwrite")
+              .parquet(s"$tmp/maxsim_batch_$i")
+          }
+        },
         timeOnce("maxsim_12appends_one_replayed") {
           val live = graft.ops.Generations.livePath(spark, msRoot)
           (1 to 12).foreach { i =>
-            graft.ops.MaxSim.appendIndex(msBatch(i), live,
+            graft.ops.MaxSim.appendIndex(
+              spark.read.parquet(s"$tmp/maxsim_batch_$i"), live,
               nPlanes = 8, dims = 64)
           }
-          graft.ops.MaxSim.appendIndex(msBatch(7), live,
+          // batch 7 replays (the crash-without-marker case)
+          graft.ops.MaxSim.appendIndex(
+            spark.read.parquet(s"$tmp/maxsim_batch_7"), live,
             nPlanes = 8, dims = 64)
         },
         time("maxsim_probe_after_12appends") {
