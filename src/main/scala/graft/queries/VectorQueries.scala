@@ -19,17 +19,42 @@ object VectorQueries {
     * correctness gate should not pay it twice. First caller builds —
     * [[graft.ops.GraphAnn.buildGraph]] returns a materialized
     * (checkpointed) edge frame — later callers reuse it.
+    *
+    * Keyed on the SparkSession REFERENCE itself (tuple equality
+    * compares sessions by identity since SparkSession doesn't override
+    * equals) — never on identityHashCode, which is not unique and could
+    * hand one session a frame bound to another. Sessions are held via a
+    * WeakHashMap so a closed/collected session releases its cached
+    * graph (and the checkpointed blocks it pins) instead of living for
+    * the JVM lifetime.
+    *
+    * ASSUMPTION: the embeddings table under `dir` is immutable for the
+    * lifetime of the session — the gate's testdata is driver-written
+    * once. If a caller regenerates data under the same path it must use
+    * a fresh session (or a fresh dir) to avoid stale edges.
     */
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int, Int),
-      org.apache.spark.sql.DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Int, Int, Int),
+        org.apache.spark.sql.DataFrame]]()
   private def cachedGraph(s: org.apache.spark.sql.SparkSession, dir: String,
                           k: Int, initBuckets: Int,
                           iterations: Int): org.apache.spark.sql.DataFrame =
-    graphCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, k, initBuckets, iterations),
-      _ => graft.ops.GraphAnn.buildGraph(t(s, dir, "embeddings"), "vec_id",
-        k, initBuckets, iterations))
+    graphCache.synchronized {
+      val perSession = {
+        val m = graphCache.get(s)
+        if (m != null) m
+        else {
+          val fresh = scala.collection.mutable.Map
+            .empty[(String, Int, Int, Int), org.apache.spark.sql.DataFrame]
+          graphCache.put(s, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate((dir, k, initBuckets, iterations),
+        graft.ops.GraphAnn.buildGraph(t(s, dir, "embeddings"), "vec_id",
+          k, initBuckets, iterations))
+    }
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-k: broadcast 5 query vectors over the corpus

@@ -136,7 +136,11 @@ case object DerbyDialect extends JdbcDialect {
     "\"" + ident.replace("\"", "\"\"") + "\""
   override def ddlFor(dt: DataType): String = dt match {
     case StringType    => "varchar(32672)" // Derby's max varchar
-    case TimestampType => "timestamp without time zone"
+    // Derby accepts only plain TIMESTAMP as DDL (no WITH/WITHOUT TIME
+    // ZONE variants); TypeMapper already resolves it to TimestampType
+    // via timestampIsWallClock, so the zoneless semantics are kept on
+    // the read side.
+    case TimestampType => "timestamp"
     case BinaryType    => "varbinary(32672)"
     case other         => super.ddlFor(other)
   }

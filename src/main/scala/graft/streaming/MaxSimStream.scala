@@ -64,6 +64,20 @@ object MaxSimStream {
 
   /** One micro-batch of the loop; also the unit the spec replays.
     * `batchToks` must carry (doc_id, tok, vec_id, embedding).
+    *
+    * Replay semantics: scores are snapshotted BEFORE the index append,
+    * so on the FIRST run a batch never matches its own documents. If a
+    * crash lands between the append and the marker commit, the re-run
+    * probes a corpus that already contains this batch's tokens — the
+    * replayed partition is then consistent (one complete overwrite,
+    * no duplicates) but not bit-identical to the first attempt: the
+    * batch's own doc_ids become eligible neighbors. "Duplicate
+    * postings are score-benign under MAX" covers re-appended tokens,
+    * not this new-doc effect. Callers needing first-run-identical
+    * replays must filter the batch's own doc_ids from the probe
+    * result; the default keeps self-matches out only on the happy
+    * path because excluding them post-crash would require the probe
+    * to know which index files predate the batch.
     */
   def applyBatch(batchToks: DataFrame, indexRoot: String, outPath: String,
                  k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
