@@ -232,6 +232,23 @@ object BenchScale {
       measureNames += name
       name -> mr
     }
+    // data files under an index root: the quantity per-append file
+    // scatter accumulates and compaction resets — at object-store
+    // scale listing + per-file open cost is the probe's floor, so
+    // append-discipline claims are measured in files, not inferred
+    def countFiles(root: String): Double = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0.0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n.toDouble
+      }
+    }
 
     // daily-ingest dedup, STEADY STATE: history = one fingerprint per
     // lineitem row (12M at x20 — far past auto-broadcast, the
@@ -488,8 +505,11 @@ object BenchScale {
           .agg(avg("recall_milli")).head().getDouble(0)
       // IVF-PQ axis: nProbe alone is code-limited (flat); REFINE is
       // the lever — the exact re-rank depth recovers what the coarse
-      // codes misrank, at near-flat latency
-      val pqPoints = Seq((1, 4), (4, 4), (4, 16), (4, 64), (16, 4))
+      // codes misrank, at near-flat latency. Round 12 extends the
+      // sweep to rf 128/256 (the r11 frontier stopped at rf=64 /
+      // recall 0.19, leaving the deployable operating point unproven)
+      val pqPoints = Seq((1, 4), (4, 4), (4, 16), (4, 64), (4, 128),
+          (4, 256), (16, 64))
         .flatMap { case (np, rf) =>
           var approx: DataFrame = null
           val t = timeOnce(s"frontier_ivfpq_probe_np${np}_rf$rf") {
@@ -503,6 +523,42 @@ object BenchScale {
             meanRecall(approx)
           })
         }
+      // the RESIDUAL variant at the same points — the standard
+      // deployment (codes quantize ei - centroid(cell), spending the
+      // codebooks on within-cell structure), never measured before
+      // r12: the adjudication between "PQ is the memory-constrained
+      // tier" and "flat IVF dominates at this dimensionality" needs
+      // its best configuration on the board, not just the
+      // SQL-replayable non-residual form
+      val pqResPoints = {
+        var fPqRes: graft.ops.IvfPq.Model = null
+        val fitRes = timeOnce("frontier_fit_ivfpq_residual") {
+          val sample = fcorpus.sample(withReplacement = false, 0.02,
+            seed = 7L)
+          fPqRes = graft.ops.IvfPq.fit(sample, "vec_id", nLists = 64,
+            m = 8, k = 32, oversample = 4, residual = true)
+        }
+        val pqResIdx = s"$tmp/ivfpq_res_idx_frontier"
+        val buildRes = timeOnce("frontier_ivfpq_residual_build") {
+          graft.ops.IvfPq.writeIndex(fcorpus, "vec_id", fPqRes, pqResIdx)
+        }
+        Seq(fitRes, buildRes) ++
+          Seq((4, 4), (4, 64), (4, 128), (4, 256), (16, 64))
+            .flatMap { case (np, rf) =>
+              var approx: DataFrame = null
+              val t = timeOnce(s"frontier_ivfpq_res_probe_np${np}_rf$rf") {
+                approx = graft.ops.IvfPq.searchIndex(spark, pqResIdx,
+                  fcorpus, queries, "vec_id", fPqRes, topK = 10,
+                  nProbe = np, refine = rf)
+                approx.count()
+                ()
+              }
+              Seq(t,
+                valueRow(s"frontier_ivfpq_res_recall_milli_np${np}_rf$rf") {
+                  meanRecall(approx)
+                })
+            }
+      }
       // full-embedding IVF (exact distances, recall bounded only by
       // probe coverage) on the SAME queries — the family's other axis
       val ivfPoints = Seq(1, 4, 16).flatMap { np =>
@@ -697,8 +753,8 @@ object BenchScale {
         sExact.unpersist(); sub.unpersist()
         Seq(sFitT, sBuildT, sGtT) ++ ivfPts ++ graphPts
       }
-      val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++ ivfPoints ++
-        graphRows ++ sweepRows
+      val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++
+        pqResPoints ++ ivfPoints ++ graphRows ++ sweepRows
       exact.unpersist()
       rows
     }
@@ -1474,26 +1530,85 @@ object BenchScale {
             "vec_id", 8),
           s"$tmp/maxsim_idx", nPlanes = 8, dims = 64)
       }) ++ {
-      // ---- MaxSim pruned-path recall + append-chain (round 11) ----
+      // ---- MaxSim append: fixed vs variable cost (round 12) ----
+      // The r11 chain read 9.4 s per 1% append against an 18 s full
+      // build, suggesting per-append FIXED overhead (two partitioned
+      // write jobs + a file per task per touched partition) dominates
+      // the O(batch) variable part — the real bill at streaming
+      // cadence. Three batch sizes on the same index, batches derived
+      // AND materialized in the setup row (the invidx_chain_setup
+      // discipline) so each append row prices exactly one
+      // appendIndex call: flat rows = floor-bound, linear rows =
+      // batch-bound. The files rows price the floor's driver: with
+      // the r12 write-key repartition in appendIndex, one append adds
+      // at most one file per touched partition value (<= 2^8 + 64)
+      // instead of tasks x partitions.
+      var b01: DataFrame = null
+      var b10: DataFrame = null
+      val batchSetup = timeOnce("maxsim_append_batches_setup") {
+        def slice(mod: Int, offset: Long): DataFrame =
+          graft.ops.MaxSim.multiVector(
+            embBig.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 7)
+              .select((col("vec_id") + offset).as("vec_id"),
+                col("embedding"), col("label")),
+            "vec_id", 8).localCheckpoint(true)
+        b01 = slice(1000, 230000000L)
+        b10 = slice(10, 240000000L)
+        require(b01.count() > 0 && b10.count() > 0)
+      }
+      def idxFiles(): Double = countFiles(s"$tmp/maxsim_idx")
+      val files0 = idxFiles()
+      val a01 = timeOnce("maxsim_index_append_01pct") {
+        graft.ops.MaxSim.appendIndex(b01, s"$tmp/maxsim_idx",
+          nPlanes = 8, dims = 64)
+      }
+      val files1 = idxFiles()
+      val a10 = timeOnce("maxsim_index_append_10pct") {
+        graft.ops.MaxSim.appendIndex(b10, s"$tmp/maxsim_idx",
+          nPlanes = 8, dims = 64)
+      }
+      val files2 = idxFiles()
+      Seq(batchSetup,
+        valueRow("maxsim_append_files_01pct") { files1 - files0 },
+        a01,
+        valueRow("maxsim_append_files_10pct") { files2 - files1 },
+        a10)
+    } ++ {
+      // ---- MaxSim pruned-path recall + append-chain (round 12) ----
       // The production shortlist's QUALITY vs the exact path — the
       // measurement the graph-ANN adjudication taught us never to
-      // skip. Ground truth once (exact top-10, 4 query docs, 2.56M
-      // corpus tokens); each sweep point is mean recall@10 in milli
-      // over the query docs (the q138 AnnEval convention). nPlanes
-      // trades probe cost against recall; the _mp2 rows price the
-      // multi-probe rescue (each query token also probes its 2
+      // skip. ROUND-12 FIXTURE CHANGE: the r11 rows measured recall
+      // on the replicate() corpus, whose planted neighbors are
+      // jittered replicas (cos θ ≈ 1) — hyperplane LSH collides with
+      // those at any plane count, so all eight rows read 1.000 and
+      // the instrument couldn't justify a default nPlanes or catch a
+      // regression. These rows now run on AnnEval.plantedTokenBags:
+      // per query doc, 12 true neighbors at CONTROLLED angular
+      // distance (nominal cos θ = 0.848 down to 0.606, the band
+      // where per-plane collision probability compounds to a real
+      // miss rate), over 2.56M independent hash-grid corpus tokens.
+      // Ground truth once (exact top-10 per query); each sweep point
+      // is mean recall@10 in milli (the q138 AnnEval convention).
+      // nPlanes trades probe cost against recall; the _mp rows price
+      // the multi-probe rescue (each query token also probes its
       // nearest-boundary buckets) where single-probe decays.
       val mvR = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
-      val qR = mvR.where(col("doc_id") < 4)
+      val (plantedC, plantedQ) = graft.ops.AnnEval.plantedTokenBags(
+        spark, dims = 64, nBgDocs = 320000L, m = 8,
+        nQueries = 4, nPlanted = 12)
+      var pmvR: org.apache.spark.sql.DataFrame = null
+      var qR: org.apache.spark.sql.DataFrame = null
       var gtR: org.apache.spark.sql.DataFrame = null
       val gtRow = timeOnce("maxsim_exact_gt_topk10") {
-        gtR = graft.ops.MaxSim.scoreExact(mvR, qR, k = 10)
+        pmvR = plantedC.localCheckpoint(true)
+        qR = plantedQ.localCheckpoint(true)
+        gtR = graft.ops.MaxSim.scoreExact(pmvR, qR, k = 10)
           .localCheckpoint(true)
         require(gtR.count() > 0)
       }
       def maxsimRecall(nPlanes: Int, multiProbe: Int): Double =
         graft.ops.AnnEval.recallAtK(
-            graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+            graft.ops.MaxSim.scoreLshPruned(pmvR, qR, k = 10,
               nPlanes = nPlanes, dims = 64, multiProbe = multiProbe),
             gtR, "q_doc", "doc_id", k = 10)
           .agg(avg(col("recall_milli"))).head().getDouble(0)
@@ -1502,26 +1617,32 @@ object BenchScale {
       } ++ Seq(
         valueRow("maxsim_recall_milli_p12_mp2") { maxsimRecall(12, 2) },
         valueRow("maxsim_recall_milli_p16_mp2") { maxsimRecall(16, 2) },
+        valueRow("maxsim_recall_milli_p16_mp4") { maxsimRecall(16, 4) },
         // the cost axis of the same tradeoff: the aggressive-prune
         // probe with and without the multi-probe expansion (compare
         // against maxsim_lsh_2m_toks, the p8 wall)
         timeOnce("maxsim_lsh_probe_p16") {
-          require(graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+          require(graft.ops.MaxSim.scoreLshPruned(pmvR, qR, k = 10,
             nPlanes = 16, dims = 64).collect().nonEmpty)
         },
         timeOnce("maxsim_lsh_probe_p16_mp2") {
-          require(graft.ops.MaxSim.scoreLshPruned(mvR, qR, k = 10,
+          require(graft.ops.MaxSim.scoreLshPruned(pmvR, qR, k = 10,
             nPlanes = 16, dims = 64, multiProbe = 2).collect().nonEmpty)
         }) ++ {
         // the SPARSE-bag regime (m=2 tokens/doc): the doc-level OR
-        // collapses toward single-vector LSH, which is where the
-        // shortlist actually starves and multi-probe earns its keep —
-        // measured so the scaladoc's "insurance for sparser bags"
-        // claim is a number, not a guess
-        val mvS = graft.ops.MaxSim.multiVector(embBig, "vec_id", 2)
-        val qS = mvS.where(col("doc_id") < 16)
+        // has only 2 collision chances per query token instead of 8,
+        // which is where the shortlist actually starves and
+        // multi-probe earns its keep — measured so the scaladoc's
+        // "insurance for sparser bags" claim is a number, not a guess
+        val (plantedCS, plantedQS) = graft.ops.AnnEval.plantedTokenBags(
+          spark, dims = 64, nBgDocs = 1280000L, m = 2,
+          nQueries = 16, nPlanted = 12)
+        var mvS: org.apache.spark.sql.DataFrame = null
+        var qS: org.apache.spark.sql.DataFrame = null
         var gtS: org.apache.spark.sql.DataFrame = null
         val gtSRow = timeOnce("maxsim_exact_gt_m2_topk10") {
+          mvS = plantedCS.localCheckpoint(true)
+          qS = plantedQS.localCheckpoint(true)
           gtS = graft.ops.MaxSim.scoreExact(mvS, qS, k = 10)
             .localCheckpoint(true)
           require(gtS.count() > 0)
@@ -1533,6 +1654,7 @@ object BenchScale {
               gtS, "q_doc", "doc_id", k = 10)
             .agg(avg(col("recall_milli"))).head().getDouble(0)
         Seq(gtSRow,
+          valueRow("maxsim_recall_milli_m2_p8") { recallS(8, 0) },
           valueRow("maxsim_recall_milli_m2_p16") { recallS(16, 0) },
           valueRow("maxsim_recall_milli_m2_p16_mp2") { recallS(16, 2) },
           valueRow("maxsim_recall_milli_m2_p16_mp4") { recallS(16, 4) })
