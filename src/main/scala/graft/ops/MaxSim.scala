@@ -220,6 +220,18 @@ object MaxSim {
     * rewritten (the [[LshIndex.append]] discipline). The caller owns
     * doc-id uniqueness (re-ingesting a doc_id would double its
     * tokens, like any append-only store).
+    *
+    * Both writes repartition on their write key first (the
+    * [[compactVersioned]] discipline): without it every task holding
+    * any rows for a partition value opens a file there, so one append
+    * scatters up to tasks × touched-partitions near-empty files —
+    * per-file open/commit/list cost that is FIXED overhead per
+    * append, unrelated to batch size (the r11 chain measured 9.4 s
+    * for a 1% batch vs 18 s for the full build; the
+    * `maxsim_append_files_*` rows price the file count directly).
+    * With the repartition, one append adds at most one file per
+    * touched partition value, so the per-append floor is bounded by
+    * distinct partition values, not by parallelism.
     */
   def appendIndex(batchToks: DataFrame, path: String, nPlanes: Int,
                   dims: Int, dBuckets: Int = 64): Unit = {
@@ -230,8 +242,10 @@ object MaxSim {
       .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
       .persist()
     q.select("bucket", "doc_id").distinct()
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     q.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+      .repartition(col("dbucket"))
       .write.mode("append").partitionBy("dbucket").parquet(s"$path/toks")
     q.unpersist()
     ()
@@ -409,10 +423,15 @@ object MaxSim {
     * shortlisted docs only. `multiProbe` > 0 replays
     * [[probeBucketsCol]]'s query-side expansion: per query token,
     * also probe the buckets reached by flipping its `multiProbe`
-    * least-confident plane bits (|dot| asc, plane asc).
+    * least-confident plane bits (|dot| asc, plane asc). `cPred`
+    * restricts the CORPUS side (shortlist and re-rank alike) — the
+    * streaming twin's "index as of the previous batch" replay
+    * (q187); the default TRUE is the whole-table corpus the batch
+    * queries use.
     */
   def lshPrunedSql(m: Int, k: Int, qPred: String => String, nPlanes: Int,
-                   dims: Int, multiProbe: Int = 0): String = {
+                   dims: Int, multiProbe: Int = 0,
+                   cPred: String => String = _ => "TRUE"): String = {
     val qbCte =
       if (multiProbe <= 0)
         s"""qb AS (SELECT DISTINCT b FROM bucket WHERE
@@ -440,10 +459,12 @@ object MaxSim {
           FROM pdots GROUP BY 1),
         $qbCte,
         cand AS (SELECT DISTINCT c.vec_id // $m AS doc_id
-          FROM bucket c JOIN qb ON qb.b = c.b),
+          FROM bucket c JOIN qb ON qb.b = c.b
+          WHERE (${cPred("c.vec_id")})),
         qdots AS (SELECT q.vec_id AS qv, c.vec_id AS cv, SUM(q.v * c.v) AS dot
           FROM flat q JOIN flat c ON c.i = q.i
             AND (${qPred("q.vec_id")}) AND c.vec_id // $m <> q.vec_id // $m
+            AND (${cPred("c.vec_id")})
           JOIN cand ON cand.doc_id = c.vec_id // $m
           GROUP BY 1, 2),
         qsims AS (SELECT qv, cv,

@@ -418,6 +418,56 @@ object VectorQueries {
           mv, mv.where(col("doc_id") < 3), k = 5, nPlanes = 6, dims = 64,
           multiProbe = 2)
         .orderBy("q_doc", "rnk")
+    }),
+
+    // STREAMING intake, oracle-gated (round 12): a REAL
+    // MemoryStream -> foreachBatch loop drives MaxSimStream over
+    // three micro-batches of 2 docs each against an index seeded
+    // with docs >= 8 — each batch scores against the corpus AS OF
+    // the previous batch, then appends itself. After the stream
+    // stops, batch 1 is deliberately RE-DELIVERED through the
+    // BatchMarkers guard: the marker must skip it, because a broken
+    // guard would re-append batch 1's tokens AND overwrite its sink
+    // partition with scores over the post-append corpus (its own
+    // docs now eligible) — rows the oracle's as-of-previous-batch
+    // replay would reject. This promotes redelivery-idempotence from
+    // spec assertion to correctness gate.
+    "q187_maxsim_stream_intake" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      val root = java.nio.file.Files.createTempDirectory("graft_q187_idx").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_q187").toString +
+        "/scores"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q187_ck").toString
+      graft.ops.MaxSim.writeIndexVersioned(mv.where(col("doc_id") >= 8), root,
+        nPlanes = 4, dims = 64, dBuckets = 16)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Seq[Float])]
+      val toks = mem.toDS().toDF("doc_id", "tok", "vec_id", "embedding")
+      val q = graft.streaming.MaxSimStream.start(toks, root, out, k = 5,
+        nPlanes = 4, dims = 64, dBuckets = 16, ckpt)
+      // bounded driver read: 8 token rows per 2-doc batch
+      def batch(lo: Long, hi: Long): Seq[(Long, Long, Long, Seq[Float])] =
+        mv.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "tok", "vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getSeq[Float](3))).toSeq
+      try {
+        Seq((0L, 2L), (2L, 4L), (4L, 6L)).foreach { case (lo, hi) =>
+          mem.addData(batch(lo, hi)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val replayApplied = graft.streaming.BatchMarkers.applyOnce(s, out, 1L) {
+        graft.streaming.MaxSimStream.applyBatch(
+          mv.where(col("doc_id") >= 2 && col("doc_id") < 4), root, out,
+          k = 5, nPlanes = 4, dims = 64, dBuckets = 16, batchId = 1L)
+      }
+      require(!replayApplied, "replay guard must skip an applied batch")
+      s.read.parquet(out)
+        .select(col("batch_id").cast("long").as("batch_id"), col("q_doc"),
+          col("rnk"), col("doc_id"), col("score_micro"))
+        .orderBy("batch_id", "q_doc", "rnk")
     }))
 
   private val quantCte =
@@ -659,6 +709,24 @@ object VectorQueries {
       s"""WITH $quantCte,
          ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5, v => s"$v // 4 < 3",
             nPlanes = 6, dims = 64, multiProbe = 2)}""",
+    // the streaming loop replayed batch-by-batch: batch b (docs
+    // [2b, 2b+2)) scores against EXACTLY the corpus as of the
+    // previous batch (seed docs >= 8 plus batches < b) — the
+    // re-delivered batch 1 must leave no trace beyond its first
+    // application for this union to hash-match
+    "q187_maxsim_stream_intake" -> {
+      def b(i: Int): String = {
+        val lo = 2 * i; val hi = lo + 2
+        s"""SELECT CAST($i AS BIGINT) AS batch_id, s.* FROM (
+           WITH $quantCte,
+           ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5,
+              v => s"($v // 4 >= $lo AND $v // 4 < $hi)",
+              nPlanes = 4, dims = 64,
+              cPred = v => s"($v // 4 >= 8 OR $v // 4 < $lo)")}) s"""
+      }
+      s"""SELECT * FROM (${b(0)} UNION ALL ${b(1)} UNION ALL ${b(2)})
+         ORDER BY batch_id, q_doc, rnk"""
+    },
     // replays fitQuantized (ivfAssignCte's assigned) + one Lloyd step:
     // floor-of-IEEE-quotient centroid means (exact parity — both
     // engines floor the same correctly-rounded double quotient of the
