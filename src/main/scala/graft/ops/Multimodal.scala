@@ -491,9 +491,16 @@ object Multimodal {
       h
     }
 
-  /** Image perceptual hashes for a media Dataset; opaque formats fall
+  /** Image AVERAGE hashes for a media Dataset; opaque formats fall
     * back to a deterministic md5-derived pseudo-hash (flagged by
-    * codec = "opaque").
+    * codec = "opaque"). Contract gated by q188 (arithmetic replay of
+    * thumbnail + mean threshold). aHash is the cheap scan-time
+    * fingerprint; the image NEAR-DUP key is [[perceptualHashes]]
+    * (pHash, q185) — its exact brightness invariance and DCT
+    * structure tolerance make it strictly better for banded-Hamming
+    * pairing, so use ONE near-dup key and keep this one for cheap
+    * exact-fingerprint use (manifests, dedup pre-filters on exact
+    * re-encodes).
     */
   case class MediaHash(id: Long, codec: String, thumb_hash: Long)
   def imageHashes(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {

@@ -398,6 +398,33 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // aHash contract (round 12): the average-hash path — decode the
+    // SAME q185 BMP scene through the real byte path (buildBmp ->
+    // grayRaster -> 8x8 nearest-neighbor thumbnail -> mean
+    // threshold) and pin (id, codec, thumb_hash) against an
+    // arithmetic replay. The near-dup KEY stays pHash (q185);
+    // imageHashes' scaladoc says so — this query gates that the
+    // cheaper scan-time hash computes what it claims
+    "q188_ahash_contract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = docs.map { d =>
+        val g = d / 4
+        val gray = Array.tabulate(32 * 32) { i =>
+          val y = i / 32; val x = i % 32
+          40 + ((x * (3 + (g % 29).toInt) + y * (7 + (g % 23).toInt) +
+            ((x * y) % 11) * (1 + (g % 19).toInt)) % 150) +
+            (d % 4).toInt * 9 +
+            (if (d % 4 == 3 && x == y) 15 else 0)
+        }
+        graft.ops.Multimodal.MediaRecord(d, "image",
+          graft.ops.Multimodal.buildBmp(32, 32, gray))
+      }
+      graft.ops.Multimodal.imageHashes(media).toDF()
+        .select(col("id"), col("codec"), col("thumb_hash"))
+        .orderBy("id")
+    }),
+
     // HTML -> text extraction end-to-end: wrap each document in a
     // deterministic page (title, style/script blocks, comment,
     // entities, two links), then extract visible text, title, links,
@@ -1392,6 +1419,31 @@ object TextQueries {
                 (SELECT unnest(range(0, 32)) AS y) yy),
          ${graft.ops.Multimodal.phashNearDupSql(maxHamming = 8,
             maxBucketSize = 1000)}""",
+    // aHash replay: the 8x8 nearest-neighbor thumbnail of a 32x32
+    // raster reads exactly the pixels at multiples of 4; mean is the
+    // same floor division both engines perform on positive ints; bit
+    // 63 ships as min-long (the q185 two's-complement idiom)
+    "q188_ahash_contract" ->
+      s"""WITH pixels AS (SELECT d.doc_id AS id, xx.x, yy.y,
+             40 + ((xx.x * (3 + (d.doc_id // 4) % 29)
+                  + yy.y * (7 + (d.doc_id // 4) % 23)
+                  + ((xx.x * yy.y) % 11) * (1 + (d.doc_id // 4) % 19)) % 150)
+               + (d.doc_id % 4) * 9
+               + CASE WHEN d.doc_id % 4 = 3 AND xx.x = yy.y THEN 15 ELSE 0 END
+               AS px
+           FROM documents d,
+                (SELECT unnest(range(0, 32)) AS x) xx,
+                (SELECT unnest(range(0, 32)) AS y) yy),
+         th AS (SELECT id, (y // 4) * 8 + (x // 4) AS i, px
+                FROM pixels WHERE x % 4 = 0 AND y % 4 = 0),
+         mn AS (SELECT id, SUM(px) // 64 AS mean FROM th GROUP BY 1),
+         ah AS (SELECT t.id,
+                  CAST(SUM(CASE WHEN t.px > m.mean THEN
+                        CASE WHEN t.i = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << t.i) END
+                      ELSE 0 END) AS BIGINT) AS thumb_hash
+                FROM th t JOIN mn m ON m.id = t.id GROUP BY 1)
+         SELECT id, 'bmp' AS codec, thumb_hash FROM ah ORDER BY id""",
 
     "q109_html_extract" ->
       """WITH raw AS (SELECT doc_id,
