@@ -144,4 +144,85 @@ class JdbcE2eSpec extends SparkSpec {
     val df2 = Seq((9L, Some("only"), Some(9.0))).toDF("id", "name", "val")
     assert(JdbcSource.bulkLoadCsvNative(df2, url, "APP", "bulk_tgt") == 1L)
   }
+
+  test("dialect quoting LIVE: hostile identifiers scan + truncate-overwrite through Derby") {
+    import graft.sources.DerbyDialect
+    import graft.types.TypeMapper
+    import org.apache.spark.sql.types._
+    // identifiers a validated-plain path must REFUSE and a quoting
+    // path must carry: space, embedded double quote, mixed case
+    val hostileTable = """hostile "src" tbl"""
+    val idCol = """n key"x"""
+    val valCol = "val col"
+    val cols = Seq((idCol, LongType), (valCol, StringType),
+      ("plain_ts", TimestampType))
+    // DDL rendered ENTIRELY by the dialect (quote + ddlFor — including
+    // the Derby-legal plain `timestamp`), executed against the live
+    // catalog: string equality can't prove Derby accepts it, this does
+    val ddl = cols.map { case (n, t) =>
+      s"${DerbyDialect.quote(n)} ${DerbyDialect.ddlFor(t)}"
+    }.mkString(
+      s"CREATE TABLE ${DerbyDialect.qualified("APP", hostileTable)} (",
+      ", ", ")")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute(ddl)
+        st.execute(
+          s"INSERT INTO ${DerbyDialect.qualified("APP", hostileTable)} VALUES" +
+            " (1, 'alpha', TIMESTAMP('2024-01-02 03:04:05'))," +
+            " (2, 'beta', TIMESTAMP('2024-06-07 08:09:10'))")
+      } finally st.close()
+      // live catalog -> TypeMapper: the types Derby REPORTS for the
+      // hostile table resolve to exactly the Spark types we declared
+      val md = conn.getMetaData.getColumns(null, "APP", hostileTable, null)
+      val reported = Iterator.continually(md)
+        .takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME") -> r.getString("TYPE_NAME"))
+        .toMap
+      // the catalog's own evidence of the plain-vs-escaped split:
+      // quoted identifiers persist VERBATIM (case, spaces, quotes);
+      // the validated-plain one is folded to the SQL-standard upper
+      // case — exactly why quote() may pass plain names through
+      cols.foreach { case (n, t) =>
+        val catalogName = if (n == "plain_ts") "PLAIN_TS" else n
+        assert(TypeMapper.toSparkType(
+            reported(catalogName).toLowerCase, DerbyDialect) == t,
+          s"catalog type for '$catalogName' must map back to $t")
+      }
+    } finally conn.close()
+
+    // scan through the dialect-quoted qualified name
+    def scanHostile() = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", DerbyDialect.qualified("APP", hostileTable))
+      .load()
+    val scanned = scanHostile()
+    assert(scanned.columns.toSeq == Seq(idCol, valCol, "PLAIN_TS"),
+      "hostile column names must survive the scan verbatim")
+    assert(scanned.count() == 2)
+
+    // truncate-overwrite back through the same quoted identifier (the
+    // O-11 DDL-preserving path), then reconcile. Materialize FIRST:
+    // overwriting the table a lazy JDBC frame reads from would
+    // truncate before the scan runs
+    import org.apache.spark.sql.functions.{col => c, upper}
+    scanned.withColumn(valCol, upper(c(s"`$valCol`")))
+      .localCheckpoint(true)
+      .write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", DerbyDialect.qualified("APP", hostileTable))
+      .option("truncate", "true")
+      .mode("overwrite").save()
+    val back = scanHostile().orderBy(s"`$idCol`").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("ALPHA", "BETA"))
+
+    // the validated-plain path must refuse these identifiers outright
+    // (no silent splicing), while the quoting path carries them
+    assertThrows[IllegalArgumentException](
+      JdbcSource.copyStatement("APP", hostileTable, "loc", "role"))
+    assert(DerbyDialect.quote("plain_name") == "plain_name")
+    assert(DerbyDialect.quote(hostileTable) == "\"hostile \"\"src\"\" tbl\"")
+  }
 }
