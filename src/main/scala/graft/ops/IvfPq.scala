@@ -151,11 +151,23 @@ object IvfPq {
       .select(col(idCol).as("q_id"), col("ei").as("qe"), col("nn").as("qn"),
         col("probe").getField("cell").as("cell"))
     // residual models build the LUT per (query, probed cell) over the
-    // query's own cell residual: |(q-c) - (x-c)|^2 = |q-x|^2
-    val q = probed.withColumn("lut",
-      if (model.residual)
-        Pq.lutColumn(residualEi(col("qe"), model.coarse), model.pq)
-      else Pq.lutColumn(col("qe"), model.pq))
+    // query's own cell residual: |(q-c) - (x-c)|^2 = |q-x|^2.
+    // The residual MUST be its own projected column: lutColumn splices
+    // its ei argument into all m*k code entries (3 dotLong references
+    // each), and the residual tree carries the full nLists x dims
+    // centroid map literal — inlined, the duplicated subtrees serialize
+    // to a ~44 MiB task binary that OOMs executors at 2.56M x 64-dim
+    // (measured, r12). As an attribute it is evaluated once per row and
+    // the LUT references stay single nodes; CollapseProject keeps the
+    // barrier because the alias is non-cheap and referenced m times
+    // (plan-size parity with non-residual pinned in IvfPqSpec).
+    val q = (if (model.residual)
+        probed.withColumn("qre", residualEi(col("qe"), model.coarse))
+      else probed)
+      .withColumn("lut",
+        if (model.residual) Pq.lutColumn(col("qre"), model.pq)
+        else Pq.lutColumn(col("qe"), model.pq))
+      .drop("qre")
 
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted

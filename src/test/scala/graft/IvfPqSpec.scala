@@ -214,4 +214,34 @@ class IvfPqSpec extends SparkSpec {
       rep.model, topK = 5, nProbe = 2).orderBy("q_id", "rnk").collect().toSeq
     assert(a == b)
   }
+
+  test("residual probe plan carries the centroid map ONCE, not per LUT entry") {
+    // Regression pin for the r12 x20 OOM: lutColumn splices its ei
+    // argument into all m*k code entries (3 dotLong references each),
+    // so passing the residual TREE duplicated the full nLists x dims
+    // centroid map ~m*k*3 times. ConstantFolding collapses each copy
+    // to ONE MapType literal node — plan node count barely moves —
+    // but every literal still serializes the whole map, which is the
+    // ~44 MiB task binary that OOM'd executors at 2.56M x 64-dim.
+    // The fix projects the residual as its own column, so the map
+    // literal appears exactly once; counting MapType literals is the
+    // scale-independent pin (broken form: 48 at m=4/k=4, hundreds at
+    // production shapes).
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val mRes = IvfPq.fit(corpus, "vec_id", nLists = 4, m = 4, k = 4,
+      residual = true)
+    val pRes = tmpIdx("plan_res")
+    IvfPq.writeIndex(corpus, "vec_id", mRes, pRes)
+    val probe = IvfPq.searchIndex(spark, pRes, corpus, queries,
+      "vec_id", mRes, topK = 5, nProbe = 2)
+    val mapLits = probe.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => 1
+      }.sum).sum
+    }.sum
+    assert(mapLits <= 2,
+      s"centroid map literal duplicated $mapLits times in the residual probe plan")
+  }
 }
