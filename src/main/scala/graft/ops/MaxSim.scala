@@ -127,23 +127,26 @@ object MaxSim {
     *
     * `multiProbe` > 0 additionally probes, per query token, that many
     * nearest-boundary neighbor buckets ([[probeBucketsCol]]) —
-    * recall's rescue lever when the shortlist starves. MEASURED on
-    * the 2.56M-token frontier corpus (BENCH_SCALE_r11
-    * `maxsim_recall_milli_*` rows, recall@10 vs [[scoreExact]]
-    * ground truth, 4 query docs × 8 tokens): single-probe recall is
-    * **1.000 at nPlanes ∈ {8, 12, 16}** — the doc-level OR over
-    * 8 corpus tokens × 32 query tokens gives the shortlist 256
-    * chances per doc, so near-duplicate token bags collide with
-    * certainty at these plane counts. The sparse-bag regime is
-    * measured too (`maxsim_recall_milli_m2_*`: m=2 tokens/doc,
-    * 1.28M docs): still 1.000 at p16 on this corpus — its planted
-    * neighbors are jittered replicas, which hyperplane LSH collides
-    * with near-certainty at any bag size. Multi-probe therefore buys
-    * nothing it needs to here (all `_mp2`/`_mp4` rows also 1.000);
-    * it is the insurance for corpora whose true neighbors sit FAR
-    * inside the cosine ball (angular gaps comparable to a hyperplane
-    * slice) and for nPlanes pushed past 16 — re-measure via the
-    * recall rows after changing either.
+    * recall's rescue lever when the shortlist starves. MEASURED
+    * (BENCH_SCALE_r12 `maxsim_recall_milli_*` rows, recall@10 vs
+    * [[scoreExact]] ground truth on [[AnnEval.plantedTokenBags]] —
+    * planted neighbors at controlled ANGULAR distance, nominal
+    * cos θ 0.848 → 0.606, over 2.56M independent corpus tokens; the
+    * r11 jittered-replica fixture read 1.000 everywhere and could
+    * not discriminate): dense bags (m=8 tokens/doc, 320k docs)
+    * single-probe recall is **0.850 / 0.300 / 0.100 at nPlanes
+    * 8/12/16**, and multi-probe measurably recovers what extra
+    * planes forfeit — p12+mp2 → 0.625, p16+mp2 → 0.200,
+    * p16+mp4 → 0.375. Sparse bags (m=2, 1.28M docs) starve the
+    * doc-level OR exactly as predicted: p8 reads 0.375 (vs 0.850
+    * dense), p16 collapses to 0.031, and mp2/mp4 pull it back to
+    * 0.100/0.125. DEFAULT nPlanes = 8: the only measured point with
+    * recall ≥ 0.85 on dense bags, at a 5.6 s probe vs 12.7 s exact
+    * (`maxsim_lsh_2m_toks` / `maxsim_exact_2m_toks`); past p8, add
+    * multi-probe rather than planes if the bucket fan-in (not
+    * recall) is the bottleneck. Re-measure via the recall rows after
+    * changing either knob — the planted-angular fixture fails loudly
+    * on regressions (the r11 fixture could not).
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
                      nPlanes: Int, dims: Int,
