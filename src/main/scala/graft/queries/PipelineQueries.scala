@@ -358,6 +358,63 @@ object PipelineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // STREAMING rollup maintenance, oracle-gated (round 12, the q187
+    // pattern): a REAL MemoryStream -> foreachBatch loop drives
+    // RollupStream over three micro-batches (q141's user_id % 3
+    // split) of the event_id % 17 slice, maintaining the
+    // per-(day, event_type) aggregate table; after the stream stops,
+    // batch 1 is deliberately RE-DELIVERED through the BatchMarkers
+    // guard. Unlike q187's score partitions (which a replay merely
+    // rewrites), a COUNT/SUM fold is NOT idempotent — a broken guard
+    // double-counts batch 1 and the oracle's one-shot GROUP BY
+    // rejects the table outright, so this gate discriminates the
+    // transactional-sink discipline itself.
+    "q189_rollup_stream_intake" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val e = events(s, dir)
+        .where(col("event_id") % 17 === 0)
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"), col("user_id"),
+          expr("CAST(round(value * 1000.0) AS BIGINT)").as("v_milli"))
+      val path = java.nio.file.Files.createTempDirectory("graft_q189")
+        .resolve("rollup").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q189_ck")
+        .toString
+      val keys = Seq("day", "event_type")
+      val ms = Seq(IncrementalAgg.count("n_events"),
+        IncrementalAgg.sum("v_milli", "sum_v_milli"),
+        IncrementalAgg.min("v_milli", "min_v_milli"),
+        IncrementalAgg.max("v_milli", "max_v_milli"))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, Long)]
+      val rows = mem.toDS().toDF("day", "event_type", "v_milli")
+      val q = graft.streaming.RollupStream.start(rows, path, keys, ms,
+        "day", ckpt)
+      // bounded driver read: the % 17 slice is ~200 rows per batch at
+      // the sf0.01 gate, ~2k at sf0.1 — fixture feed, not a data path
+      def batch(i: Int): Seq[(String, String, Long)] =
+        e.where(col("user_id") % 3 === i)
+          .select("day", "event_type", "v_milli").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      try {
+        (0 to 2).foreach { i => mem.addData(batch(i)); q.processAllAvailable() }
+      } finally q.stop()
+      // crash-after-commit redelivery of micro-batch 1: the marker
+      // must skip it — double-counted sums fail the oracle hash
+      val replayApplied = graft.streaming.RollupStream.applyBatch(
+        e.where(col("user_id") % 3 === 1)
+          .select("day", "event_type", "v_milli"),
+        1L, path, keys, ms, "day")
+      require(!replayApplied, "replay guard must skip an applied batch")
+      s.read.parquet(path)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n_events"), col("sum_v_milli"), col("min_v_milli"),
+          col("max_v_milli"))
+        .orderBy("day", "event_type")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -967,6 +1024,17 @@ object PipelineQueries {
            CAST(MAX(v_milli) AS BIGINT) AS max_v_milli,
            CAST(round(CAST(SUM(v_milli) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_v_milli
+         FROM e GROUP BY day, event_type
+         ORDER BY day, event_type""",
+
+    "q189_rollup_stream_intake" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type, CAST(round(value * 1000.0) AS BIGINT) AS v_milli
+           FROM events WHERE event_id % 17 = 0)
+         SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_milli) AS BIGINT) AS sum_v_milli,
+           CAST(MIN(v_milli) AS BIGINT) AS min_v_milli,
+           CAST(MAX(v_milli) AS BIGINT) AS max_v_milli
          FROM e GROUP BY day, event_type
          ORDER BY day, event_type""",
 
