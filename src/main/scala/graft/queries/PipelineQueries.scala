@@ -415,6 +415,114 @@ object PipelineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // STREAMING SCD2, oracle-gated (round 12): the q155 dimension-
+    // history build maintained over a real MemoryStream change
+    // stream. The fold's cross-batch contract is per-key TIME
+    // monotonicity, so the slice splits into three time terciles
+    // (cutpoints from one bounded min/max read — equal timestamps
+    // land on one side of a strict threshold, so no key's history
+    // straddles a boundary out of order). After the stream stops,
+    // batch 1 is re-delivered through the BatchMarkers guard: without
+    // the marker skip the replay trips the fold's own late-data
+    // require (the open intervals it folded have advanced), wedging
+    // the query; with it the cumulative store equals the ONE-SHOT
+    // scd2 over the whole slice, which the oracle recomputes.
+    "q190_scd2_stream_intake" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("event_id") % 13 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      // bounded driver read: one min/max row for the tercile cuts
+      val mm = ev.agg(min("us"), max("us")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val store = java.nio.file.Files.createTempDirectory("graft_q190")
+        .resolve("scd2").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q190_ck")
+        .toString
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val rows = mem.toDS().toDF("user_id", "us", "event_id", "event_type")
+      val q = graft.streaming.Scd2Stream.start(rows, store, "user_id",
+        "us", "event_id", Seq("event_type"), ckpt, nBuckets = 16)
+      // bounded driver read: the % 13 slice is ~250 rows per tercile
+      // at the sf0.01 gate, ~2.5k at sf0.1 — fixture feed
+      def batch(a: Long, b: Long): Seq[(Long, Long, Long, String)] =
+        ev.where(col("us") >= a && col("us") < b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+      try {
+        Seq((lo, c1), (c1, c2), (c2, hi + 1L)).foreach { case (a, b) =>
+          mem.addData(batch(a, b)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val replayApplied = graft.streaming.BatchMarkers.applyOnce(s, store, 1L) {
+        graft.streaming.Scd2Stream.applyBatch(s, store,
+          ev.where(col("us") >= c1 && col("us") < c2), "user_id", "us",
+          "event_id", Seq("event_type"), nBuckets = 16)
+      }
+      require(!replayApplied, "replay guard must skip an applied batch")
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // STREAMING sub-document dedup, oracle-gated (round 12): the q90
+    // build maintained over a MemoryStream document stream — three
+    // ascending-doc_id batches (the monotone-ingest contract), with
+    // q90's truncated plants (+1M ids) arriving in the LAST batch so
+    // cross-batch suppression genuinely fires against the store.
+    // Batch 1 is then re-delivered through the BatchMarkers guard:
+    // the segment STORE tolerates a replay, but reassemble emits a
+    // per-doc totals row regardless of survivors, so an unguarded
+    // replay appends a spurious (doc_id, n_segs, 0, null) row per
+    // batch-1 document — duplicate doc_ids the one-shot oracle
+    // rejects (the gap this gate caught; the guard landed with it).
+    "q191_segment_dedup_stream" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+      val plants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr(s"concat_ws(' ', slice($tkSql, 1, greatest((size($tkSql) * 4) div 5, 1)))")
+            .as("text"))
+      // bounded driver read: one max-id row for the range cuts
+      val m = d.agg(max("doc_id")).head().getLong(0)
+      val store = java.nio.file.Files.createTempDirectory("graft_q191")
+        .resolve("store").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_q191_out")
+        .resolve("clean").toString
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val rows = mem.toDS().toDF("doc_id", "text")
+      val q = graft.streaming.SegmentDedupStream.start(rows, "doc_id",
+        "text", 10, store, out, java.nio.file.Files
+          .createTempDirectory("graft_q191_ck").toString)
+      // bounded driver read: the % 3 slice is ~170 docs/batch at the
+      // sf0.01 gate, ~1.7k at sf0.1 — fixture feed
+      def batch(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+        df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      try {
+        Seq(d.where(col("doc_id") <= m / 3),
+            d.where(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3),
+            d.where(col("doc_id") > 2 * m / 3).unionAll(plants))
+          .foreach { b => mem.addData(batch(b)); q.processAllAvailable() }
+      } finally q.stop()
+      val replayApplied = graft.streaming.BatchMarkers.applyOnce(s, out, 1L) {
+        graft.streaming.SegmentDedupStream.applyBatch(
+          d.where(col("doc_id") > m / 3 && col("doc_id") <= 2 * m / 3),
+          "doc_id", "text", 10, store, out)
+      }
+      require(!replayApplied, "replay guard must skip an applied batch")
+      s.read.parquet(out)
+        .select("doc_id", "n_segs", "n_kept", "clean_fp")
+        .orderBy("doc_id")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -1037,6 +1145,52 @@ object PipelineQueries {
            CAST(MAX(v_milli) AS BIGINT) AS max_v_milli
          FROM e GROUP BY day, event_type
          ORDER BY day, event_type""",
+
+    // q155's replay over the slice, with micros as the interval
+    // domain — the cumulative streamed store must equal the one-shot
+    // scd2 over everything ever folded
+    "q190_scd2_stream_intake" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events WHERE event_id % 13 = 0),
+         c AS (SELECT user_id, us, event_id, event_type,
+                 (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                   OR (lag(us) OVER w IS NULL) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         f AS (SELECT user_id, event_id, event_type, us AS valid_from,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to
+               FROM c WHERE chg)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM f ORDER BY user_id, valid_from, event_id""",
+
+    // q90's replay over the slice: the cumulative streamed output
+    // must equal the one-shot segment dedup — duplicate doc_ids from
+    // an unguarded replay fail the hash immediately
+    "q191_segment_dedup_stream" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(tk[1:greatest((len(tk)*4)//5, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                 FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)),
+         tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM corpus),
+         segs AS (SELECT doc_id, s AS seg_idx,
+                    array_to_string(tk[s*10+1:s*10+10], ' ') AS seg
+                  FROM tk, LATERAL (SELECT unnest(range(0, (len(tk)-1)//10 + 1)) AS s) r),
+         tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY 1),
+         kept AS (SELECT doc_id, seg_idx, seg FROM (
+                    SELECT doc_id, seg_idx, seg,
+                      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                    FROM segs) WHERE rn = 1),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_fp
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, t.n_segs, coalesce(a.n_kept, 0) AS n_kept, a.clean_fp
+         FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
 
     "q119_kll_quantiles" ->
       """WITH c AS (SELECT l_returnflag,

@@ -33,6 +33,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Store growth is one 32-byte fingerprint row per NEW segment —
   * at most the clean-corpus token volume / segTokens; compact it
   * periodically with [[graft.sources.PartitionedSink.compact]].
+  *
+  * Replay safety: the fold is NOT naturally idempotent — the segment
+  * STORE tolerates a replay (every fingerprint is already present, so
+  * the anti-join keeps nothing), but [[SegmentDedup.reassemble]]
+  * emits a per-doc totals row whether or not any segment survived, so
+  * a re-delivered batch appends a spurious `(doc_id, n_segs, 0,
+  * null)` row per document to `outPath` (caught by the q191 oracle
+  * gate; fixed round 12). Both attach points therefore run each
+  * identified micro-batch through [[BatchMarkers.applyOnce]] keyed on
+  * `outPath` — the [[RollupStream]]/[[Scd2Stream]] transactional-sink
+  * discipline, with the same documented rename-sized window.
   */
 object SegmentDedupStream {
 
@@ -41,9 +52,13 @@ object SegmentDedupStream {
             checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          applyBatch(batch, idCol, textCol, segTokens, storePath, outPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+            applyBatch(batch, idCol, textCol, segTokens, storePath, outPath)
+          }
+          ()
+        }
       }
       .start()
 
@@ -59,11 +74,17 @@ object SegmentDedupStream {
       .where(col("rn") === 1)
       .withColumn("seg_fp", md5(col("seg")))
 
+    // existence probed through the FS, not a read-and-catch: inside a
+    // streaming micro-batch session a missing path surfaces as
+    // FileNotFoundException (FileStreamSink metadata resolution), not
+    // the batch session's AnalysisException
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
     val seen: DataFrame =
-      try spark.read.parquet(storePath).select("seg_fp")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      if (storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(storeP))
+        spark.read.parquet(storePath).select("seg_fp")
+      else
         spark.emptyDataFrame.select(lit("").as("seg_fp")).where(lit(false))
-      }
 
     // snapshot the survivors BEFORE touching the store: the store
     // append below must not invalidate this plan's source
@@ -135,10 +156,14 @@ object SegmentDedupStream {
                    rotateDeltaRows: Long = 1000000L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          applyBatchSharded(batch, idCol, textCol, segTokens, storeRoot,
-            outPath, numShards, rotateDeltaRows)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+            applyBatchSharded(batch, idCol, textCol, segTokens, storeRoot,
+              outPath, numShards, rotateDeltaRows)
+          }
+          ()
+        }
       }
       .start()
 
@@ -172,12 +197,15 @@ object SegmentDedupStream {
       .where(col("rn") === 1)
       .withColumn("seg_fp", IncrementalDedup.fp60(col("seg")))
 
+    // FS existence probe, not read-and-catch (see applyBatch)
+    val fpsP = new org.apache.hadoop.fs.Path(fpsDir)
     val store: DataFrame =
-      try spark.read.parquet(fpsDir).select("seg_fp", "epoch")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      if (fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(fpsP))
+        spark.read.parquet(fpsDir).select("seg_fp", "epoch")
+      else
         spark.range(0).select(col("id").as("seg_fp"),
           col("id").cast("int").as("epoch")).where(lit(false))
-      }
 
     // family-covered history (partition-pruned read) vs the delta the
     // family has never seen

@@ -142,4 +142,31 @@ class StreamingSegmentDedupSpec extends SparkSpec {
     assert(got.orderBy("doc_id").collect().toSeq ==
       batch.orderBy("doc_id").collect().toSeq)
   }
+
+  test("redelivered micro-batch is skipped by the marker; unguarded replay shows why") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").where(col("doc_id") < 100)
+    val b1 = docs.where(col("doc_id") < 50)
+    val b2 = docs.where(col("doc_id") >= 50)
+    val base = java.nio.file.Files.createTempDirectory("graft_segreplay").toString
+    val (store, out) = (s"$base/store", s"$base/out")
+    def applyGuarded(b: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      graft.streaming.BatchMarkers.applyOnce(spark, out, id) {
+        SegmentDedupStream.applyBatch(b, "doc_id", "text", 10, store, out)
+      }
+    assert(applyGuarded(b1, 0L) && applyGuarded(b2, 1L))
+    val once = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    // crash-after-commit redelivery: the marker must skip batch 1
+    assert(!applyGuarded(b2, 1L))
+    assert(spark.read.parquet(out).orderBy("doc_id").collect().toSeq == once,
+      "guarded replay must leave the sink untouched")
+    // the counterfactual the guard exists for: an UNGUARDED replay
+    // appends a spurious (doc_id, n_segs, 0, null) row per document
+    // (reassemble emits totals whether or not any segment survived)
+    SegmentDedupStream.applyBatch(b2, "doc_id", "text", 10, store, out)
+    val dup = spark.read.parquet(out)
+    assert(dup.count() == once.size + b2.count())
+    assert(dup.groupBy("doc_id").count().where(col("count") > 1).count() ==
+      b2.count())
+  }
 }
