@@ -1599,9 +1599,15 @@ object BenchScale {
       var pmvR: org.apache.spark.sql.DataFrame = null
       var qR: org.apache.spark.sql.DataFrame = null
       var gtR: org.apache.spark.sql.DataFrame = null
-      val gtRow = timeOnce("maxsim_exact_gt_topk10") {
+      // fixture generation + checkpoints priced in their OWN setup
+      // row (the maxsim_append_batches_setup discipline) so the GT
+      // row prices exactly the exact-scoring pass
+      val fixtureRow = timeOnce("maxsim_recall_fixture_setup") {
         pmvR = plantedC.localCheckpoint(true)
         qR = plantedQ.localCheckpoint(true)
+        ()
+      }
+      val gtRow = timeOnce("maxsim_exact_gt_topk10") {
         gtR = graft.ops.MaxSim.scoreExact(pmvR, qR, k = 10)
           .localCheckpoint(true)
         require(gtR.count() > 0)
@@ -1640,9 +1646,12 @@ object BenchScale {
         var mvS: org.apache.spark.sql.DataFrame = null
         var qS: org.apache.spark.sql.DataFrame = null
         var gtS: org.apache.spark.sql.DataFrame = null
-        val gtSRow = timeOnce("maxsim_exact_gt_m2_topk10") {
+        val fixtureSRow = timeOnce("maxsim_recall_m2_fixture_setup") {
           mvS = plantedCS.localCheckpoint(true)
           qS = plantedQS.localCheckpoint(true)
+          ()
+        }
+        val gtSRow = timeOnce("maxsim_exact_gt_m2_topk10") {
           gtS = graft.ops.MaxSim.scoreExact(mvS, qS, k = 10)
             .localCheckpoint(true)
           require(gtS.count() > 0)
@@ -1653,7 +1662,7 @@ object BenchScale {
                 nPlanes = nPlanes, dims = 64, multiProbe = multiProbe),
               gtS, "q_doc", "doc_id", k = 10)
             .agg(avg(col("recall_milli"))).head().getDouble(0)
-        Seq(gtSRow,
+        Seq(fixtureSRow, gtSRow,
           valueRow("maxsim_recall_milli_m2_p8") { recallS(8, 0) },
           valueRow("maxsim_recall_milli_m2_p16") { recallS(16, 0) },
           valueRow("maxsim_recall_milli_m2_p16_mp2") { recallS(16, 2) },
@@ -1713,7 +1722,7 @@ object BenchScale {
           require(graft.ops.MaxSim.searchIndex(spark, live, qR, k = 10,
             nPlanes = 8, dims = 64).collect().nonEmpty)
         })
-      (gtRow +: sweep) ++ msChain
+      (fixtureRow +: gtRow +: sweep) ++ msChain
     } ++ Seq(
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one

@@ -52,6 +52,13 @@ object AnnEval {
   def plantedTokenBags(spark: SparkSession, dims: Int, nBgDocs: Long, m: Int,
                        nQueries: Int, nPlanted: Int): (DataFrame, DataFrame) = {
     require(nQueries * nPlanted < 999900, "planted ids must stay below bg ids")
+    // query doc_ids are 0..nQueries-1 and planted doc_ids start at
+    // 100: past 100 queries they would collide and the scorer's
+    // doc_id =!= q_doc self-exclusion would silently DROP planted
+    // docs from their own query's candidates, corrupting ground truth
+    require(nQueries <= 100, "query doc_ids must stay below planted base 100")
+    require(nBgDocs * m < 1000000000L,
+      "bg vec_ids (4e9 + id) must stay below the query vec_id range at 5e9")
     // uniform grid point in [-1, 1] from a salted hash of (key, dim)
     def unit(salt: String, key: String): String =
       s"(pmod(xxhash64('$salt', $key, i), 2001) - 1000) / 1000.0"

@@ -24,37 +24,52 @@ object VectorQueries {
     * compares sessions by identity since SparkSession doesn't override
     * equals) — never on identityHashCode, which is not unique and could
     * hand one session a frame bound to another. Sessions are held via a
-    * WeakHashMap so a closed/collected session releases its cached
-    * graph (and the checkpointed blocks it pins) instead of living for
-    * the JVM lifetime.
+    * WeakHashMap whose VALUE is a SoftReference to the per-session
+    * map: a cached Dataset strongly references its own SparkSession,
+    * so holding the map directly would root the weak key through the
+    * value (the documented WeakHashMap pitfall) and the entry could
+    * never be reclaimed. Behind the soft reference the session is only
+    * softly reachable once the caller drops it — the GC clears the
+    * soft ref under memory pressure (cache loss is benign: the graph
+    * rebuilds), which unroots the weak key and releases the
+    * checkpointed blocks.
+    *
+    * Locking: the global monitor only resolves the per-session map;
+    * the multi-second NN-Descent build runs under that map's own
+    * monitor, so concurrent sessions never serialize behind one
+    * another's builds (same-session same-params callers do share one
+    * build, which is the point of the cache).
     *
     * ASSUMPTION: the embeddings table under `dir` is immutable for the
     * lifetime of the session — the gate's testdata is driver-written
     * once. If a caller regenerates data under the same path it must use
     * a fresh session (or a fresh dir) to avoid stale edges.
     */
+  private type GraphKey = (String, Int, Int, Int)
+  private type GraphMap =
+    scala.collection.mutable.Map[GraphKey, org.apache.spark.sql.DataFrame]
   private val graphCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Int, Int, Int),
-        org.apache.spark.sql.DataFrame]]()
+      java.lang.ref.SoftReference[GraphMap]]()
   private def cachedGraph(s: org.apache.spark.sql.SparkSession, dir: String,
                           k: Int, initBuckets: Int,
-                          iterations: Int): org.apache.spark.sql.DataFrame =
-    graphCache.synchronized {
-      val perSession = {
-        val m = graphCache.get(s)
-        if (m != null) m
-        else {
-          val fresh = scala.collection.mutable.Map
-            .empty[(String, Int, Int, Int), org.apache.spark.sql.DataFrame]
-          graphCache.put(s, fresh)
-          fresh
-        }
+                          iterations: Int): org.apache.spark.sql.DataFrame = {
+    val perSession: GraphMap = graphCache.synchronized {
+      val ref = graphCache.get(s)
+      val live = if (ref != null) ref.get() else null
+      if (live != null) live
+      else {
+        val fresh: GraphMap = scala.collection.mutable.Map.empty
+        graphCache.put(s, new java.lang.ref.SoftReference(fresh))
+        fresh
       }
+    }
+    perSession.synchronized {
       perSession.getOrElseUpdate((dir, k, initBuckets, iterations),
         graft.ops.GraphAnn.buildGraph(t(s, dir, "embeddings"), "vec_id",
           k, initBuckets, iterations))
     }
+  }
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-k: broadcast 5 query vectors over the corpus
