@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's GCLocker retry default (2) spuriously OOMs humongous
+  // allocations (the XL bloom's ~128 MB bitset arrays) while parquet/
+  // snappy JNI critical sections hold the GC lock — "Retried waiting
+  // for GCLocker too often" with gigabytes of heap free, observed
+  // intermittently in the x20 scale bench on JDK 17
+  "-XX:GCLockerRetryAllocationCount=32",
 )
