@@ -32,5 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // snappy JNI critical sections hold the GC lock — "Retried waiting
   // for GCLocker too often" with gigabytes of heap free, observed
   // intermittently in the x20 scale bench on JDK 17
-  "-XX:GCLockerRetryAllocationCount=32",
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=32",
 )
