@@ -480,7 +480,11 @@ object BenchScale {
       var fIvf: graft.ops.Ivf.Model = null
       var fPq: graft.ops.IvfPq.Model = null
       val fitT = timeOnce("frontier_fit_models") {
-        val sample = fcorpus.sample(withReplacement = false, 0.02, seed = 7L)
+        // content-addressed 2% sample (NOT sample(seed): the seeded
+        // sampler is only deterministic for a fixed partition layout,
+        // so recall rows drifted run-to-run; hashing the id makes the
+        // fit — and every recall row downstream — bit-stable)
+        val sample = fcorpus.where(pmod(xxhash64(col("vec_id")), lit(50)) === 0)
         fIvf = graft.ops.Ivf.fit(sample, "vec_id", nLists = 64,
           iterations = 2)
         fPq = graft.ops.IvfPq.fit(sample, "vec_id", nLists = 64, m = 8,
@@ -533,8 +537,8 @@ object BenchScale {
       val pqResPoints = {
         var fPqRes: graft.ops.IvfPq.Model = null
         val fitRes = timeOnce("frontier_fit_ivfpq_residual") {
-          val sample = fcorpus.sample(withReplacement = false, 0.02,
-            seed = 7L)
+          val sample = // content-addressed, same 2% slice as the main fit
+            fcorpus.where(pmod(xxhash64(col("vec_id")), lit(50)) === 0)
           fPqRes = graft.ops.IvfPq.fit(sample, "vec_id", nLists = 64,
             m = 8, k = 32, oversample = 4, residual = true)
         }
@@ -695,8 +699,8 @@ object BenchScale {
         val nSub = sub.count()
         var sIvf: graft.ops.Ivf.Model = null
         val sFitT = timeOnce("sweep16_ivf_fit") {
-          sIvf = graft.ops.Ivf.fit(
-            sub.sample(withReplacement = false, 0.1, seed = 7L),
+          sIvf = graft.ops.Ivf.fit( // content-addressed 10% (run-stable)
+            sub.where(pmod(xxhash64(col("vec_id"), lit(9L)), lit(10)) === 0),
             "vec_id", nLists = 64, iterations = 2)
         }
         val sIvfIdx = s"$tmp/ivf_idx_sweep16"

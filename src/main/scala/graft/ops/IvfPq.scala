@@ -39,17 +39,19 @@ import org.apache.spark.sql.types.LongType
   * `ei - centroid(cell)`, the textbook deployment, spending codebook
   * entries on within-cell structure instead of re-describing cell
   * positions — ships behind `Model.residual`. MEASURED
-  * (BENCH_SCALE_r12 `frontier_ivfpq_res_*`): on the 2.56M x 64-dim
-  * clustered frontier corpus the residual form is WORSE than raw
-  * codes at every operating point (recall@10 0.141 vs 0.347 at
-  * np4/rf256, 0.050 vs 0.194 at np16/rf64) — with 64 impure cells
-  * over tightly clustered data, per-cell centroid subtraction smears
-  * the few tight per-subspace modes that raw PQ quantizes well, so
-  * the textbook win does not transfer to this geometry. Neither form
-  * approaches flat [[Ivf]] (0.888 at a 2.5 s probe vs PQ's best
-  * 0.347 at 7.5 s): IVF-PQ's tier is the memory-constrained one —
-  * its codes-only index measures 18.2 MB vs 382.8 MB of full
-  * vectors (21x) — not a latency/recall win at this dimensionality.
+  * (BENCH_SCALE_r12 `frontier_ivfpq_res_*`, content-addressed fits —
+  * run-stable): on the 2.56M x 64-dim clustered frontier corpus the
+  * residual form tracks raw codes at low refine (recall@10 0.097 vs
+  * 0.094 at np4/rf64) and falls BEHIND as the exact re-rank deepens
+  * (0.125 vs 0.200 at np4/rf256; 0.088 vs 0.134 at np16/rf64) —
+  * with 64 impure cells over tightly clustered data, per-cell
+  * centroid subtraction smears the per-subspace modes that raw PQ
+  * quantizes well, so the textbook residual win does not transfer to
+  * this geometry. Neither form approaches flat [[Ivf]] (0.919 at a
+  * 3.1 s probe vs PQ's best 0.200 at ~10 s): IVF-PQ's tier is the
+  * memory-constrained one — its codes-only index measures 18.2 MB vs
+  * 382.8 MB of full vectors (21x) — not a latency/recall win at this
+  * dimensionality.
   * The flag lives IN the model so an index can never
   * be probed under the wrong interpretation, codes become a function
   * of BOTH levels (any coarse refit invalidates them — [[maintain]]

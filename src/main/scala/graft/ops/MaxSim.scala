@@ -140,9 +140,12 @@ object MaxSim {
     * p16+mp4 → 0.375. Sparse bags (m=2, 1.28M docs) starve the
     * doc-level OR exactly as predicted: p8 reads 0.375 (vs 0.850
     * dense), p16 collapses to 0.031, and mp2/mp4 pull it back to
-    * 0.100/0.125. DEFAULT nPlanes = 8: the only measured point with
-    * recall ≥ 0.85 on dense bags, at a 5.6 s probe vs 12.7 s exact
-    * (`maxsim_lsh_2m_toks` / `maxsim_exact_2m_toks`); past p8, add
+    * 0.100/0.125. The recall rows are bit-identical across
+    * independent runs (deterministic hash-grid fixture). DEFAULT
+    * nPlanes = 8: the only measured point with recall ≥ 0.85 on
+    * dense bags, at a ~2.5x-cheaper probe than exact
+    * (`maxsim_lsh_2m_toks` 7.4 s vs `maxsim_exact_2m_toks` 18.5 s in
+    * the r12 artifact); past p8, add
     * multi-probe rather than planes if the bucket fan-in (not
     * recall) is the bottleneck. Re-measure via the recall rows after
     * changing either knob — the planted-angular fixture fails loudly
