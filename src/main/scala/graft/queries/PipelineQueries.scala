@@ -431,8 +431,12 @@ object PipelineQueries {
       val ev = events(s, dir).where(col("event_id") % 13 === 0)
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
-      // bounded driver read: one min/max row for the tercile cuts
+      // bounded driver read: one min/max row for the tercile cuts.
+      // Guarded: an empty slice would NPE getLong — fail with a
+      // message instead (the gate needs data in every tercile to be
+      // exercising the fold at all)
       val mm = ev.agg(min("us"), max("us")).head()
+      require(!mm.isNullAt(0), "q190: the event_id % 13 slice is empty")
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
       val store = java.nio.file.Files.createTempDirectory("graft_q190")
@@ -455,7 +459,12 @@ object PipelineQueries {
             r.getString(3))).toSeq
       try {
         Seq((lo, c1), (c1, c2), (c2, hi + 1L)).foreach { case (a, b) =>
-          mem.addData(batch(a, b)); q.processAllAvailable()
+          val rows = batch(a, b)
+          // non-empty terciles keep the replayed batch id meaningful
+          // (empty batches ARE marked uniformly since round 13, but a
+          // gate replaying an empty batch would be asserting nothing)
+          require(rows.nonEmpty, s"q190: empty tercile [$a,$b)")
+          mem.addData(rows); q.processAllAvailable()
         }
       } finally q.stop()
       val replayApplied = graft.streaming.BatchMarkers.applyOnce(s, store, 1L) {
@@ -464,6 +473,11 @@ object PipelineQueries {
           "event_id", Seq("event_type"), nBuckets = 16)
       }
       require(!replayApplied, "replay guard must skip an applied batch")
+      // the feed is time-monotone by construction, so the round-13
+      // late-data quarantine must have dead-lettered nothing
+      val lateP = new org.apache.hadoop.fs.Path(s"$store/_latedata")
+      require(!lateP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(lateP), "q190: monotone feed must not quarantine rows")
       s.read.parquet(store)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("valid_from"), col("valid_to"), col("is_current"))

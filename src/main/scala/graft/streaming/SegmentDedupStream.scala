@@ -53,12 +53,13 @@ object SegmentDedupStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+        // empty check INSIDE the marker fold: every delivered id is
+        // marked (BatchMarkers marking discipline)
+        BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+          if (!batch.isEmpty)
             applyBatch(batch, idCol, textCol, segTokens, storePath, outPath)
-          }
-          ()
         }
+        ()
       }
       .start()
 
@@ -74,14 +75,15 @@ object SegmentDedupStream {
       .where(col("rn") === 1)
       .withColumn("seg_fp", md5(col("seg")))
 
-    // existence probed through the FS, not a read-and-catch: inside a
+    // data probed through the FS, not a read-and-catch: inside a
     // streaming micro-batch session a missing path surfaces as
     // FileNotFoundException (FileStreamSink metadata resolution), not
-    // the batch session's AnalysisException
-    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    // the batch session's AnalysisException. hasData, not bare
+    // exists: a dir holding only _temporary debris from a crashed
+    // first append EXISTS but throws on read — and would wedge every
+    // retry (the empty-store fallback must cover that state too)
     val seen: DataFrame =
-      if (storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(storeP))
+      if (BatchMarkers.hasData(spark, storePath))
         spark.read.parquet(storePath).select("seg_fp")
       else
         spark.emptyDataFrame.select(lit("").as("seg_fp")).where(lit(false))
@@ -157,13 +159,13 @@ object SegmentDedupStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+        // empty check INSIDE the marker fold (see start)
+        BatchMarkers.applyOnce(batch.sparkSession, outPath, id) {
+          if (!batch.isEmpty)
             applyBatchSharded(batch, idCol, textCol, segTokens, storeRoot,
               outPath, numShards, rotateDeltaRows)
-          }
-          ()
         }
+        ()
       }
       .start()
 
@@ -197,11 +199,9 @@ object SegmentDedupStream {
       .where(col("rn") === 1)
       .withColumn("seg_fp", IncrementalDedup.fp60(col("seg")))
 
-    // FS existence probe, not read-and-catch (see applyBatch)
-    val fpsP = new org.apache.hadoop.fs.Path(fpsDir)
+    // FS data probe, not read-and-catch or bare exists (see applyBatch)
     val store: DataFrame =
-      if (fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(fpsP))
+      if (BatchMarkers.hasData(spark, fpsDir))
         spark.read.parquet(fpsDir).select("seg_fp", "epoch")
       else
         spark.range(0).select(col("id").as("seg_fp"),

@@ -43,16 +43,60 @@ class Scd2StreamSpec extends SparkSpec {
     assert(got.count(r => r._1 == 2L && r._2 == "X") == 1)
   }
 
-  test("a batch older than a key's open interval fails loudly") {
+  test("a row older than a key's open interval quarantines; the fold proceeds") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_late").toString
     val store = s"$tmp/dim"
     Scd2Stream.applyBatch(spark, store,
-      ev(Seq((1L, 100L, 1L, "A"))), "user_id", "ts", "event_id", Seq("state"))
-    val e = intercept[IllegalArgumentException] {
-      Scd2Stream.applyBatch(spark, store,
-        ev(Seq((1L, 50L, 2L, "B"))), "user_id", "ts", "event_id", Seq("state"))
+      ev(Seq((1L, 100L, 1L, "A"), (2L, 100L, 2L, "X"))),
+      "user_id", "ts", "event_id", Seq("state"))
+    // batch 7 mixes one late row (user 1 at t=50 < open 100), one
+    // on-time flip for user 2, and one brand-new key
+    Scd2Stream.applyBatch(spark, store,
+      ev(Seq((1L, 50L, 3L, "B"), (2L, 120L, 4L, "Y"), (3L, 5L, 5L, "P"))),
+      "user_id", "ts", "event_id", Seq("state"), batchId = 7L)
+    // on-time rows folded; the late key's history is untouched
+    val got = intervals(spark.read.parquet(store))
+    assert(got == intervals(ChangeCapture.scd2(
+      ev(Seq((1L, 100L, 1L, "A"), (2L, 100L, 2L, "X"),
+        (2L, 120L, 4L, "Y"), (3L, 5L, 5L, "P"))),
+      "user_id", "ts", "event_id", Seq("state"))))
+    // the late row dead-lettered with its batch id, invisible to
+    // readers of the store itself (underscore-prefixed dir)
+    val q = spark.read.parquet(s"$store/_latedata")
+      .select("user_id", "event_id", "state", "batch_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(q == Seq((1L, 3L, "B", 7L)))
+  }
+
+  test("an all-late batch leaves the store untouched; the stream stays alive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_alllate").toString
+    val store = s"$tmp/dim"
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staged = s"$tmp/stage_$name"
+      ev(rows).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(inDir, s"$name.parquet").toPath)
     }
-    assert(e.getMessage.contains("late data"))
+    stage("b1", Seq((1L, 100L, 1L, "A")))
+    stage("b2", Seq((1L, 50L, 2L, "B"))) // entirely late
+    stage("b3", Seq((1L, 200L, 3L, "C"))) // must still fold
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("state", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Scd2Stream.start(stream, store, "user_id", "ts", "event_id",
+      Seq("state"), s"$tmp/ckpt", nBuckets = 4)
+    // the late batch must not wedge the query: all three process
+    try q.processAllAvailable() finally q.stop()
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(
+        ev(Seq((1L, 100L, 1L, "A"), (1L, 200L, 3L, "C"))),
+        "user_id", "ts", "event_id", Seq("state"))))
+    assert(spark.read.parquet(s"$store/_latedata").count() == 1L)
   }
 
   test("untouched buckets are not read: the fold is partition-pruned") {
