@@ -51,9 +51,9 @@ object VectorQueries {
   private val graphCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.lang.ref.SoftReference[GraphMap]]()
-  private def cachedGraph(s: org.apache.spark.sql.SparkSession, dir: String,
-                          k: Int, initBuckets: Int,
-                          iterations: Int): org.apache.spark.sql.DataFrame = {
+  private[graft] def cachedGraph(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, k: Int, initBuckets: Int,
+                                 iterations: Int): org.apache.spark.sql.DataFrame = {
     val perSession: GraphMap = graphCache.synchronized {
       val ref = graphCache.get(s)
       val live = if (ref != null) ref.get() else null
@@ -70,6 +70,17 @@ object VectorQueries {
           k, initBuckets, iterations))
     }
   }
+
+  /** Test seam (GraphCacheSpec): clears the session's SoftReference —
+    * exactly what the GC does under memory pressure — so the
+    * "cache loss is benign, the graph rebuilds" claim is exercisable
+    * without forcing a collection.
+    */
+  private[graft] def evictGraphCache(s: org.apache.spark.sql.SparkSession): Unit =
+    graphCache.synchronized {
+      val ref = graphCache.get(s)
+      if (ref != null) ref.clear()
+    }
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-k: broadcast 5 query vectors over the corpus
