@@ -1572,11 +1572,64 @@ object BenchScale {
           nPlanes = 8, dims = 64)
       }
       val files2 = idxFiles()
+      // ---- Buffered staging (round 13): the floor actually CUT ----
+      // The rows above price the unbuffered floor (~5 s / ~320 files
+      // per append at ANY batch size). These prove the staged path
+      // moved that bill: a sub-threshold appendIndexBuffered lands as
+      // ONE coalesced staging parquet file, the probe unions staging
+      // (maxsim_staged_probe prices the union against
+      // maxsim_index_probe), and the ~320-file two-partitioned-write
+      // bill is paid ONCE at the explicit fold (maxsim_staging_fold),
+      // not once per append. Done-bar: staged_append_01pct materially
+      // below index_append_{01,1,10}pct.
+      var s01: DataFrame = null
+      var s1: DataFrame = null
+      val stagedSetup = timeOnce("maxsim_staged_batches_setup") {
+        def slice(mod: Int, offset: Long): DataFrame =
+          graft.ops.MaxSim.multiVector(
+            embBig.where(pmod(xxhash64(col("vec_id")), lit(mod)) === 7)
+              .select((col("vec_id") + offset).as("vec_id"),
+                col("embedding"), col("label")),
+            "vec_id", 8).localCheckpoint(true)
+        s01 = slice(1000, 250000000L)
+        s1 = slice(100, 260000000L)
+        require(s01.count() > 0 && s1.count() > 0)
+      }
+      val files3 = idxFiles()
+      val sa01 = timeOnce("maxsim_staged_append_01pct") {
+        // require(!folded): the row prices a sub-threshold append
+        require(!graft.ops.MaxSim.appendIndexBuffered(s01,
+          s"$tmp/maxsim_idx", nPlanes = 8, dims = 64))
+      }
+      val files4 = idxFiles()
+      val sa1 = timeOnce("maxsim_staged_append_1pct") {
+        require(!graft.ops.MaxSim.appendIndexBuffered(s1,
+          s"$tmp/maxsim_idx", nPlanes = 8, dims = 64))
+      }
+      val files5 = idxFiles()
+      val sProbe = time("maxsim_staged_probe") {
+        val mv = graft.ops.MaxSim.multiVector(embBig, "vec_id", 8)
+        require(graft.ops.MaxSim.searchIndex(spark, s"$tmp/maxsim_idx",
+            mv.where(col("doc_id") < 4), k = 10, nPlanes = 8, dims = 64)
+          .collect().length > 0)
+      }
+      val sFold = timeOnce("maxsim_staging_fold") {
+        graft.ops.MaxSim.foldStaging(spark, s"$tmp/maxsim_idx")
+      }
+      val files6 = idxFiles()
       Seq(batchSetup,
         valueRow("maxsim_append_files_01pct") { files1 - files0 },
         a01,
         valueRow("maxsim_append_files_10pct") { files2 - files1 },
-        a10)
+        a10,
+        stagedSetup,
+        valueRow("maxsim_staged_append_files_01pct") { files4 - files3 },
+        sa01,
+        valueRow("maxsim_staged_append_files_1pct") { files5 - files4 },
+        sa1,
+        sProbe,
+        sFold,
+        valueRow("maxsim_staging_fold_files") { files6 - files5 })
     } ++ {
       // ---- MaxSim pruned-path recall + append-chain (round 12) ----
       // The production shortlist's QUALITY vs the exact path — the
@@ -1667,7 +1720,14 @@ object BenchScale {
               gtS, "q_doc", "doc_id", k = 10)
             .agg(avg(col("recall_milli"))).head().getDouble(0)
         Seq(fixtureSRow, gtSRow,
+          // round 13: the p8 (default-planes) multi-probe column and
+          // the p4 floor — the r12 rows left sparse bags with mp
+          // rescue measured only at p16, so a short-doc user had no
+          // adjudicated setting at the default operating point
+          valueRow("maxsim_recall_milli_m2_p4") { recallS(4, 0) },
           valueRow("maxsim_recall_milli_m2_p8") { recallS(8, 0) },
+          valueRow("maxsim_recall_milli_m2_p8_mp2") { recallS(8, 2) },
+          valueRow("maxsim_recall_milli_m2_p8_mp4") { recallS(8, 4) },
           valueRow("maxsim_recall_milli_m2_p16") { recallS(16, 0) },
           valueRow("maxsim_recall_milli_m2_p16_mp2") { recallS(16, 2) },
           valueRow("maxsim_recall_milli_m2_p16_mp4") { recallS(16, 4) })

@@ -256,6 +256,23 @@ object Generations {
     }
   }
 
+  /** True iff `path` holds at least one non-hidden entry — i.e. a
+    * parquet store that can actually be read. A bare `fs.exists` is
+    * the wrong probe for any incrementally-written store: `_applied`
+    * batch markers, a `_SUCCESS` flag, or `_temporary` debris from a
+    * crashed first append all make the dir EXIST while
+    * `spark.read.parquet` on it throws. The canonical probe —
+    * [[graft.streaming.BatchMarkers.hasData]] delegates here.
+    */
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(p, spark)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Delete generations no pointer can reach, keeping the `keep`
     * newest — a keep window of 2 means one full generation of grace
     * for in-flight readers that resolved just before a flip. The live

@@ -257,6 +257,134 @@ object MaxSim {
     ()
   }
 
+  // ---------------------------------------------------------------
+  // Buffered staging — cutting the append FLOOR. The r12 scale bench
+  // priced the O(batch) append at ~5 s and ~320 files PER APPEND
+  // regardless of batch size (maxsim_append_files_01pct = 319,
+  // maxsim_index_append_{01,1,10}pct = 4.9/5.7/5.8 s): two
+  // partitioned writes touch nearly every bucket/dbucket partition
+  // even for a 0.1% batch, so at streaming cadence the fixed
+  // per-partition file cost IS the bill (12 appends = 60 s). A
+  // sub-threshold append therefore lands as ONE coalesced file in a
+  // staging area instead; probes union the (bounded) staging rows
+  // with the partitioned layout; and once staging passes a byte
+  // threshold it folds into the bucket partitions in one shot —
+  // paying the ~320-file bill once per FOLD, not once per append.
+  //
+  // Staging is itself a [[Generations]] root (`path/staging/`): the
+  // fold appends the live staging generation's rows to the
+  // partitioned layout and then pointer-flips to a FRESH EMPTY
+  // staging generation — never deleting files a concurrent probe may
+  // have planned against (superseded staged files get one fold cycle
+  // of reader grace via the prune keep-window). A probe that catches
+  // the fold mid-flight reads a doc's tokens from BOTH staging and
+  // the partitions; that is score-identical, not just benign: the
+  // re-rank's per-(query-token, doc) MAX is idempotent under
+  // duplicate token rows and the candidate set is distinct'd, so
+  // duplicated inputs change no output bit (the same argument that
+  // makes a crash between fold-append and flip safe — the next fold
+  // re-appends, and [[compactVersioned]] dedups toks on token
+  // identity). Readers never see a torn index at any point.
+  // ---------------------------------------------------------------
+
+  private def stagingRoot(path: String): String = s"$path/staging"
+
+  /** The live staging generation's rows, if staging exists and holds
+    * any — pre-quantized token rows carrying their bucket/dbucket
+    * keys, so probes and folds never re-quantize.
+    */
+  private def stagedRows(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[DataFrame] = {
+    val root = stagingRoot(path)
+    Generations.current(spark, root)
+      .map(_ => Generations.livePath(spark, root))
+      .filter(Generations.hasData(spark, _))
+      .map(spark.read.parquet(_))
+  }
+
+  /** Buffered O(1)-file append: the batch lands as one coalesced file
+    * in the live staging generation (created on first use), then
+    * staging folds into the bucket partitions iff its on-disk size
+    * passed `foldBytes`. Probes see staged docs immediately
+    * ([[searchIndex]] unions staging), so the index contract is
+    * unchanged — only the file bill moves from per-append to
+    * per-fold. Returns true iff this append triggered a fold.
+    *
+    * The size probe is one driver-side directory listing (no job);
+    * staging is bounded by `foldBytes` + one batch, so the probe-side
+    * union stays small by construction.
+    */
+  def appendIndexBuffered(batchToks: DataFrame, path: String, nPlanes: Int,
+                          dims: Int, dBuckets: Int = 64,
+                          foldBytes: Long = 64L << 20): Boolean = {
+    require(nPlanes >= 1 && nPlanes <= 31,
+      s"nPlanes in [1,31] for int partition keys (got $nPlanes)")
+    val spark = batchToks.sparkSession
+    val root = stagingRoot(path)
+    val live = Generations.current(spark, root) match {
+      case Some(_) => Generations.livePath(spark, root)
+      case None =>
+        val gen = Generations.nextPath(spark, root)
+        val p = new org.apache.hadoop.fs.Path(gen)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        Generations.publish(spark, root, gen)
+        gen
+    }
+    // aid identifies THIS append: maintain's duplicate-postings probe
+    // distincts (bucket, doc_id) within an append (two tokens of one
+    // doc sharing a bucket is legit — unbuffered appendIndex would
+    // have distinct'd it) while replays of the same doc under a
+    // different aid still count as the duplicates they are
+    val aid = java.util.UUID.randomUUID().toString
+    quantized(batchToks)
+      .withColumn("bucket", bucketCol(nPlanes, dims).cast("int"))
+      .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
+      .withColumn("aid", lit(aid))
+      .coalesce(1)
+      .write.mode("append").parquet(live)
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(liveP)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    if (bytes >= foldBytes) { foldStaging(spark, path); true } else false
+  }
+
+  /** Fold the live staging generation into the bucket partitions and
+    * flip to a fresh empty staging generation. Crash anywhere in the
+    * sequence is benign: a crash after either append re-folds the
+    * same rows next time (duplicates are score-identical, see above,
+    * and [[compactVersioned]] removes them); the flip itself is the
+    * [[Generations]] pointer commit. No-op if staging is absent or
+    * empty.
+    */
+  def foldStaging(spark: org.apache.spark.sql.SparkSession,
+                  path: String, keep: Int = 2): Unit = {
+    val root = stagingRoot(path)
+    if (Generations.current(spark, root).isEmpty) return
+    stagedRows(spark, path).foreach { staged =>
+      val s = staged.persist()
+      s.select("bucket", "doc_id").distinct()
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      // dedup on token identity: a replayed buffered append (or the
+      // re-fold after a crash mid-fold) staged the same rows twice;
+      // they are score-identical in staging but would bloat toks
+      s.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+        .dropDuplicates("doc_id", "tok", "vec_id")
+        .repartition(col("dbucket"))
+        .write.mode("append").partitionBy("dbucket").parquet(s"$path/toks")
+      s.unpersist()
+      ()
+    }
+    val next = Generations.nextPath(spark, root)
+    val p = new org.apache.hadoop.fs.Path(next)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    Generations.publish(spark, root, next)
+    Generations.prune(spark, root, keep)
+  }
+
   /** Probe a stored index: (1) the query tokens' distinct buckets
     * (bounded driver read #1, <= distinct query-token buckets) prune
     * the postings read to exactly those partitions -> candidate docs;
@@ -267,28 +395,46 @@ object MaxSim {
     * time — `ei`/`nn` come off the index. `multiProbe` expands the
     * query bucket list exactly as [[scoreLshPruned]]'s does (the
     * stored postings layout is untouched — multi-probe only reads
-    * more partitions).
+    * more partitions). Staged-but-unfolded rows
+    * ([[appendIndexBuffered]]) join both the shortlist and the
+    * re-rank — a buffered doc is retrievable the moment its append
+    * returns, and a doc visible in BOTH staging and the partitions
+    * (the fold's grace window) scores identically (MAX-idempotent
+    * re-rank over a distinct'd candidate set).
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryToks: DataFrame, k: Int, nPlanes: Int, dims: Int,
                   dBuckets: Int = 64, multiProbe: Int = 0): DataFrame = {
     val qQ = quantized(queryToks).persist()
+    val staged = stagedRows(spark, path).map(_.persist())
     val qBuckets = qQ
       .select(explode(probeBucketsCol(nPlanes, dims, multiProbe)).as("bl"))
       .select(col("bl").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
-    val candDocs = spark.read.parquet(s"$path/postings")
+    val candMain = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
-      .select("doc_id").distinct()
+      .select("doc_id")
+    val candDocs = staged
+      .map(st => candMain.unionByName(
+        st.where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
+          .select("doc_id")))
+      .getOrElse(candMain)
+      .distinct()
     val candDb = candDocs
       .select(dbucketCol(col("doc_id"), dBuckets).as("db"))
       .distinct().collect().map(_.getInt(0))
-    val corpusQ = spark.read.parquet(s"$path/toks")
+    val corpusMain = spark.read.parquet(s"$path/toks")
       .where(col("dbucket").isin(candDb.map(Integer.valueOf): _*))
       .join(candDocs, "doc_id")
       .select("doc_id", "tok", "vec_id", "ei", "nn")
+    val corpusQ = staged
+      .map(st => corpusMain.unionByName(
+        st.join(candDocs, "doc_id")
+          .select("doc_id", "tok", "vec_id", "ei", "nn")))
+      .getOrElse(corpusMain)
     val out = rerank(corpusQ, qQ, k)
     qQ.unpersist()
+    staged.foreach(_.unpersist())
     out
   }
 
@@ -320,17 +466,29 @@ object MaxSim {
     * The cap is maintenance-only (OFF in [[writeIndex]]) because the
     * capped shortlist deliberately diverges from [[scoreLshPruned]]'s
     * uncapped contract — production recall/cost tradeoff, not the
-    * oracle path. `toks` is rewritten as-is (file compaction after
-    * many O(batch) appends). Returns the new live generation.
+    * oracle path. `toks` is deduped on token identity (doc_id, tok,
+    * vec_id) and rewritten (file compaction after many O(batch)
+    * appends; the dedup also clears any duplicate rows a crashed
+    * [[foldStaging]] left — score-identical until then, garbage
+    * after). The live generation's STAGED rows fold into the new
+    * generation too — a compact must never lose buffered docs — and
+    * the new generation starts with empty staging. Returns the new
+    * live generation.
     */
   def compactVersioned(spark: org.apache.spark.sql.SparkSession,
                        root: String, maxBucketDocs: Long = 100000L,
                        keep: Int = 2): String = {
     val live = Generations.livePath(spark, root)
     val gen = Generations.nextPath(spark, root)
+    val staged = stagedRows(spark, live)
     val w = Window.partitionBy("bucket")
-    val kept = spark.read.parquet(s"$live/postings")
-      .select("bucket", "doc_id").distinct()
+    val postingsAll = staged
+      .map(st => spark.read.parquet(s"$live/postings")
+        .select("bucket", "doc_id")
+        .unionByName(st.select(col("bucket").cast("int"), col("doc_id"))))
+      .getOrElse(spark.read.parquet(s"$live/postings")
+        .select("bucket", "doc_id"))
+    val kept = postingsAll.distinct()
       .withColumn("_n", count(lit(1)).over(w))
       .where(col("_n") <= maxBucketDocs)
       .drop("_n")
@@ -350,7 +508,14 @@ object MaxSim {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$gen/postings")
     kept.unpersist()
-    spark.read.parquet(s"$live/toks")
+    val toksCols = Seq("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+    val toksAll = staged
+      .map(st => spark.read.parquet(s"$live/toks")
+        .select(toksCols.map(col): _*)
+        .unionByName(st.select(toksCols.map(col): _*)))
+      .getOrElse(spark.read.parquet(s"$live/toks").select(toksCols.map(col): _*))
+    toksAll
+      .dropDuplicates("doc_id", "tok", "vec_id")
       .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$gen/toks")
@@ -369,12 +534,24 @@ object MaxSim {
     * (bucket, doc_id) volume appends accrued — and run
     * [[compactVersioned]] only when either passes its trip point. A
     * healthy tick costs one postings scan and touches nothing.
+    * Staged-but-unfolded postings count toward BOTH signals: a
+    * replayed unguarded ingest that landed in staging is the same
+    * residue the cadence owns, it just hasn't paid its fold yet
+    * (staging is byte-bounded, so the extra scan is too).
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, root: String,
                maxBucketDocs: Long = 100000L, maxDupPostings: Long = 0L,
                keep: Int = 2): MaintenanceReport = {
     val live = Generations.livePath(spark, root)
-    val h = spark.read.parquet(s"$live/postings")
+    val main = spark.read.parquet(s"$live/postings")
+      .select(col("bucket").cast("int").as("bucket"), col("doc_id"))
+    val all = stagedRows(spark, live)
+      .map(st => main.unionByName(
+        st.select(col("bucket").cast("int").as("bucket"), col("doc_id"),
+            col("aid")).distinct()
+          .select("bucket", "doc_id")))
+      .getOrElse(main)
+    val h = all
       .groupBy("bucket", "doc_id").agg(count(lit(1)).as("n"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("docs"), sum(col("n") - 1).as("dups"))

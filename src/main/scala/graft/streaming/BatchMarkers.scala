@@ -55,14 +55,9 @@ object BatchMarkers {
     * throws — which would wedge every subsequent micro-batch of a
     * stream that recovers from "store not yet written" by probing.
     * (Same listing contract as `IncrementalAgg.updateTable`'s inline
-    * hasData.)
+    * hasData; the canonical implementation lives in
+    * [[graft.ops.Generations.hasData]] so ops-layer stores share it.)
     */
-  def hasData(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  def hasData(spark: SparkSession, path: String): Boolean =
+    graft.ops.Generations.hasData(spark, path)
 }

@@ -22,8 +22,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *      [[MaxSim.scoreLshPruned]] over that corpus (spec-pinned);
   *   2. appends the scored top-k rows to `outPath`;
   *   3. appends the batch's tokens into the live index
-  *      ([[MaxSim.appendIndex]], O(batch) partitioned file adds) so
-  *      the NEXT batch retrieves against the grown corpus.
+  *      ([[MaxSim.appendIndexBuffered]]: one coalesced staging file
+  *      per append — the r12 bench priced the unbuffered append at
+  *      ~5 s / ~320 files REGARDLESS of batch size, a fixed floor
+  *      that dominates at streaming cadence — with staging folding
+  *      into the bucket partitions at `foldBytes`) so the NEXT batch
+  *      retrieves against the grown corpus (staged docs are
+  *      probe-visible immediately).
   *
   * The loop is NOT naturally idempotent (a replayed batch would
   * re-append its tokens and double them in every later score), so the
@@ -48,17 +53,19 @@ object MaxSimStream {
 
   def start(docToks: DataFrame, indexRoot: String, outPath: String,
             k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            foldBytes: Long = 64L << 20): StreamingQuery =
     docToks.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          BatchMarkers.applyOnce(batch.sparkSession, outPath, batchId) {
+        // empty check INSIDE the marker fold: every delivered id is
+        // marked (BatchMarkers marking discipline)
+        BatchMarkers.applyOnce(batch.sparkSession, outPath, batchId) {
+          if (!batch.isEmpty)
             applyBatch(batch, indexRoot, outPath, k, nPlanes, dims, dBuckets,
-              batchId)
-          }
-          ()
+              batchId, foldBytes)
         }
+        ()
       }
       .start()
 
@@ -81,7 +88,7 @@ object MaxSimStream {
     */
   def applyBatch(batchToks: DataFrame, indexRoot: String, outPath: String,
                  k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
-                 batchId: Long): Unit = {
+                 batchId: Long, foldBytes: Long = 64L << 20): Unit = {
     val spark = batchToks.sparkSession
     val live = Generations.livePath(spark, indexRoot)
     // snapshot the scores BEFORE the index append: the append adds
@@ -96,6 +103,12 @@ object MaxSimStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outPath)
-    MaxSim.appendIndex(batchToks, live, nPlanes, dims, dBuckets)
+    // buffered: one staging file per append; the periodic fold (and
+    // its crash-replay duplicates, score-identical under the
+    // MAX-idempotent re-rank) runs inside this same BatchMarkers
+    // guard, so an identified replay skips the fold with the rest
+    MaxSim.appendIndexBuffered(batchToks, live, nPlanes, dims, dBuckets,
+      foldBytes)
+    ()
   }
 }

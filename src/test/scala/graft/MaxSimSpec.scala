@@ -165,6 +165,61 @@ class MaxSimSpec extends SparkSpec {
     assert(got.contains(103L), s"appended doc not found: $got")
   }
 
+  test("buffered append: one staging file, staged doc findable, scores equal the unbuffered twin") {
+    val d = corpus16
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def pq(dir: String): Set[String] =
+      walk(new java.io.File(dir)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    val buf = java.nio.file.Files.createTempDirectory("maxsim_buf").toString
+    val unbuf = java.nio.file.Files.createTempDirectory("maxsim_unbuf").toString
+    MaxSim.writeIndex(d, buf, nPlanes = 3, dims = 8, dBuckets = 4)
+    MaxSim.writeIndex(d, unbuf, nPlanes = 3, dims = 8, dBuckets = 4)
+    val batch = d.where(col("doc_id") === 3)
+      .select((col("doc_id") + 100L).as("doc_id"), col("tok"),
+        (col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val before = pq(buf)
+    val folded = MaxSim.appendIndexBuffered(batch, buf, nPlanes = 3,
+      dims = 8, dBuckets = 4) // default foldBytes: stays staged
+    assert(!folded)
+    val added = pq(buf) -- before
+    assert(added.size == 1 && added.forall(_.contains("/staging/")),
+      s"buffered append must land as ONE staging file, got $added")
+    MaxSim.appendIndex(batch, unbuf, nPlanes = 3, dims = 8, dBuckets = 4)
+    def rows(idx: String) =
+      MaxSim.searchIndex(spark, idx, d.where(col("doc_id") === 3),
+          k = 16, nPlanes = 3, dims = 8, dBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val gotBuf = rows(buf)
+    assert(gotBuf.exists(_._3 == 103L), "staged doc must be findable at once")
+    assert(gotBuf == rows(unbuf),
+      "staged probe must score bit-identically to the unbuffered index")
+
+    // fold: a byte threshold of 1 folds on the next append; staging
+    // flips to a fresh empty generation and the probe is unchanged
+    val batch2 = d.where(col("doc_id") === 5)
+      .select((col("doc_id") + 200L).as("doc_id"), col("tok"),
+        (col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+    assert(MaxSim.appendIndexBuffered(batch2, buf, nPlanes = 3, dims = 8,
+      dBuckets = 4, foldBytes = 1L))
+    MaxSim.appendIndex(batch2, unbuf, nPlanes = 3, dims = 8, dBuckets = 4)
+    val stagingLive = graft.ops.Generations.livePath(spark, s"$buf/staging")
+    assert(!graft.ops.Generations.hasData(spark, stagingLive),
+      "post-fold live staging generation must be empty")
+    assert(rows(buf) == rows(unbuf),
+      "post-fold probe must score bit-identically to the unbuffered index")
+
+    // grace-window duplicates are score-identical: re-stage a doc the
+    // fold already moved into the partitions — visible in BOTH places
+    val dupBefore = rows(buf)
+    assert(!MaxSim.appendIndexBuffered(batch2, buf, nPlanes = 3, dims = 8,
+      dBuckets = 4))
+    assert(rows(buf) == dupBefore,
+      "a doc visible in both staging and partitions must not change a bit")
+  }
+
   test("versioned index: build under Generations, probe the live path") {
     val d = corpus16
     val root = java.nio.file.Files.createTempDirectory("maxsimroot").toString

@@ -81,11 +81,12 @@ class MaxSimStreamSpec extends SparkSpec {
     assert(gen2 != gen1)
     val compacted = spark.read.parquet(s"$gen2/postings")
     assert(compacted.count() == compacted.distinct().count())
-    // tokens survive compaction byte-for-byte (doc 3's extra token
-    // copies DO remain — the marker guard owns replay, compaction
-    // owns postings hygiene; assert content equality modulo the dup)
+    // tokens survive compaction deduped on token identity: doc 3's
+    // replayed copies (score-identical bloat) are collapsed, every
+    // distinct token row is carried
     assert(spark.read.parquet(s"$gen2/toks").count() ==
-      spark.read.parquet(s"$gen1/toks").count())
+      spark.read.parquet(s"$gen1/toks")
+        .dropDuplicates("doc_id", "tok", "vec_id").count())
 
     // a cap that drops EVERYTHING must refuse loudly, not publish a
     // generation with an unreadable empty postings dir
@@ -95,6 +96,26 @@ class MaxSimStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("drops every posting"))
     assert(Generations.livePath(spark, root) == gen2,
       "failed compaction must not move the pointer")
+  }
+
+  test("compactVersioned folds staged rows — a compact never loses buffered docs") {
+    val root = java.nio.file.Files.createTempDirectory("msroot").toString
+    MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)
+    val gen1 = Generations.livePath(spark, root)
+    // buffered append stays staged (default threshold)
+    assert(!MaxSim.appendIndexBuffered(toks(8 until 10), gen1, nP, dms, dB))
+    val gen2 = MaxSim.compactVersioned(spark, root, maxBucketDocs = 1000L)
+    // staged docs landed in the NEW generation's partitions…
+    val docs = spark.read.parquet(s"$gen2/toks")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(8L, 9L).subsetOf(docs), s"staged docs lost by compact: $docs")
+    // …which starts with no staging at all
+    assert(graft.ops.Generations.current(spark, s"$gen2/staging").isEmpty)
+    // and the probe against the new live generation finds them
+    val got = MaxSim.searchIndex(spark, Generations.livePath(spark, root),
+        toks(8 until 9), k, nP, dms, dB)
+      .select("q_doc").distinct().count()
+    assert(got > 0)
   }
 
   test("maintain: healthy tick is read-only; duplicate postings trip a compaction") {
