@@ -563,6 +563,50 @@ object BenchScale {
                 })
             }
       }
+      // the OPQ variant at the same points (round 13): the one
+      // standard lever the PQ memory tier hadn't tried. Full-rotation
+      // OPQ is incompatible with the exact-integer replay contract
+      // (see Pq.fitOpqPermutation's scaladoc), so this measures the
+      // coordinate-permutation restriction — balanced per-subspace
+      // energy allocation instead of the natural contiguous split.
+      // Implementation is pure composition: permute the embeddings,
+      // run the unchanged IVF-PQ pipeline (permutation commutes with
+      // quantization; cells, GT, and exact re-rank are L2-invariant,
+      // so meanRecall against the shared ground truth is valid).
+      val pqOpqPoints = {
+        var perm: Seq[Int] = null
+        var fPqOpq: graft.ops.IvfPq.Model = null
+        def permuted(df: DataFrame): DataFrame = df.withColumn("embedding",
+          graft.ops.Pq.permuteEmbedding(col("embedding"), perm))
+        val fitOpq = timeOnce("frontier_fit_ivfpq_opq") {
+          val sample = // content-addressed, same 2% slice as the main fit
+            fcorpus.where(pmod(xxhash64(col("vec_id")), lit(50)) === 0)
+          perm = graft.ops.Pq.fitOpqPermutation(sample, m = 8)
+          fPqOpq = graft.ops.IvfPq.fit(permuted(sample), "vec_id",
+            nLists = 64, m = 8, k = 32, oversample = 4)
+        }
+        val pqOpqIdx = s"$tmp/ivfpq_opq_idx_frontier"
+        val buildOpq = timeOnce("frontier_ivfpq_opq_build") {
+          graft.ops.IvfPq.writeIndex(permuted(fcorpus), "vec_id", fPqOpq,
+            pqOpqIdx)
+        }
+        Seq(fitOpq, buildOpq) ++
+          Seq((4, 4), (4, 64), (4, 128), (4, 256), (16, 64))
+            .flatMap { case (np, rf) =>
+              var approx: DataFrame = null
+              val t = timeOnce(s"frontier_ivfpq_opq_probe_np${np}_rf$rf") {
+                approx = graft.ops.IvfPq.searchIndex(spark, pqOpqIdx,
+                  permuted(fcorpus), permuted(queries), "vec_id", fPqOpq,
+                  topK = 10, nProbe = np, refine = rf)
+                approx.count()
+                ()
+              }
+              Seq(t,
+                valueRow(s"frontier_ivfpq_opq_recall_milli_np${np}_rf$rf") {
+                  meanRecall(approx)
+                })
+            }
+      }
       // full-embedding IVF (exact distances, recall bounded only by
       // probe coverage) on the SAME queries — the family's other axis
       val ivfPoints = Seq(1, 4, 16).flatMap { np =>
@@ -758,7 +802,7 @@ object BenchScale {
         Seq(sFitT, sBuildT, sGtT) ++ ivfPts ++ graphPts
       }
       val rows = Seq(setupT, fitT, buildT, gtT) ++ pqPoints ++
-        pqResPoints ++ ivfPoints ++ graphRows ++ sweepRows
+        pqResPoints ++ pqOpqPoints ++ ivfPoints ++ graphRows ++ sweepRows
       exact.unpersist()
       rows
     }

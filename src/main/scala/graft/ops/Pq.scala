@@ -138,6 +138,65 @@ object Pq {
       e.getField("code").as("code")))
   }
 
+  // ---------------------------------------------------------------
+  // OPQ (optimized product quantization, Ge et al. CVPR'13): learn an
+  // orthogonal transform R so the subspace split quantizes R·x better
+  // than x. The FULL learned rotation is a float matrix — applying it
+  // to the micro grid yields irrational coordinates, which forfeits
+  // the exact-integer replay contract every fit/encode/probe here is
+  // built on. The family member that survives the contract is the
+  // COORDINATE-PERMUTATION restriction: a permutation matrix is
+  // orthogonal, commutes with element-wise micro-quantization, leaves
+  // every L2 distance (cells, ground truth, exact re-rank) bit-
+  // identical, and is replayable as a plain array literal. Its fit is
+  // OPQ's eigenvalue-allocation step on the coordinate basis:
+  // balance the per-subspace energy (Σ of per-dim second moments)
+  // instead of letting the natural contiguous split concentrate
+  // high-variance dims in one codebook.
+  // ---------------------------------------------------------------
+
+  /** Fit the balanced-allocation permutation: per-dimension EXACT
+    * integer energy E_d = Σ_x x_d² (one posexplode aggregation,
+    * decimal(38,0) so 2.56M rows of micro² values cannot overflow),
+    * dims dealt greedily — (E_d desc, d asc) order, each to the
+    * lowest-energy subspace with remaining capacity. Deterministic:
+    * integer energies, total tie order. Returns `perm` where
+    * `perm(j)` is the source dim of target slot `j`, slots grouped
+    * contiguously per subspace (slot j belongs to subspace j / width).
+    */
+  def fitOpqPermutation(corpus: DataFrame, m: Int): Seq[Int] = {
+    val q = Similarity.withQuantized(corpus, "embedding")
+    val dim = q.select(size(col("ei"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val cap = dim / m
+    val energies: Seq[(Int, BigDecimal)] = q
+      .select(posexplode(col("ei")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum((col("x") * col("x")).cast("decimal(38,0)")).as("e"))
+      .collect().map(r => (r.getInt(0), BigDecimal(r.getDecimal(1)))).toSeq
+    require(energies.length == dim, s"energy rows ${energies.length} != $dim")
+    val bins = Array.fill(m)(Vector.empty[Int])
+    val binE = Array.fill(m)(BigDecimal(0))
+    energies.sortBy { case (d, e) => (-e, d) }.foreach { case (d, e) =>
+      val tgt = (0 until m).filter(bins(_).length < cap)
+        .minBy(s => (binE(s), s))
+      bins(tgt) :+= d
+      binE(tgt) += e
+    }
+    bins.toIndexedSeq.flatten
+  }
+
+  /** Apply a [[fitOpqPermutation]] permutation to a raw embedding
+    * array column. Because permutation commutes with the element-wise
+    * micro-quantization, running the WHOLE IVF-PQ pipeline on
+    * permuted embeddings IS IVF-PQ-with-OPQ: cell assignment, ground
+    * truth, and the exact re-rank are permutation-invariant (L2 is),
+    * and only the PQ subspace split — the thing OPQ optimizes —
+    * changes.
+    */
+  def permuteEmbedding(emb: Column, perm: Seq[Int]): Column =
+    array(perm.map(d => element_at(emb, d + 1)): _*)
+
   /** The `m`-code encode of a pre-quantized `ei` column: per subspace,
     * argmin over the broadcast codebook — a pure narrow map. Shared by
     * [[encodeQuantized]] and the [[IvfPq]] index writer.

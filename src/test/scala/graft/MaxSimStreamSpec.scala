@@ -46,6 +46,31 @@ class MaxSimStreamSpec extends SparkSpec {
       toks(12 until 16), k, nP, dms)) && batch2.nonEmpty)
   }
 
+  test("tiny foldBytes folds every batch inside the guard; stream scores unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("msroot").toString
+    val out = java.nio.file.Files.createTempDirectory("msout").toString + "/out"
+    MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_doc", "rnk", "doc_id", "score_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // foldBytes=1: every append crosses the threshold, so batch 2's
+    // probe reads batch 1's docs from the FOLDED partitions, not
+    // staging — and must still equal the batch path bit-for-bit
+    MaxSimStream.applyBatch(toks(8 until 12), root, out, k, nP, dms, dB,
+      0L, foldBytes = 1L)
+    val live = Generations.livePath(spark, root)
+    assert(!graft.ops.Generations.hasData(spark,
+      Generations.livePath(spark, s"$live/staging")),
+      "fold must leave an empty live staging generation")
+    MaxSimStream.applyBatch(toks(12 until 16), root, out, k, nP, dms, dB,
+      1L, foldBytes = 1L)
+    val batch2 = rows(spark.read.parquet(out)
+      .where(col("batch_id") === 1))
+    assert(batch2 == rows(MaxSim.scoreLshPruned(toks(0 until 12),
+      toks(12 until 16), k, nP, dms)) && batch2.nonEmpty)
+  }
+
   test("a crash-replayed batch REPLACES its sink partition, never appends") {
     val root = java.nio.file.Files.createTempDirectory("msroot").toString
     val out = java.nio.file.Files.createTempDirectory("msout").toString + "/out"

@@ -169,4 +169,31 @@ class PqSpec extends SparkSpec {
     // the codebook really is used: more than one code word occurs
     assert(codes.map(_._2).distinct.length > 1)
   }
+
+  test("OPQ permutation: balanced energy allocation, hand-checked") {
+    // one row (10, 9, 1, 1): energies 1e14, 0.81e14, 1e12, 1e12.
+    // greedy (E desc, d asc) into 2 bins of 2: d0->bin0, d1->bin1
+    // (lighter), d2->bin1 (0.81e14 < 1e14), d3->bin0.
+    val d = Seq((0L, Array(10f, 9f, 1f, 1f))).toDF("vec_id", "embedding")
+    assert(Pq.fitOpqPermutation(d, m = 2) == Seq(0, 3, 1, 2))
+    // the natural contiguous split would stack 1.81e14 against 2e12;
+    // the allocation balances to 1.01e14 vs 0.82e14 — that's the point
+  }
+
+  test("OPQ permutation is a valid perm and leaves exact search invariant") {
+    val d = clustered
+    val perm = Pq.fitOpqPermutation(d, m = 4)
+    assert(perm.sorted == (0 until 8), s"not a permutation: $perm")
+    val dp = d.withColumn("embedding",
+      Pq.permuteEmbedding(col("embedding"), perm))
+    // permutation commutes with quantization and L2/cosine: the
+    // brute-force top-k over permuted embeddings is bit-identical —
+    // the invariance that makes the OPQ frontier rows comparable
+    // against the shared ground truth
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, df.where(col("vec_id") < 3), "vec_id",
+          k = 5)
+        .orderBy("q_id", "rnk").collect().toSeq
+    assert(top(dp) == top(d))
+  }
 }
