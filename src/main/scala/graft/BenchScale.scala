@@ -1774,7 +1774,22 @@ object BenchScale {
           valueRow("maxsim_recall_milli_m2_p8_mp4") { recallS(8, 4) },
           valueRow("maxsim_recall_milli_m2_p16") { recallS(16, 0) },
           valueRow("maxsim_recall_milli_m2_p16_mp2") { recallS(16, 2) },
-          valueRow("maxsim_recall_milli_m2_p16_mp4") { recallS(16, 4) })
+          valueRow("maxsim_recall_milli_m2_p16_mp4") { recallS(16, 4) },
+          // the COST axis of the sparse candidates: what the mp
+          // rescue (and the near-exhaustive p4 shortlist) actually
+          // pay, against maxsim_exact_gt_m2_topk10 as the exact wall
+          timeOnce("maxsim_lsh_m2_probe_p8_mp2") {
+            require(graft.ops.MaxSim.scoreLshPruned(mvS, qS, k = 10,
+              nPlanes = 8, dims = 64, multiProbe = 2).collect().nonEmpty)
+          },
+          timeOnce("maxsim_lsh_m2_probe_p8_mp4") {
+            require(graft.ops.MaxSim.scoreLshPruned(mvS, qS, k = 10,
+              nPlanes = 8, dims = 64, multiProbe = 4).collect().nonEmpty)
+          },
+          timeOnce("maxsim_lsh_m2_probe_p4") {
+            require(graft.ops.MaxSim.scoreLshPruned(mvS, qS, k = 10,
+              nPlanes = 4, dims = 64).collect().nonEmpty)
+          })
       }
       // Append-chain degradation + maintenance recovery (the
       // invidx_probe_after_12appends shape): 12 O(batch) appends —

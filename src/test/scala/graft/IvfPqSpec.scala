@@ -108,6 +108,33 @@ class IvfPqSpec extends SparkSpec {
       assert(d == d2(vecs(q), vecs(id)), s"d2($q,$id)") }
   }
 
+  test("OPQ-permuted pipeline: searchIndex d2 is the raw-space exact distance") {
+    // the exact composition the frontier_ivfpq_opq_* bench rows run:
+    // permute embeddings, run the unchanged fit/write/search pipeline
+    val corpus = clustered
+    val queries = corpus.where($"vec_id" % 50 === 0)
+    val perm = graft.ops.Pq.fitOpqPermutation(corpus, m = 4)
+    def permuted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding",
+        graft.ops.Pq.permuteEmbedding(col("embedding"), perm))
+    val model = IvfPq.fit(permuted(corpus), "vec_id", nLists = 4, m = 4, k = 4)
+    val path = tmpIdx("opq")
+    IvfPq.writeIndex(permuted(corpus), "vec_id", model, path)
+    val vecs = Similarity.withQuantized(corpus, "embedding")
+      .select(col("vec_id"), col("ei")).as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    // the probe's exact re-rank distances must equal RAW-space exact
+    // integer distances — permutation invariance, the property that
+    // makes OPQ frontier recall comparable against shared ground truth
+    val d2s = IvfPq.searchIndex(spark, path, permuted(corpus),
+        permuted(queries), "vec_id", model, topK = 3, nProbe = 4)
+      .select("q_id", "vec_id", "d2").as[(Long, Long, Long)].collect()
+    assert(d2s.nonEmpty)
+    d2s.foreach { case (q, id, d) =>
+      assert(d == d2(vecs(q), vecs(id)), s"d2($q,$id)") }
+  }
+
   test("append + search equals full rebuild; maintain refits both levels") {
     val first = clustered.where($"vec_id" % 2 === 0)
     val rest = clustered.where($"vec_id" % 2 =!= 0)
