@@ -73,10 +73,27 @@ object IvfPq {
     * per-subspace PQ codebooks, fit on the same corpus. `residual`
     * records how codes are to be interpreted (raw-vector vs
     * cell-residual quantization) — it is part of the model because an
-    * index written one way must never be probed the other.
+    * index written one way must never be probed the other. `perm`
+    * (OPQ, [[Pq.fitOpqPermutation]]) records the coordinate
+    * permutation the codebooks were fit under: codes quantize the
+    * PERMUTED vector, the probe LUT builds over the permuted query,
+    * and everything else (cells, exact re-rank) stays in raw space —
+    * L2 is permutation-invariant. In the model for the same reason as
+    * `residual`: probing an OPQ index without its permutation would
+    * silently mis-rank every shortlist.
     */
   final case class Model(coarse: Ivf.QuantModel, pq: Pq.QuantCodebook,
-                         residual: Boolean = false)
+                         residual: Boolean = false,
+                         perm: Option[Seq[Int]] = None)
+
+  /** Apply the model's OPQ permutation to a quantized `ei` column
+    * (identity when none). Callers in the probe path must project the
+    * result as its OWN column before feeding it to the LUT — the
+    * IvfPqSpec plan-size lesson (see the residual note in
+    * [[searchIndex]]).
+    */
+  private def permuteEi(ei: Column, perm: Option[Seq[Int]]): Column =
+    perm.map(p => array(p.map(d => element_at(ei, d + 1)): _*)).getOrElse(ei)
 
   /** In-plan quantized centroid of the row's `cell` column. */
   private def cellCentroid(coarse: Ivf.QuantModel): Column =
@@ -92,20 +109,44 @@ object IvfPq {
   /** Fit both levels: coarse farthest-point cells, then PQ codebooks —
     * two corpus scans total, both driver-bounded (centroid pools
     * only). With `residual = true` the codebooks fit on the cell
-    * residuals (one extra narrow assign inside the second scan).
+    * residuals (one extra narrow assign inside the second scan). With
+    * `opq = true` a coordinate permutation is fit first
+    * ([[Pq.fitOpqPermutationEi]], one extra aggregation) and the
+    * codebooks fit on the permuted vectors — MEASURED WORTH SHIPPING
+    * (BENCH_SCALE_r13 `frontier_ivfpq_opq_*`, same fixture and
+    * operating points as the raw/residual sweeps): recall@10 0.256
+    * vs raw's 0.200 at np4/rf256, 0.216 vs 0.134 at np16/rf64 —
+    * balancing per-subspace energy lifts the PQ memory tier at every
+    * measured point, where the residual variant lost. OPQ composes
+    * with raw codes only (`residual && opq` is refused: residual
+    * already measured behind raw, and the q193 oracle replay is
+    * non-residual — same reasoning that keeps q110 non-residual).
     * Production fits on a sample; the operator takes whatever frame
     * it's given.
     */
   def fit(corpus: DataFrame, idCol: String, nLists: Int, m: Int, k: Int,
-          oversample: Int = 8, residual: Boolean = false): Model = {
+          oversample: Int = 8, residual: Boolean = false,
+          opq: Boolean = false): Model = {
+    require(!(residual && opq),
+      "OPQ ships for the non-residual form (residual measured worse than" +
+        " raw codes at every frontier point; see the scaladoc)")
     val coarse = Ivf.fitQuantized(corpus, idCol, nLists, oversample)
-    val pq =
-      if (!residual) Pq.fitQuantized(corpus, idCol, m, k, oversample)
-      else Pq.fitQuantizedEi(
-        Ivf.assignQuantized(corpus, coarse)
-          .withColumn("ei", residualEi(col("ei"), coarse)),
+    if (opq) {
+      val q = Similarity.withQuantized(corpus, "embedding")
+      val perm = Pq.fitOpqPermutationEi(q, m)
+      val pq = Pq.fitQuantizedEi(
+        q.withColumn("ei", permuteEi(col("ei"), Some(perm))),
         idCol, m, k, oversample)
-    Model(coarse, pq, residual)
+      Model(coarse, pq, residual = false, perm = Some(perm))
+    } else {
+      val pq =
+        if (!residual) Pq.fitQuantized(corpus, idCol, m, k, oversample)
+        else Pq.fitQuantizedEi(
+          Ivf.assignQuantized(corpus, coarse)
+            .withColumn("ei", residualEi(col("ei"), coarse)),
+          idCol, m, k, oversample)
+      Model(coarse, pq, residual)
+    }
   }
 
   /** Assign + encode under the model's declared interpretation —
@@ -116,7 +157,8 @@ object IvfPq {
                          model: Model): DataFrame = {
     val enc =
       if (model.residual) residualEi(col("ei"), model.coarse) else col("ei")
-    assigned.withColumn("codes", Pq.codesColumn(enc, model.pq))
+    assigned
+      .withColumn("codes", Pq.codesColumn(permuteEi(enc, model.perm), model.pq))
       .select(col(idCol), col("codes"), col("cell"))
   }
 
@@ -174,13 +216,19 @@ object IvfPq {
     // the LUT references stay single nodes; CollapseProject keeps the
     // barrier because the alias is non-cheap and referenced m times
     // (plan-size parity with non-residual pinned in IvfPqSpec).
+    // OPQ models likewise project the PERMUTED query ei once (qpe) —
+    // inlined, the 64-element_at permutation tree would splice into
+    // every one of the m*k LUT entries' dot references
     val q = (if (model.residual)
         probed.withColumn("qre", residualEi(col("qe"), model.coarse))
+      else if (model.perm.isDefined)
+        probed.withColumn("qpe", permuteEi(col("qe"), model.perm))
       else probed)
       .withColumn("lut",
         if (model.residual) Pq.lutColumn(col("qre"), model.pq)
+        else if (model.perm.isDefined) Pq.lutColumn(col("qpe"), model.pq)
         else Pq.lutColumn(col("qe"), model.pq))
-      .drop("qre")
+      .drop("qre", "qpe")
 
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -236,7 +284,7 @@ object IvfPq {
           corpus.sample(withReplacement = false, fitSample, seed = 7L)
         else corpus
       val refit = fit(fitCorpus, idCol, nLists, m, k, oversample,
-        residual = model.residual)
+        residual = model.residual, opq = model.perm.isDefined)
       val tmp = path + ".rebuild"
       writeIndex(corpus, idCol, refit, tmp)
       Ivf.checkedSwap(spark, path, tmp)
@@ -278,7 +326,7 @@ object IvfPq {
           corpus.sample(withReplacement = false, fitSample, seed = 7L)
         else corpus
       val refit = fit(fitCorpus, idCol, nLists, m, k, oversample,
-        residual = model.residual)
+        residual = model.residual, opq = model.perm.isDefined)
       val next = Generations.nextPath(spark, root)
       writeIndex(corpus, idCol, refit, next)
       Generations.publish(spark, root, next)

@@ -137,19 +137,30 @@ object MaxSim {
     * single-probe recall is **0.850 / 0.300 / 0.100 at nPlanes
     * 8/12/16**, and multi-probe measurably recovers what extra
     * planes forfeit — p12+mp2 → 0.625, p16+mp2 → 0.200,
-    * p16+mp4 → 0.375. Sparse bags (m=2, 1.28M docs) starve the
-    * doc-level OR exactly as predicted: p8 reads 0.375 (vs 0.850
-    * dense), p16 collapses to 0.031, and mp2/mp4 pull it back to
-    * 0.100/0.125. The recall rows are bit-identical across
+    * p16+mp4 → 0.375. The recall rows are bit-identical across
     * independent runs (deterministic hash-grid fixture). DEFAULT
-    * nPlanes = 8: the only measured point with recall ≥ 0.85 on
-    * dense bags, at a ~2.5x-cheaper probe than exact
-    * (`maxsim_lsh_2m_toks` 7.4 s vs `maxsim_exact_2m_toks` 18.5 s in
-    * the r12 artifact); past p8, add
-    * multi-probe rather than planes if the bucket fan-in (not
-    * recall) is the bottleneck. Re-measure via the recall rows after
-    * changing either knob — the planted-angular fixture fails loudly
-    * on regressions (the r11 fixture could not).
+    * (dense bags, m ≳ 8) nPlanes = 8: the only measured point with
+    * recall ≥ 0.85 on dense bags, at a ~2.5x-cheaper probe than
+    * exact (`maxsim_lsh_2m_toks` 7.4 s vs `maxsim_exact_2m_toks`
+    * 18.5 s in the r12 artifact); past p8, add multi-probe rather
+    * than planes if the bucket fan-in (not recall) is the
+    * bottleneck.
+    *
+    * SPARSE bags (short docs, m ≈ 2; 1.28M docs measured) starve the
+    * doc-level OR — only 2 collision chances per doc: single-probe
+    * p8 reads 0.375 and p16 collapses to 0.031. The r13 sweep
+    * adjudicates the sparse operating point: **keep nPlanes = 8 and
+    * turn on multi-probe — p8+mp2 → 0.763, p8+mp4 → 0.875**
+    * (`maxsim_recall_milli_m2_p8_mp*`; p16-based rescue is a dead
+    * end, mp4 only reaches 0.125). p4 single-probe reads 0.975 but
+    * only because 16 buckets shortlist nearly the whole corpus —
+    * near-exact recall at near-exact cost
+    * (`maxsim_lsh_m2_probe_p4` vs the `maxsim_exact_gt_m2_topk10`
+    * wall); route there only when exactness matters more than cost.
+    * SPARSE DEFAULT: (nPlanes = 8, multiProbe = 4). Re-measure via
+    * the recall rows after changing either knob — the
+    * planted-angular fixture fails loudly on regressions (the r11
+    * fixture could not).
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
                      nPlanes: Int, dims: Int,
@@ -237,7 +248,11 @@ object MaxSim {
     * `maxsim_append_files_*` rows price the file count directly).
     * With the repartition, one append adds at most one file per
     * touched partition value, so the per-append floor is bounded by
-    * distinct partition values, not by parallelism.
+    * distinct partition values, not by parallelism. Even so the
+    * floor is ~320 files and ~fixed seconds PER APPEND — at
+    * streaming cadence use [[appendIndexBuffered]], which cuts it to
+    * one file per append and pays the partitioned bill once per
+    * fold.
     */
   def appendIndex(batchToks: DataFrame, path: String, nPlanes: Int,
                   dims: Int, dBuckets: Int = 64): Unit = {

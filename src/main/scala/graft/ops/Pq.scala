@@ -164,8 +164,14 @@ object Pq {
     * `perm(j)` is the source dim of target slot `j`, slots grouped
     * contiguously per subspace (slot j belongs to subspace j / width).
     */
-  def fitOpqPermutation(corpus: DataFrame, m: Int): Seq[Int] = {
-    val q = Similarity.withQuantized(corpus, "embedding")
+  def fitOpqPermutation(corpus: DataFrame, m: Int): Seq[Int] =
+    fitOpqPermutationEi(Similarity.withQuantized(corpus, "embedding"), m)
+
+  /** [[fitOpqPermutation]] over a frame already carrying `ei` — the
+    * [[IvfPq.fit]] entry point, which quantizes once for all three
+    * fits (coarse, perm, codebooks).
+    */
+  private[ops] def fitOpqPermutationEi(q: DataFrame, m: Int): Seq[Int] = {
     val dim = q.select(size(col("ei"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val cap = dim / m

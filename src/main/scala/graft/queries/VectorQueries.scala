@@ -157,6 +157,24 @@ object VectorQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // q110 with OPQ (round 13): the coordinate-permutation fit is
+    // part of the model, codes quantize the permuted vectors, the
+    // LUT builds over the permuted query, cells and exact re-rank
+    // stay raw — and the ORACLE replays the whole thing including
+    // the greedy balanced-energy allocation (a 64-step recursive
+    // CTE), so the fit is verified, not shipped as a literal
+    "q193_ivfpq_opq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.IvfPq.fit(e, "vec_id", nLists = 4, m = 4, k = 4,
+        opq = true)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q193")
+        .resolve("idx").toString
+      graft.ops.IvfPq.writeIndex(e, "vec_id", model, idx)
+      graft.ops.IvfPq.searchIndex(s, idx, e, e.where(col("vec_id") < 5),
+          "vec_id", model, topK = 5, nProbe = 2, refine = 4)
+        .orderBy("q_id", "rnk")
+    }),
+
     // recall@5 of the nProbe=1 IVF probe against brute-force ground
     // truth — the tuning measurement behind every nProbe/nLists
     // decision, as frame algebra (one join + one agg, driver-free);
@@ -494,6 +512,53 @@ object VectorQueries {
         .select(col("batch_id").cast("long").as("batch_id"), col("q_doc"),
           col("rnk"), col("doc_id"), col("score_micro"))
         .orderBy("batch_id", "q_doc", "rnk")
+    }),
+
+    // q187's twin with foldBytes = 1 (round 13): every buffered append
+    // crosses the staging threshold, so each batch's tokens FOLD into
+    // the bucket partitions before the next batch probes — the oracle
+    // is IDENTICAL to q187's, because fold timing must never move a
+    // score bit (probe-visible staging and the MAX-idempotent re-rank
+    // guarantee it). A fold that lost rows, double-counted them, or
+    // left a torn staging pointer fails the hash. The replayed batch
+    // exercises the marker guard AROUND a fold, q187's done-bar.
+    "q192_maxsim_stream_folded" -> ((s, dir) => {
+      val mv = graft.ops.MaxSim.multiVector(t(s, dir, "embeddings"), "vec_id", 4)
+      val root = java.nio.file.Files.createTempDirectory("graft_q192_idx").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_q192").toString +
+        "/scores"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q192_ck").toString
+      graft.ops.MaxSim.writeIndexVersioned(mv.where(col("doc_id") >= 8), root,
+        nPlanes = 4, dims = 64, dBuckets = 16)
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Seq[Float])]
+      val toks = mem.toDS().toDF("doc_id", "tok", "vec_id", "embedding")
+      val q = graft.streaming.MaxSimStream.start(toks, root, out, k = 5,
+        nPlanes = 4, dims = 64, dBuckets = 16, ckpt, foldBytes = 1L)
+      // bounded driver read: 8 token rows per 2-doc batch
+      def batch(lo: Long, hi: Long): Seq[(Long, Long, Long, Seq[Float])] =
+        mv.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "tok", "vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getSeq[Float](3))).toSeq
+      try {
+        Seq((0L, 2L), (2L, 4L), (4L, 6L)).foreach { case (lo, hi) =>
+          mem.addData(batch(lo, hi)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val replayApplied = graft.streaming.BatchMarkers.applyOnce(s, out, 1L) {
+        graft.streaming.MaxSimStream.applyBatch(
+          mv.where(col("doc_id") >= 2 && col("doc_id") < 4), root, out,
+          k = 5, nPlanes = 4, dims = 64, dBuckets = 16, batchId = 1L,
+          foldBytes = 1L)
+      }
+      require(!replayApplied, "replay guard must skip an applied batch")
+      s.read.parquet(out)
+        .select(col("batch_id").cast("long").as("batch_id"), col("q_doc"),
+          col("rnk"), col("doc_id"), col("score_micro"))
+        .orderBy("batch_id", "q_doc", "rnk")
     }))
 
   private val quantCte =
@@ -685,6 +750,55 @@ object VectorQueries {
       "enc", "qlut")
       .foldLeft(pqFitCte)((s, n) => s.replaceAll("\\b" + n + "\\b", "pq_" + n))
 
+  /** Replays [[graft.ops.Pq.fitOpqPermutation]] for q193 (m=4 over 64
+    * dims -> 4 bins of cap 16): exact integer per-dim energies, dims
+    * ranked (energy desc, dim asc), and the greedy lowest-energy-bin
+    * allocation as a 64-step recursive CTE whose state is the four
+    * bins' (count, energy) — the pick each step is (energy, bin)-min
+    * among bins below capacity, exactly the Scala fold. `permmap`
+    * sends source dim -> permuted slot (bin * 16 + within-bin pick
+    * order), and `pflat` is the permuted flat view the PQ fit CTEs
+    * then run on UNCHANGED. Requires `WITH RECURSIVE` at the head of
+    * the composed query.
+    */
+  private val opqPermCte =
+    """denergy AS (SELECT i, CAST(SUM(v*v) AS HUGEINT) AS en FROM flat GROUP BY 1),
+       drank AS (SELECT i, en, ROW_NUMBER() OVER (ORDER BY en DESC, i) AS r
+                 FROM denergy),
+       alloc(r, cnts, es, asg) AS (
+         SELECT 0::BIGINT, [0,0,0,0]::INT[], [0,0,0,0]::HUGEINT[],
+                []::STRUCT(i BIGINT, s INT, r BIGINT)[]
+         UNION ALL
+         SELECT a.r + 1,
+           list_transform(range(1, 5), b ->
+             CASE WHEN b - 1 = pick.s THEN a.cnts[b] + 1 ELSE a.cnts[b] END)::INT[],
+           list_transform(range(1, 5), b ->
+             CASE WHEN b - 1 = pick.s THEN a.es[b] + nd.en ELSE a.es[b] END)::HUGEINT[],
+           list_append(a.asg,
+             {i: nd.i, s: pick.s, r: a.r + 1}::STRUCT(i BIGINT, s INT, r BIGINT))
+         FROM alloc a JOIN drank nd ON nd.r = a.r + 1,
+         LATERAL (SELECT s FROM (
+             SELECT CAST(b - 1 AS INT) AS s, a.es[b] AS be, a.cnts[b] AS c
+             FROM range(1, 5) t(b)) z
+           WHERE z.c < 16 ORDER BY z.be, z.s LIMIT 1) pick
+         WHERE a.r < 64
+       ),
+       asgf AS (SELECT u.x.i AS src_i, u.x.s AS s, u.x.r AS rr
+                FROM (SELECT asg FROM alloc WHERE r = 64) fin,
+                     UNNEST(fin.asg) u(x)),
+       permmap AS (SELECT src_i,
+                     s * 16 + ROW_NUMBER() OVER (PARTITION BY s ORDER BY rr) AS new_i
+                   FROM asgf),
+       pflat AS (SELECT f.vec_id, pm.new_i AS i, f.v
+                 FROM flat f JOIN permmap pm ON pm.src_i = f.i)"""
+
+  /** [[pqFitCteRenamed]] over the PERMUTED flat view: the only raw
+    * `flat` reference in the renamed fit is pq_sflat's source — OPQ
+    * changes nothing else about the PQ fit/encode/LUT replay.
+    */
+  private val pqFitCteRenamedOpq: String =
+    pqFitCteRenamed.replaceAll("\\bflat\\b", "pflat")
+
   val oracles: Map[String, String] = Map(
     // the full MaxSim pipeline replayed relationally: integer
     // micro-cosine per token pair, MAX per (query-token, doc), SUM
@@ -741,6 +855,20 @@ object VectorQueries {
     // re-delivered batch 1 must leave no trace beyond its first
     // application for this union to hash-match
     "q187_maxsim_stream_intake" -> {
+      def b(i: Int): String = {
+        val lo = 2 * i; val hi = lo + 2
+        s"""SELECT CAST($i AS BIGINT) AS batch_id, s.* FROM (
+           WITH $quantCte,
+           ${graft.ops.MaxSim.lshPrunedSql(m = 4, k = 5,
+              v => s"($v // 4 >= $lo AND $v // 4 < $hi)",
+              nPlanes = 4, dims = 64,
+              cPred = v => s"($v // 4 >= 8 OR $v // 4 < $lo)")}) s"""
+      }
+      s"""SELECT * FROM (${b(0)} UNION ALL ${b(1)} UNION ALL ${b(2)})
+         ORDER BY batch_id, q_doc, rnk"""
+    },
+    // identical replay to q187 — fold timing must never move a bit
+    "q192_maxsim_stream_folded" -> {
       def b(i: Int): String = {
         val lo = 2 * i; val hi = lo + 2
         s"""SELECT CAST($i AS BIGINT) AS batch_id, s.* FROM (
@@ -865,6 +993,44 @@ object VectorQueries {
       s"""WITH $quantCte,
          $ivfAssignCte,
          $pqFitCteRenamed,
+         probes AS (SELECT vec_id AS q_id, cell FROM (
+                      SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                      FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+         cand AS (SELECT p.q_id, a.vec_id FROM probes p
+                  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         adc AS (SELECT c.q_id, c.vec_id, SUM(l.d2) AS adc_d2
+                 FROM cand c JOIN pq_enc e2 ON e2.vec_id = c.vec_id
+                 JOIN pq_qlut l ON l.q_id = c.q_id AND l.s = e2.s AND l.code = e2.code
+                 GROUP BY 1, 2),
+         short AS (SELECT q_id, vec_id FROM (
+                    SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY adc_d2, vec_id) AS srn
+                    FROM adc) WHERE srn <= 20),
+         refined AS (SELECT s2.q_id, s2.vec_id,
+                       MAX(nq.nn) - 2*SUM(fq.v * fc.v) + MAX(nc.nn) AS d2
+                     FROM short s2
+                     JOIN flat fq ON fq.vec_id = s2.q_id
+                     JOIN flat fc ON fc.vec_id = s2.vec_id AND fc.i = fq.i
+                     JOIN norms nq ON nq.vec_id = s2.q_id
+                     JOIN norms nc ON nc.vec_id = s2.vec_id
+                     GROUP BY 1, 2)
+         SELECT q_id, rnk, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+           SELECT q_id, vec_id, d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY d2, vec_id) AS BIGINT) AS rnk
+           FROM refined) WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // q110 under OPQ: identical coarse/probe/tail replay, but the PQ
+    // fit/encode/LUT CTEs run over the PERMUTED flat view, and the
+    // permutation itself is REPLAYED (energies + greedy allocation as
+    // a recursive CTE) rather than shipped as a literal — the fit is
+    // part of what the oracle verifies
+    "q193_ivfpq_opq_index" ->
+      s"""WITH RECURSIVE $quantCte,
+         $ivfAssignCte,
+         $opqPermCte,
+         $pqFitCteRenamedOpq,
          probes AS (SELECT vec_id AS q_id, cell FROM (
                       SELECT vec_id, cell,
                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
