@@ -47,11 +47,16 @@ import org.apache.spark.sql.types.LongType
   * with 64 impure cells over tightly clustered data, per-cell
   * centroid subtraction smears the per-subspace modes that raw PQ
   * quantizes well, so the textbook residual win does not transfer to
-  * this geometry. Neither form approaches flat [[Ivf]] (0.919 at a
-  * 3.1 s probe vs PQ's best 0.200 at ~10 s): IVF-PQ's tier is the
-  * memory-constrained one — its codes-only index measures 18.2 MB vs
-  * 382.8 MB of full vectors (21x) — not a latency/recall win at this
-  * dimensionality.
+  * this geometry. The OPQ coordinate permutation (round 13, see
+  * [[fit]]'s scaladoc and [[Pq.fitOpqPermutation]]) is the lever
+  * that DOES transfer: balanced per-subspace energy lifts the tier's
+  * best measured point to **0.256** (np4/rf256, vs raw 0.200 /
+  * residual 0.125) and 0.216 at np16/rf64 (vs 0.134 / 0.088) — OPQ
+  * raw codes are the recommended configuration. Even so, no PQ form
+  * approaches flat [[Ivf]] (0.919 at a 3.1 s probe vs OPQ-PQ's best
+  * 0.256 at ~14 s): IVF-PQ's tier is the memory-constrained one —
+  * its codes-only index measures 18.2 MB vs 382.8 MB of full vectors
+  * (21x) — not a latency/recall win at this dimensionality.
   * The flag lives IN the model so an index can never
   * be probed under the wrong interpretation, codes become a function
   * of BOTH levels (any coarse refit invalidates them — [[maintain]]
