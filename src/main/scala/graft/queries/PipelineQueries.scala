@@ -537,6 +537,62 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SCD2 LATE-DATA path, oracle-gated (round 13): q190's stream fed
+    // OUT OF ORDER — terciles 1, 3, then 2, so every tercile-2 row
+    // whose key already has a tercile-3 open interval QUARANTINES to
+    // the _latedata dead-letter (stream stays alive; rows for
+    // tercile-1-only keys fold on time). backfillQuarantine then
+    // recomputes the affected keys' history from the full event log
+    // and swaps exactly their buckets. The oracle is the ONE-SHOT
+    // scd2 over the whole slice — a quarantine that lost a row, a
+    // backfill that missed a collapsed re-assertion, or a drain that
+    // touched the wrong buckets all fail the hash.
+    "q194_scd2_backfill" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("event_id") % 19 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      // bounded driver read: one min/max row for the tercile cuts
+      val mm = ev.agg(min("us"), max("us")).head()
+      require(!mm.isNullAt(0), "q194: the event_id % 19 slice is empty")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val store = java.nio.file.Files.createTempDirectory("graft_q194")
+        .resolve("scd2").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q194_ck")
+        .toString
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val rows = mem.toDS().toDF("user_id", "us", "event_id", "event_type")
+      val q = graft.streaming.Scd2Stream.start(rows, store, "user_id",
+        "us", "event_id", Seq("event_type"), ckpt, nBuckets = 16)
+      // bounded driver read: ~170 rows per tercile at the sf0.01 gate
+      def batch(a: Long, b: Long): Seq[(Long, Long, Long, String)] =
+        ev.where(col("us") >= a && col("us") < b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+      try {
+        // tercile 2 delivered LAST — late for every key tercile 3 saw
+        Seq((lo, c1), (c2, hi + 1L), (c1, c2)).foreach { case (a, b) =>
+          val rs = batch(a, b)
+          require(rs.nonEmpty, s"q194: empty tercile [$a,$b)")
+          mem.addData(rs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val lateP = new org.apache.hadoop.fs.Path(s"$store/_latedata")
+      require(lateP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(lateP), "q194: the out-of-order feed must quarantine rows")
+      val drained = graft.streaming.Scd2Stream.backfillQuarantine(s, store,
+        ev, "user_id", "us", "event_id", Seq("event_type"), nBuckets = 16)
+      require(drained > 0, "q194: backfill must drain the quarantine")
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -1163,6 +1219,24 @@ object PipelineQueries {
     // q155's replay over the slice, with micros as the interval
     // domain — the cumulative streamed store must equal the one-shot
     // scd2 over everything ever folded
+    // the late-data path restores the one-shot history exactly: the
+    // same scd2 replay over the % 19 slice, regardless of the
+    // out-of-order delivery, the quarantine, and the backfill
+    "q194_scd2_backfill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events WHERE event_id % 19 = 0),
+         c AS (SELECT user_id, us, event_id, event_type,
+                 (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                   OR (lag(us) OVER w IS NULL) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         f AS (SELECT user_id, event_id, event_type, us AS valid_from,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to
+               FROM c WHERE chg)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM f ORDER BY user_id, valid_from, event_id""",
+
     "q190_scd2_stream_intake" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
                FROM events WHERE event_id % 13 = 0),

@@ -27,14 +27,18 @@ import graft.ops.ChangeCapture
   * a late event older than the open interval would need closed
   * history rewritten, which is a backfill job, not a fold). Real CDC
   * feeds still deliver the occasional late row, and a wedged stream
-  * is the wrong answer to one: violating rows are QUARANTINED to a
-  * dead-letter parquet at `<store>/_latedata` (tagged with the
-  * micro-batch id that carried them), the fold proceeds with the
-  * on-time rows, and the stream stays alive. The `_`-prefixed dir is
-  * invisible to readers of the store itself; drain it with a periodic
-  * backfill job (recompute the affected keys' history from the full
-  * event log) — [[ChangeCapture.scd2]] IS that job. Within a batch
-  * any order is fine.
+  * is the wrong answer to one: rows older than their key's high
+  * watermark (max folded event time, an `hwm` column the store
+  * carries — see [[applyBatch]] for why `valid_from` is NOT a safe
+  * guard) are QUARANTINED to a dead-letter parquet at
+  * `<store>/_latedata` (tagged with the micro-batch id that carried
+  * them), the fold proceeds with the on-time rows, and the stream
+  * stays alive. The `_`-prefixed dir is
+  * invisible to readers of the store itself; drain it with
+  * [[backfillQuarantine]] on a maintenance cadence (recomputes the
+  * affected keys' history from the full event log and swaps exactly
+  * their buckets — oracle-gated by q194). Within a batch any order
+  * is fine.
   *
   * Replay safety: the fold is NOT naturally idempotent — a replayed
   * multi-event batch would misfold against the state it already wrote
@@ -48,8 +52,20 @@ import graft.ops.ChangeCapture
 object Scd2Stream {
 
   /** Fold one batch of change events into the interval store. Rows
-    * older than their key's open interval are appended to
-    * `<store>/_latedata` with `batch_id = batchId` instead of folded.
+    * older than their key's HIGH WATERMARK — the max event time the
+    * key has ever folded, carried as an `hwm` column on the store —
+    * are appended to `<store>/_latedata` with `batch_id = batchId`
+    * instead of folded.
+    *
+    * The watermark, not the open interval's `valid_from`, is the
+    * guard: [[ChangeCapture.scd2]] collapses an event that re-asserts
+    * the current state into the open interval, so `valid_from` can be
+    * OLDER than events the store has already seen — a row younger
+    * than `valid_from` but older than a collapsed re-assertion would
+    * pass a `valid_from` guard and silently misfold (the q194 gate
+    * caught exactly this: 3 intervals lost on the real slice).
+    * Quarantined rows do not advance the watermark; the backfill
+    * recomputes it from the log.
     */
   def applyBatch(spark: SparkSession, store: String, batch: DataFrame,
                  keyCol: String, tsCol: String, tieCol: String,
@@ -59,12 +75,14 @@ object Scd2Stream {
       col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
+    def withHwm(df: DataFrame, src: DataFrame): DataFrame =
+      df.join(src.groupBy(keyCol).agg(max(col(tsCol)).as("hwm")), Seq(keyCol))
     // data probe, not bare exists: the dir may already hold only the
     // _applied markers of empty batches (or _temporary debris from a
     // crashed first write) — states a bare exists would send into a
     // doomed read. Append for the same reason: the dir may exist.
     if (!BatchMarkers.hasData(spark, store)) {
-      kb(ChangeCapture.scd2(ev, keyCol, tsCol, tieCol, stateCols))
+      kb(withHwm(ChangeCapture.scd2(ev, keyCol, tsCol, tieCol, stateCols), ev))
         .write.mode("append").partitionBy("kb").parquet(store)
       return
     }
@@ -74,26 +92,25 @@ object Scd2Stream {
     // partition-pruned: only the touched buckets are ever read
     val cur = spark.read.parquet(store)
       .where(col("kb").isin(touchedKb: _*)).drop("kb")
-    // late-row split: a row older than its key's OPEN interval cannot
-    // fold (closed history would need rewriting); it dead-letters.
-    // Keys with no open interval (never seen) are on-time by
+    // late-row split against the watermark (read off the key's open
+    // row). Keys with no open interval (never seen) are on-time by
     // definition. persist: `tagged` feeds both halves of the split.
     val evKeys = ev.select(keyCol).distinct()
     val openAll = cur.where(col("is_current"))
       .join(evKeys, Seq(keyCol), "left_semi")
     val tagged = ev.join(
-      openAll.select(col(keyCol), col("valid_from").as("__open_from")),
+      openAll.select(col(keyCol), col("hwm").as("__hwm")),
       Seq(keyCol), "left").persist()
     try {
       val lateRows = tagged
-        .where(col("__open_from").isNotNull && col(tsCol) < col("__open_from"))
-        .drop("__open_from")
+        .where(col("__hwm").isNotNull && col(tsCol) < col("__hwm"))
+        .drop("__hwm")
       if (!lateRows.isEmpty)
         lateRows.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$store/_latedata")
       val onTime = tagged
-        .where(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
-        .drop("__open_from")
+        .where(col("__hwm").isNull || col(tsCol) >= col("__hwm"))
+        .drop("__hwm")
       if (onTime.isEmpty) return
       // the fold sees only on-time keys: a key whose rows ALL
       // quarantined is untouched and its history must carry through
@@ -103,9 +120,18 @@ object Scd2Stream {
       val openAsEvents = openTouched.select(
         col(keyCol) +: col("valid_from").as(tsCol) +: col(tieCol) +:
           stateCols.map(col): _*)
-      val redone = ChangeCapture.scd2(openAsEvents.unionByName(onTime),
+      val redone0 = ChangeCapture.scd2(openAsEvents.unionByName(onTime),
         keyCol, tsCol, tieCol, stateCols)
+      // watermark advance: max(old hwm, batch max) per on-time key —
+      // attached to every redone row, read back off the open row
+      val newHwm = onTime.groupBy(keyCol).agg(max(col(tsCol)).as("__bmax"))
+        .join(openTouched.select(col(keyCol), col("hwm")), Seq(keyCol), "left")
+        .select(col(keyCol),
+          greatest(coalesce(col("hwm"), col("__bmax")), col("__bmax")).as("hwm"))
+      val redone = redone0.join(newHwm, Seq(keyCol))
       val untouchedKeys = cur.join(keys, Seq(keyCol), "left_anti")
+      // closed rows carry their pre-batch hwm — stale but unread (the
+      // watermark is only ever read off the is_current row)
       val closedTouched = cur.where(!col("is_current"))
         .join(keys, Seq(keyCol), "left_semi")
       val next = untouchedKeys.unionByName(closedTouched).unionByName(redone)
@@ -117,6 +143,63 @@ object Scd2Stream {
         .partitionBy("kb")
         .parquet(store)
     } finally { tagged.unpersist(); () }
+  }
+
+  /** Drain the `_latedata` quarantine: recompute the affected keys'
+    * history from the FULL event log and swap exactly their buckets.
+    * This is the backfill job the quarantine scaladoc prescribes —
+    * and it must take the LOG, not reconstruct events from the
+    * store's own intervals: a late row's absence can make two
+    * adjacent on-time events share a state, and [[ChangeCapture
+    * .scd2]]'s collapse then drops the re-assertion event from the
+    * store — recoverable only from the source log. With the log in
+    * hand the fold is trivially exact: the affected keys' history
+    * IS `scd2(log)` by definition.
+    *
+    * Cost at 100 TB: one semi-join-filtered log scan per backfill
+    * tick (amortize by draining on a cadence, not per late row) plus
+    * a dynamic overwrite of ONLY the quarantined keys' buckets —
+    * untouched buckets are never read or written. Returns the number
+    * of late rows drained (0 = no quarantine, nothing touched).
+    *
+    * Crash-safe by idempotence: a crash between the bucket overwrite
+    * and the quarantine delete re-runs the same log recompute (same
+    * result) and deletes then. Single maintainer at a time — the
+    * [[graft.ops.Generations]] cadence-owner contract.
+    */
+  def backfillQuarantine(spark: SparkSession, store: String, log: DataFrame,
+                         keyCol: String, tsCol: String, tieCol: String,
+                         stateCols: Seq[String], nBuckets: Int = 64): Long = {
+    val latePath = s"$store/_latedata"
+    if (!BatchMarkers.hasData(spark, latePath)) return 0L
+    // snapshot keys + count before anything mutates: the bucket
+    // overwrite and the quarantine delete both invalidate lazy plans
+    // over the files they replace
+    val late = spark.read.parquet(latePath).localCheckpoint(true)
+    val nLate = late.count()
+    val keys = late.select(keyCol).distinct()
+    def kb(df: DataFrame): DataFrame =
+      df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
+    // bounded driver read: <= nBuckets values
+    val touchedKb = keys
+      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
+      .distinct().collect().map(_.get(0))
+    val cur = spark.read.parquet(store)
+      .where(col("kb").isin(touchedKb: _*)).drop("kb")
+    val events = log.join(keys, Seq(keyCol), "left_semi").select(
+      col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
+    // watermark recomputed from the log (the late rows fold in here)
+    val redone = ChangeCapture.scd2(events, keyCol, tsCol, tieCol, stateCols)
+      .join(events.groupBy(keyCol).agg(max(col(tsCol)).as("hwm")), Seq(keyCol))
+    val untouched = cur.join(keys, Seq(keyCol), "left_anti")
+    kb(untouched.unionByName(redone)).localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(store)
+    val p = new org.apache.hadoop.fs.Path(latePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    nLate
   }
 
   /** Attach to a change stream; folds every micro-batch. Every

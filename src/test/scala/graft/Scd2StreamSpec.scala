@@ -43,7 +43,7 @@ class Scd2StreamSpec extends SparkSpec {
     assert(got.count(r => r._1 == 2L && r._2 == "X") == 1)
   }
 
-  test("a row older than a key's open interval quarantines; the fold proceeds") {
+  test("a row older than a key's watermark quarantines; the fold proceeds") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_late").toString
     val store = s"$tmp/dim"
     Scd2Stream.applyBatch(spark, store,
@@ -66,6 +66,44 @@ class Scd2StreamSpec extends SparkSpec {
       .select("user_id", "event_id", "state", "batch_id")
       .as[(Long, Long, String, Long)].collect().toSeq
     assert(q == Seq((1L, 3L, "B", 7L)))
+  }
+
+  test("backfillQuarantine drains late rows from the log; store equals one-shot scd2") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_bf").toString
+    val store = s"$tmp/dim"
+    // the late row (B@20, user 1) lands inside a CLOSED collapsed run:
+    // on-time x@10, x@30 collapse to one interval, z@50 closes it at
+    // [10,50)x. One-shot truth re-splits the run ([10,20)x, [20,30)y,
+    // [30,50)x) — the x re-assertion at 30 exists only in the LOG
+    // (collapse dropped it from the store), the exact case a
+    // store-only reconstruction cannot recover
+    val all = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"), (1L, 30L, 3L, "x"),
+      (1L, 50L, 4L, "z"),
+      (2L, 15L, 5L, "p"), (2L, 40L, 6L, "q"), (3L, 5L, 7L, "m"))
+    val onTime1 = Seq((1L, 10L, 1L, "x"), (2L, 15L, 5L, "p"))
+    val onTime2 = Seq((1L, 30L, 3L, "x"), (1L, 50L, 4L, "z"),
+      (2L, 40L, 6L, "q"), (3L, 5L, 7L, "m"))
+    val lateB = Seq((1L, 20L, 2L, "y")) // user 1's open is [50,∞) -> late
+    Scd2Stream.applyBatch(spark, store, ev(onTime1), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 0L)
+    Scd2Stream.applyBatch(spark, store, ev(onTime2), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 1L)
+    Scd2Stream.applyBatch(spark, store, ev(lateB), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 2L)
+    assert(spark.read.parquet(s"$store/_latedata").count() == 1L)
+    val drained = Scd2Stream.backfillQuarantine(spark, store, ev(all),
+      "user_id", "ts", "event_id", Seq("state"), nBuckets = 4)
+    assert(drained == 1L)
+    // history is exact: B's interval appears AND C's re-assertion of x
+    // survives (the collapse case) — equal to the one-shot scd2
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+    // quarantine cleared; a second drain is a no-op
+    val p = new org.apache.hadoop.fs.Path(s"$store/_latedata")
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    assert(Scd2Stream.backfillQuarantine(spark, store, ev(all), "user_id",
+      "ts", "event_id", Seq("state"), nBuckets = 4) == 0L)
   }
 
   test("an all-late batch leaves the store untouched; the stream stays alive") {
