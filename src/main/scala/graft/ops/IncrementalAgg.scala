@@ -135,11 +135,9 @@ object IncrementalAgg {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "table exists" = has at least one data entry; metadata-only dirs
     // (_applied markers, _SUCCESS) don't count — a stream whose first
-    // micro-batch was empty leaves exactly that shape behind
-    val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    // micro-batch was empty leaves exactly that shape behind. The
+    // canonical probe (one listing contract across every store).
+    val hasData = Generations.hasData(spark, path)
     try if (!hasData) {
       // append, not create: the dir may already hold metadata-only
       // entries (stream batch markers) that an overwrite would destroy

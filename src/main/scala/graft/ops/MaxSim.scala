@@ -383,11 +383,17 @@ object MaxSim {
       s.select("bucket", "doc_id").distinct()
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-      // dedup on token identity: a replayed buffered append (or the
-      // re-fold after a crash mid-fold) staged the same rows twice;
-      // they are score-identical in staging but would bloat toks
+      // FULL-ROW dedup: a replayed buffered append (or the re-fold
+      // after a crash mid-fold) staged bit-identical rows twice —
+      // collapse those (pure bloat). Deduping on token identity alone
+      // would instead pick an ARBITRARY row when an out-of-contract
+      // caller staged conflicting payloads for one (doc, tok, vec) —
+      // making post-fold scores depend on scan order; full-row keeps
+      // both conflicting rows, so the MAX-idempotent re-rank resolves
+      // them the same way before and after the fold (q192's
+      // fold-timing-never-moves-a-bit invariant, under errors too)
       s.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
-        .dropDuplicates("doc_id", "tok", "vec_id")
+        .dropDuplicates()
         .repartition(col("dbucket"))
         .write.mode("append").partitionBy("dbucket").parquet(s"$path/toks")
       s.unpersist()
@@ -422,31 +428,49 @@ object MaxSim {
                   dBuckets: Int = 64, multiProbe: Int = 0): DataFrame = {
     val qQ = quantized(queryToks).persist()
     val staged = stagedRows(spark, path).map(_.persist())
+    // a staging-only index is legal: appendIndexBuffered on a path
+    // never written by writeIndex creates no partitioned dirs until
+    // the first fold, and "retrievable the moment the append returns"
+    // must hold there too — so the partitioned reads are data-probed
+    // like every incrementally-written store in this engine
+    val mainExists = Generations.hasData(spark, s"$path/postings")
+    require(mainExists || staged.isDefined,
+      s"no index at $path: neither partitions nor staged appends")
     val qBuckets = qQ
       .select(explode(probeBucketsCol(nPlanes, dims, multiProbe)).as("bl"))
       .select(col("bl").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
-    val candMain = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
-      .select("doc_id")
-    val candDocs = staged
-      .map(st => candMain.unionByName(
-        st.where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
-          .select("doc_id")))
-      .getOrElse(candMain)
-      .distinct()
+    val candMain =
+      if (mainExists) Some(spark.read.parquet(s"$path/postings")
+        .where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
+        .select("doc_id"))
+      else None
+    val candStaged = staged.map(
+      _.where(col("bucket").isin(qBuckets.map(Integer.valueOf): _*))
+        .select("doc_id"))
+    val candDocs = (candMain.toSeq ++ candStaged.toSeq)
+      .reduce(_ unionByName _).distinct()
     val candDb = candDocs
       .select(dbucketCol(col("doc_id"), dBuckets).as("db"))
       .distinct().collect().map(_.getInt(0))
-    val corpusMain = spark.read.parquet(s"$path/toks")
-      .where(col("dbucket").isin(candDb.map(Integer.valueOf): _*))
-      .join(candDocs, "doc_id")
-      .select("doc_id", "tok", "vec_id", "ei", "nn")
-    val corpusQ = staged
-      .map(st => corpusMain.unionByName(
-        st.join(candDocs, "doc_id")
-          .select("doc_id", "tok", "vec_id", "ei", "nn")))
-      .getOrElse(corpusMain)
+    // probed separately from postings: a crash between the fold's two
+    // partitioned writes can leave postings without toks — those
+    // docs' vectors are still in staging (the flip hasn't happened)
+    val corpusMain =
+      if (Generations.hasData(spark, s"$path/toks"))
+        Some(spark.read.parquet(s"$path/toks")
+          .where(col("dbucket").isin(candDb.map(Integer.valueOf): _*))
+          .join(candDocs, "doc_id")
+          .select("doc_id", "tok", "vec_id", "ei", "nn"))
+      else None
+    val corpusStaged = staged.map(
+      _.join(candDocs, "doc_id")
+        .select("doc_id", "tok", "vec_id", "ei", "nn"))
+    val corpusParts = corpusMain.toSeq ++ corpusStaged.toSeq
+    require(corpusParts.nonEmpty,
+      s"$path/toks missing with no staging: torn unversioned writeIndex" +
+        " — rebuild the index (Generations roots cannot reach this state)")
+    val corpusQ = corpusParts.reduce(_ unionByName _)
     val out = rerank(corpusQ, qQ, k)
     qQ.unpersist()
     staged.foreach(_.unpersist())
@@ -481,11 +505,13 @@ object MaxSim {
     * The cap is maintenance-only (OFF in [[writeIndex]]) because the
     * capped shortlist deliberately diverges from [[scoreLshPruned]]'s
     * uncapped contract — production recall/cost tradeoff, not the
-    * oracle path. `toks` is deduped on token identity (doc_id, tok,
-    * vec_id) and rewritten (file compaction after many O(batch)
-    * appends; the dedup also clears any duplicate rows a crashed
-    * [[foldStaging]] left — score-identical until then, garbage
-    * after). The live generation's STAGED rows fold into the new
+    * oracle path. `toks` is full-row deduped and rewritten (file
+    * compaction after many O(batch) appends; the dedup also clears
+    * the bit-identical duplicate rows a crashed [[foldStaging]] left
+    * — score-identical until then, pure bloat after — while
+    * conflicting same-token payloads from out-of-contract callers
+    * keep BOTH rows, resolving under MAX exactly as they did
+    * pre-compact). The live generation's STAGED rows fold into the new
     * generation too — a compact must never lose buffered docs — and
     * the new generation starts with empty staging. Returns the new
     * live generation.
@@ -530,7 +556,7 @@ object MaxSim {
         .unionByName(st.select(toksCols.map(col): _*)))
       .getOrElse(spark.read.parquet(s"$live/toks").select(toksCols.map(col): _*))
     toksAll
-      .dropDuplicates("doc_id", "tok", "vec_id")
+      .dropDuplicates() // full-row: see foldStaging on why not identity
       .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$gen/toks")

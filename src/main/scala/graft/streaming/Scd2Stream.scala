@@ -52,20 +52,34 @@ import graft.ops.ChangeCapture
 object Scd2Stream {
 
   /** Fold one batch of change events into the interval store. Rows
-    * older than their key's HIGH WATERMARK — the max event time the
-    * key has ever folded, carried as an `hwm` column on the store —
-    * are appended to `<store>/_latedata` with `batch_id = batchId`
-    * instead of folded.
+    * older than their key's HIGH WATERMARK — the max (event time,
+    * tie) pair the key has ever folded, carried as `hwm`/`hwm_tie`
+    * columns on the store — are appended to `<store>/_latedata` with
+    * `batch_id = batchId` instead of folded.
     *
-    * The watermark, not the open interval's `valid_from`, is the
-    * guard: [[ChangeCapture.scd2]] collapses an event that re-asserts
-    * the current state into the open interval, so `valid_from` can be
-    * OLDER than events the store has already seen — a row younger
-    * than `valid_from` but older than a collapsed re-assertion would
-    * pass a `valid_from` guard and silently misfold (the q194 gate
-    * caught exactly this: 3 intervals lost on the real slice).
-    * Quarantined rows do not advance the watermark; the backfill
-    * recomputes it from the log.
+    * The watermark PAIR, not the open interval's `valid_from`, is the
+    * guard, for two reasons. (1) [[ChangeCapture.scd2]] collapses an
+    * event that re-asserts the current state into the open interval,
+    * so `valid_from` can be OLDER than events the store has already
+    * seen — a row younger than `valid_from` but older than a
+    * collapsed re-assertion would pass a `valid_from` guard and
+    * silently misfold (the q194 gate caught exactly this: 3 intervals
+    * lost on the real slice). (2) A timestamp alone has the same hole
+    * one level down: a row whose ts EQUALS the watermark but whose
+    * tie sorts BEFORE the watermark event regresses in (ts, tie)
+    * order — the order scd2 folds by — so the guard compares the
+    * lexicographic pair. Quarantined rows do not advance the
+    * watermark; the backfill recomputes it from the log.
+    *
+    * The dead-letter append happens AFTER the fold commits (late rows
+    * snapshot via localCheckpoint first): a fold that fails leaves no
+    * dead-letter residue to double on retry. A crash INSIDE the
+    * fold-vs-marker rename window can still replay the batch against
+    * its own folded state, re-classifying already-folded rows as late
+    * — spurious dead-letter rows, which [[backfillQuarantine]] drains
+    * harmlessly because it recomputes from the LOG and only reads
+    * quarantined KEYS, never quarantined contents. `_latedata` counts
+    * are advisory, not exactly-once.
     */
   def applyBatch(spark: SparkSession, store: String, batch: DataFrame,
                  keyCol: String, tsCol: String, tieCol: String,
@@ -75,46 +89,53 @@ object Scd2Stream {
       col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
-    def withHwm(df: DataFrame, src: DataFrame): DataFrame =
-      df.join(src.groupBy(keyCol).agg(max(col(tsCol)).as("hwm")), Seq(keyCol))
     // data probe, not bare exists: the dir may already hold only the
     // _applied markers of empty batches (or _temporary debris from a
     // crashed first write) — states a bare exists would send into a
     // doomed read. Append for the same reason: the dir may exist.
     if (!BatchMarkers.hasData(spark, store)) {
-      kb(withHwm(ChangeCapture.scd2(ev, keyCol, tsCol, tieCol, stateCols), ev))
+      kb(ChangeCapture.scd2(ev, keyCol, tsCol, tieCol, stateCols)
+          .join(hwmOf(ev, keyCol, tsCol, tieCol), Seq(keyCol)))
         .write.mode("append").partitionBy("kb").parquet(store)
       return
     }
     val touchedKb = ev
       .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
       .distinct().collect().map(_.get(0))
-    // partition-pruned: only the touched buckets are ever read
-    val cur = spark.read.parquet(store)
-      .where(col("kb").isin(touchedKb: _*)).drop("kb")
-    // late-row split against the watermark (read off the key's open
-    // row). Keys with no open interval (never seen) are on-time by
-    // definition. persist: `tagged` feeds both halves of the split.
+    // partition-pruned: only the touched buckets are ever read. kb is
+    // kept so the WRITE set below can narrow further — to buckets
+    // holding at least one on-time key (an all-late batch segment
+    // must not rewrite its buckets byte-identically)
+    val curAll = spark.read.parquet(store)
+      .where(col("kb").isin(touchedKb: _*))
+    // late-row split against the watermark pair (read off the key's
+    // open row). Keys with no open interval (never seen) are on-time
+    // by definition. localCheckpoint: the split feeds writes that
+    // replace the very files this plan reads.
     val evKeys = ev.select(keyCol).distinct()
-    val openAll = cur.where(col("is_current"))
+    val openAll = curAll.where(col("is_current"))
       .join(evKeys, Seq(keyCol), "left_semi")
     val tagged = ev.join(
-      openAll.select(col(keyCol), col("hwm").as("__hwm")),
-      Seq(keyCol), "left").persist()
-    try {
-      val lateRows = tagged
-        .where(col("__hwm").isNotNull && col(tsCol) < col("__hwm"))
-        .drop("__hwm")
-      if (!lateRows.isEmpty)
-        lateRows.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$store/_latedata")
-      val onTime = tagged
-        .where(col("__hwm").isNull || col(tsCol) >= col("__hwm"))
-        .drop("__hwm")
-      if (onTime.isEmpty) return
+      openAll.select(col(keyCol), col("hwm").as("__hwm"),
+        col("hwm_tie").as("__hwmt")),
+      Seq(keyCol), "left").localCheckpoint(true)
+    val regressed = struct(col(tsCol).as("h"), col(tieCol).as("t")) <
+      struct(col("__hwm").as("h"), col("__hwmt").as("t"))
+    val lateRows = tagged
+      .where(col("__hwm").isNotNull && regressed)
+      .drop("__hwm", "__hwmt")
+    val onTime = tagged
+      .where(col("__hwm").isNull || !regressed)
+      .drop("__hwm", "__hwmt")
+    if (!onTime.isEmpty) {
       // the fold sees only on-time keys: a key whose rows ALL
       // quarantined is untouched and its history must carry through
       val keys = onTime.select(keyCol).distinct()
+      // bounded driver read #2: the write-set buckets (<= nBuckets)
+      val onTimeKb = keys
+        .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
+        .distinct().collect().map(_.get(0))
+      val cur = curAll.where(col("kb").isin(onTimeKb: _*)).drop("kb")
       val openTouched = cur.where(col("is_current"))
         .join(keys, Seq(keyCol), "left_semi")
       val openAsEvents = openTouched.select(
@@ -122,12 +143,20 @@ object Scd2Stream {
           stateCols.map(col): _*)
       val redone0 = ChangeCapture.scd2(openAsEvents.unionByName(onTime),
         keyCol, tsCol, tieCol, stateCols)
-      // watermark advance: max(old hwm, batch max) per on-time key —
-      // attached to every redone row, read back off the open row
-      val newHwm = onTime.groupBy(keyCol).agg(max(col(tsCol)).as("__bmax"))
-        .join(openTouched.select(col(keyCol), col("hwm")), Seq(keyCol), "left")
+      // watermark advance: lexicographic max(old pair, batch pair)
+      // per on-time key — attached to every redone row, read back
+      // off the open row
+      val newHwm = hwmOf(onTime, keyCol, tsCol, tieCol)
+        .withColumnRenamed("hwm", "__bh").withColumnRenamed("hwm_tie", "__bt")
+        .join(openTouched.select(col(keyCol), col("hwm"), col("hwm_tie")),
+          Seq(keyCol), "left")
         .select(col(keyCol),
-          greatest(coalesce(col("hwm"), col("__bmax")), col("__bmax")).as("hwm"))
+          greatest(
+            coalesce(struct(col("hwm").as("h"), col("hwm_tie").as("t")),
+              struct(col("__bh").as("h"), col("__bt").as("t"))),
+            struct(col("__bh").as("h"), col("__bt").as("t"))).as("__p"))
+        .select(col(keyCol), col("__p.h").as("hwm"),
+          col("__p.t").as("hwm_tie"))
       val redone = redone0.join(newHwm, Seq(keyCol))
       val untouchedKeys = cur.join(keys, Seq(keyCol), "left_anti")
       // closed rows carry their pre-batch hwm — stale but unread (the
@@ -142,8 +171,23 @@ object Scd2Stream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb")
         .parquet(store)
-    } finally { tagged.unpersist(); () }
+    }
+    // dead-letter AFTER the fold committed (see scaladoc); lateRows is
+    // checkpointed above, immune to the overwrite
+    if (!lateRows.isEmpty)
+      lateRows.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$store/_latedata")
   }
+
+  /** Per-key lexicographic max (ts, tie) of an event frame, as
+    * `(key, hwm, hwm_tie)` — the watermark the store carries.
+    */
+  private def hwmOf(ev: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String): DataFrame =
+    ev.groupBy(keyCol)
+      .agg(max(struct(col(tsCol), col(tieCol))).as("__p"))
+      .select(col(keyCol), col("__p")(tsCol).as("hwm"),
+        col("__p")(tieCol).as("hwm_tie"))
 
   /** Drain the `_latedata` quarantine: recompute the affected keys'
     * history from the FULL event log and swap exactly their buckets.
@@ -190,7 +234,7 @@ object Scd2Stream {
       col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
     // watermark recomputed from the log (the late rows fold in here)
     val redone = ChangeCapture.scd2(events, keyCol, tsCol, tieCol, stateCols)
-      .join(events.groupBy(keyCol).agg(max(col(tsCol)).as("hwm")), Seq(keyCol))
+      .join(hwmOf(events, keyCol, tsCol, tieCol), Seq(keyCol))
     val untouched = cur.join(keys, Seq(keyCol), "left_anti")
     kb(untouched.unionByName(redone)).localCheckpoint()
       .write.mode("overwrite")

@@ -220,6 +220,34 @@ class MaxSimSpec extends SparkSpec {
       "a doc visible in both staging and partitions must not change a bit")
   }
 
+  test("buffered append on a FRESH path: staged docs retrievable before any fold") {
+    val d = corpus16
+    val fresh = java.nio.file.Files.createTempDirectory("maxsim_fresh").toString
+    val twin = java.nio.file.Files.createTempDirectory("maxsim_twin").toString
+    val batch = d.where(col("doc_id") < 4)
+    // no writeIndex ever ran on `fresh`: only staging exists, and the
+    // probe must still work (the scaladoc's "retrievable the moment
+    // the append returns" has no fold precondition)
+    assert(!MaxSim.appendIndexBuffered(batch, fresh, nPlanes = 3, dims = 8,
+      dBuckets = 4))
+    MaxSim.writeIndex(batch, twin, nPlanes = 3, dims = 8, dBuckets = 4)
+    def rows(idx: String) =
+      MaxSim.searchIndex(spark, idx, d.where(col("doc_id") === 0),
+          k = 8, nPlanes = 3, dims = 8, dBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = rows(fresh)
+    assert(got.nonEmpty && got == rows(twin),
+      "staging-only probe must score like a built index over the same docs")
+    // probing a path with NO data at all fails loudly, not obscurely
+    val none = java.nio.file.Files.createTempDirectory("maxsim_none").toString
+    val e = intercept[IllegalArgumentException] {
+      MaxSim.searchIndex(spark, none, d.where(col("doc_id") === 0),
+        k = 8, nPlanes = 3, dims = 8, dBuckets = 4)
+    }
+    assert(e.getMessage.contains("no index at"))
+  }
+
   test("versioned index: build under Generations, probe the live path") {
     val d = corpus16
     val root = java.nio.file.Files.createTempDirectory("maxsimroot").toString

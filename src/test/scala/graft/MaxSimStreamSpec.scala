@@ -106,12 +106,11 @@ class MaxSimStreamSpec extends SparkSpec {
     assert(gen2 != gen1)
     val compacted = spark.read.parquet(s"$gen2/postings")
     assert(compacted.count() == compacted.distinct().count())
-    // tokens survive compaction deduped on token identity: doc 3's
-    // replayed copies (score-identical bloat) are collapsed, every
-    // distinct token row is carried
+    // tokens survive compaction full-row deduped: doc 3's replayed
+    // bit-identical copies (score-identical bloat) are collapsed,
+    // every distinct token row is carried
     assert(spark.read.parquet(s"$gen2/toks").count() ==
-      spark.read.parquet(s"$gen1/toks")
-        .dropDuplicates("doc_id", "tok", "vec_id").count())
+      spark.read.parquet(s"$gen1/toks").dropDuplicates().count())
 
     // a cap that drops EVERYTHING must refuse loudly, not publish a
     // generation with an unreadable empty postings dir

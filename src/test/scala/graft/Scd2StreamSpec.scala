@@ -68,6 +68,33 @@ class Scd2StreamSpec extends SparkSpec {
     assert(q == Seq((1L, 3L, "B", 7L)))
   }
 
+  test("equal-ts tie regression quarantines: the watermark is the (ts, tie) pair") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_tie").toString
+    val store = s"$tmp/dim"
+    // batch 0 collapses (1,10,B),(1,100,B) to open [10,inf)B with
+    // watermark (ts=100, tie=5). The tie-3 row at ts=100 sorts BEFORE
+    // the folded tie-5 event in scd2's (ts, tie) order — a ts-only
+    // watermark would call it on-time and fold [100,inf)C, silently
+    // contradicting the one-shot truth (current state is B)
+    val b0 = Seq((1L, 10L, 1L, "B"), (1L, 100L, 5L, "B"))
+    val tieReg = Seq((1L, 100L, 3L, "C"))
+    Scd2Stream.applyBatch(spark, store, ev(b0), "user_id", "ts", "event_id",
+      Seq("state"), nBuckets = 4, batchId = 0L)
+    Scd2Stream.applyBatch(spark, store, ev(tieReg), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 1L)
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(b0), "user_id", "ts", "event_id",
+        Seq("state"))), "tie-regressed row must not fold")
+    assert(spark.read.parquet(s"$store/_latedata").count() == 1L)
+    // and the log backfill restores the full one-shot truth,
+    // zero-length [100,100)C interval included
+    Scd2Stream.backfillQuarantine(spark, store, ev(b0 ++ tieReg),
+      "user_id", "ts", "event_id", Seq("state"), nBuckets = 4)
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(b0 ++ tieReg), "user_id", "ts",
+        "event_id", Seq("state"))))
+  }
+
   test("backfillQuarantine drains late rows from the log; store equals one-shot scd2") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_bf").toString
     val store = s"$tmp/dim"
