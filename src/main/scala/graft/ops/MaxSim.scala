@@ -48,6 +48,18 @@ object MaxSim {
     Similarity.withQuantized(toks, "embedding")
       .select(col("doc_id"), col("tok"), col("vec_id"), col("ei"), col("nn"))
 
+  /** Quantize a (doc_id, tok, vec_id, embedding) token table into the
+    * index row shape (doc_id, tok, vec_id, ei, nn) — the frame
+    * [[searchIndexQuantized]] and [[appendIndexBufferedQuantized]]
+    * consume. A streaming intake quantizes each batch ONCE here (and
+    * `localCheckpoint`s it) instead of paying the same quantization
+    * inside the probe AND again inside the append — half of the
+    * per-batch fixed bill the r13 chain measured at ~5.3 s
+    * (`maxsim_probe_after_12appends`) was repeated work of exactly
+    * this kind.
+    */
+  def quantizeBag(toks: DataFrame): DataFrame = quantized(toks)
+
   /** Exact MaxSim top-k: query token table broadcast, one corpus
     * token scan, two map-side-combinable aggregations (max per
     * (query-token, doc), sum per (query, doc)), window top-k.
@@ -328,13 +340,40 @@ object MaxSim {
     * The size probe is one driver-side directory listing (no job);
     * staging is bounded by `foldBytes` + one batch, so the probe-side
     * union stays small by construction.
+    *
+    * WRITER CONTRACT — one owner per index path: appends and folds
+    * (this method's threshold fold, an explicit [[foldStaging]], and
+    * [[compactVersioned]]/[[maintain]]) must all be serialized
+    * through whatever owns the ingest cadence — the
+    * [[Generations]] single-cadence-owner assumption, which
+    * [[graft.streaming.MaxSimStream]] satisfies by construction (one
+    * foreachBatch thread does both). Readers are unlimited. The fold
+    * does carry a belt-and-braces re-check (a staged file that lands
+    * between the fold's snapshot and its pointer flip is copied into
+    * the fresh staging generation, never stranded — see
+    * [[foldStaging]]), but that covers the append-during-fold window
+    * only; two concurrent FOLDS still race the same next-generation
+    * directory and are out of contract.
     */
   def appendIndexBuffered(batchToks: DataFrame, path: String, nPlanes: Int,
                           dims: Int, dBuckets: Int = 64,
-                          foldBytes: Long = 64L << 20): Boolean = {
+                          foldBytes: Long = 64L << 20): Boolean =
+    appendIndexBufferedQuantized(quantized(batchToks), path, nPlanes, dims,
+      dBuckets, foldBytes)
+
+  /** [[appendIndexBuffered]] over an ALREADY-quantized batch — the
+    * [[quantizeBag]] frame, so a streaming intake that just probed
+    * with the same bag ([[searchIndexQuantized]]) does not pay the
+    * quantization twice. Same writer contract as
+    * [[appendIndexBuffered]].
+    */
+  def appendIndexBufferedQuantized(qRows: DataFrame, path: String,
+                                   nPlanes: Int, dims: Int,
+                                   dBuckets: Int = 64,
+                                   foldBytes: Long = 64L << 20): Boolean = {
     require(nPlanes >= 1 && nPlanes <= 31,
       s"nPlanes in [1,31] for int partition keys (got $nPlanes)")
-    val spark = batchToks.sparkSession
+    val spark = qRows.sparkSession
     val root = stagingRoot(path)
     val live = Generations.current(spark, root) match {
       case Some(_) => Generations.livePath(spark, root)
@@ -351,7 +390,8 @@ object MaxSim {
     // have distinct'd it) while replays of the same doc under a
     // different aid still count as the duplicates they are
     val aid = java.util.UUID.randomUUID().toString
-    quantized(batchToks)
+    qRows
+      .select(col("doc_id"), col("tok"), col("vec_id"), col("ei"), col("nn"))
       .withColumn("bucket", bucketCol(nPlanes, dims).cast("int"))
       .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
       .withColumn("aid", lit(aid))
@@ -366,6 +406,21 @@ object MaxSim {
     if (bytes >= foldBytes) { foldStaging(spark, path); true } else false
   }
 
+  /** Non-hidden data files of one directory — the fold's snapshot
+    * unit (a staging generation is a flat dir of coalesced parquet
+    * files, never nested).
+    */
+  private def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
+
   /** Fold the live staging generation into the bucket partitions and
     * flip to a fresh empty staging generation. Crash anywhere in the
     * sequence is benign: a crash after either append re-folds the
@@ -373,13 +428,41 @@ object MaxSim {
     * and [[compactVersioned]] removes them); the flip itself is the
     * [[Generations]] pointer commit. No-op if staging is absent or
     * empty.
+    *
+    * WRITER CONTRACT: one owner per index path serializes appends and
+    * folds (see [[appendIndexBuffered]]). Belt and braces for the
+    * append-during-fold window anyway: the fold reads an explicit
+    * FILE SNAPSHOT of the live staging generation, and any staged
+    * file that landed after the snapshot is COPIED into the fresh
+    * staging generation before the pointer flip — an out-of-contract
+    * racing append is carried forward, never silently stranded behind
+    * the flip and pruned. Copy, not rename: the superseded generation
+    * keeps its full file set, so a probe that planned against it
+    * mid-fold never hits FileNotFound (the prune grace window's
+    * guarantee). A crash between the copy and the flip re-folds the
+    * old generation — including the already-copied file, whose rows
+    * then sit in both the partitions and the fresh staging — which is
+    * score-identical (MAX-idempotent re-rank, distinct'd candidates)
+    * and compacted away by [[compactVersioned]].
     */
   def foldStaging(spark: org.apache.spark.sql.SparkSession,
                   path: String, keep: Int = 2): Unit = {
     val root = stagingRoot(path)
     if (Generations.current(spark, root).isEmpty) return
-    stagedRows(spark, path).foreach { staged =>
-      val s = staged.persist()
+    val live = Generations.livePath(spark, root)
+    foldStagingSnapshot(spark, path, live, dataFiles(spark, live), keep)
+  }
+
+  /** The fold body over an explicit staging-file snapshot — split out
+    * so the snapshot-vs-flip race window is testable (the spec hands
+    * in a deliberately stale snapshot).
+    */
+  private[graft] def foldStagingSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String, live: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path], keep: Int = 2): Unit = {
+    val root = stagingRoot(path)
+    if (snapshot.nonEmpty) {
+      val s = spark.read.parquet(snapshot.map(_.toString): _*).persist()
       s.select("bucket", "doc_id").distinct()
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
@@ -400,8 +483,19 @@ object MaxSim {
       ()
     }
     val next = Generations.nextPath(spark, root)
-    val p = new org.apache.hadoop.fs.Path(next)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    val nextP = new org.apache.hadoop.fs.Path(next)
+    val fs = nextP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(nextP)
+    // carry any post-snapshot racing append into the fresh generation
+    // BEFORE the flip (see scaladoc); overwrite=true makes the copy
+    // idempotent under a crash-refold
+    val snapNames = snapshot.map(_.getName).toSet
+    dataFiles(spark, live).filterNot(f => snapNames(f.getName)).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+        new org.apache.hadoop.fs.Path(nextP, f.getName),
+        false, true, spark.sparkContext.hadoopConfiguration)
+      ()
+    }
     Generations.publish(spark, root, next)
     Generations.prune(spark, root, keep)
   }
@@ -425,9 +519,38 @@ object MaxSim {
     */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryToks: DataFrame, k: Int, nPlanes: Int, dims: Int,
-                  dBuckets: Int = 64, multiProbe: Int = 0): DataFrame = {
-    val qQ = quantized(queryToks).persist()
-    val staged = stagedRows(spark, path).map(_.persist())
+                  dBuckets: Int = 64, multiProbe: Int = 0): DataFrame =
+    searchIndexQuantized(spark, path,
+      quantized(queryToks).localCheckpoint(true), k, nPlanes, dims,
+      dBuckets, multiProbe)
+
+  /** [[searchIndex]] over an ALREADY-quantized query bag — the
+    * [[quantizeBag]] frame, which the caller should `localCheckpoint`
+    * (it is read three times: bucket collect, re-rank broadcast, and
+    * whatever action the caller runs on the result). The streaming
+    * intake quantizes each batch once and feeds the same frame here
+    * and to [[appendIndexBufferedQuantized]].
+    *
+    * Probe cost discipline (the r13 chain was PROBE-bound at ~5.3 s
+    * per batch): the postings layer is scanned exactly ONCE — the
+    * candidate-doc shortlist materializes eagerly via
+    * `localCheckpoint` with its doc-hash bucket attached, so the
+    * second bounded driver read (the dbucket list) and the re-rank's
+    * candidate joins all reuse the materialized shortlist instead of
+    * re-running the postings scan (the previous shape paid it up to
+    * three times: dbucket collect, toks join, and the caller's
+    * action). The checkpoint is O(shortlist doc ids) — the frame
+    * every later stage filters by, never corpus-sized unless the
+    * query's buckets genuinely cover the corpus.
+    */
+  def searchIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+                           path: String, qQ: DataFrame, k: Int,
+                           nPlanes: Int, dims: Int, dBuckets: Int = 64,
+                           multiProbe: Int = 0): DataFrame = {
+    // staging is byte-bounded (foldBytes + one batch), so an eager
+    // checkpoint here is small and saves re-reading the staging file
+    // in each of the three places it joins below
+    val staged = stagedRows(spark, path).map(_.localCheckpoint(true))
     // a staging-only index is legal: appendIndexBuffered on a path
     // never written by writeIndex creates no partitioned dirs until
     // the first fold, and "retrievable the moment the append returns"
@@ -436,6 +559,8 @@ object MaxSim {
     val mainExists = Generations.hasData(spark, s"$path/postings")
     require(mainExists || staged.isDefined,
       s"no index at $path: neither partitions nor staged appends")
+    // bounded driver read #1: <= distinct query-token (multi-)probe
+    // buckets — prunes the postings read to exactly those partitions
     val qBuckets = qQ
       .select(explode(probeBucketsCol(nPlanes, dims, multiProbe)).as("bl"))
       .select(col("bl").cast("int").as("b"))
@@ -450,9 +575,13 @@ object MaxSim {
         .select("doc_id"))
     val candDocs = (candMain.toSeq ++ candStaged.toSeq)
       .reduce(_ unionByName _).distinct()
-    val candDb = candDocs
-      .select(dbucketCol(col("doc_id"), dBuckets).as("db"))
+      .withColumn("__db", dbucketCol(col("doc_id"), dBuckets))
+      .localCheckpoint(true)
+    // bounded driver read #2: <= dBuckets values, off the checkpointed
+    // shortlist — no second postings scan
+    val candDb = candDocs.select("__db")
       .distinct().collect().map(_.getInt(0))
+    val candIds = candDocs.select("doc_id")
     // probed separately from postings: a crash between the fold's two
     // partitioned writes can leave postings without toks — those
     // docs' vectors are still in staging (the flip hasn't happened)
@@ -460,21 +589,18 @@ object MaxSim {
       if (Generations.hasData(spark, s"$path/toks"))
         Some(spark.read.parquet(s"$path/toks")
           .where(col("dbucket").isin(candDb.map(Integer.valueOf): _*))
-          .join(candDocs, "doc_id")
+          .join(candIds, "doc_id")
           .select("doc_id", "tok", "vec_id", "ei", "nn"))
       else None
     val corpusStaged = staged.map(
-      _.join(candDocs, "doc_id")
+      _.join(candIds, "doc_id")
         .select("doc_id", "tok", "vec_id", "ei", "nn"))
     val corpusParts = corpusMain.toSeq ++ corpusStaged.toSeq
     require(corpusParts.nonEmpty,
       s"$path/toks missing with no staging: torn unversioned writeIndex" +
         " — rebuild the index (Generations roots cannot reach this state)")
     val corpusQ = corpusParts.reduce(_ unionByName _)
-    val out = rerank(corpusQ, qQ, k)
-    qQ.unpersist()
-    staged.foreach(_.unpersist())
-    out
+    rerank(corpusQ, qQ, k)
   }
 
   /** [[writeIndex]] into the next [[Generations]] slot under `root`,

@@ -91,9 +91,14 @@ object MaxSimStream {
                  batchId: Long, foldBytes: Long = 64L << 20): Unit = {
     val spark = batchToks.sparkSession
     val live = Generations.livePath(spark, indexRoot)
+    // ONE quantization per batch, shared by the probe and the append
+    // (the r13 chain was probe-bound; re-quantizing the same bag
+    // twice per batch was part of that fixed bill). Checkpointed: the
+    // probe reads it three times and the append once.
+    val qRows = MaxSim.quantizeBag(batchToks).localCheckpoint(true)
     // snapshot the scores BEFORE the index append: the append adds
     // files to the partitions the probe plan's scans list
-    val scored = MaxSim.searchIndex(spark, live, batchToks, k, nPlanes,
+    val scored = MaxSim.searchIndexQuantized(spark, live, qRows, k, nPlanes,
       dims, dBuckets).localCheckpoint(true)
     // batch-partitioned + dynamic overwrite: a replay of this batch id
     // replaces ONLY its own partition (never other batches' rows), so
@@ -107,7 +112,7 @@ object MaxSimStream {
     // its crash-replay duplicates, score-identical under the
     // MAX-idempotent re-rank) runs inside this same BatchMarkers
     // guard, so an identified replay skips the fold with the rest
-    MaxSim.appendIndexBuffered(batchToks, live, nPlanes, dims, dBuckets,
+    MaxSim.appendIndexBufferedQuantized(qRows, live, nPlanes, dims, dBuckets,
       foldBytes)
     ()
   }

@@ -129,15 +129,35 @@ class MaxSimSpec extends SparkSpec {
     val q = d.where(col("doc_id") === 0)
     val idx = java.nio.file.Files.createTempDirectory("maxsim").toString
     MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
-    val plan = MaxSim.searchIndex(spark, idx, q, k = 4, nPlanes = 3,
-      dims = 8, dBuckets = 4).queryExecution.executedPlan.toString
+    // the postings scan runs eagerly inside the probe (the shortlist
+    // materializes once — r14's single-scan discipline), so its plan
+    // is only visible through the execution listener; the toks scan
+    // stays in the returned plan
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    val all =
+      try {
+        MaxSim.searchIndex(spark, idx, q, k = 4, nPlanes = 3,
+          dims = 8, dBuckets = 4).collect()
+        Thread.sleep(1500) // drain the listener bus (BenchScale idiom)
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      } finally spark.listenerManager.unregister(ql)
     // both scans carry static partition filters (the bounded
     // bucket/dbucket driver reads) — the probe never lists, let
     // alone reads, unrelated bucket directories
-    assert(plan.contains("PartitionFilters: [bucket"),
-      s"postings read not bucket-pruned:\n$plan")
-    assert(plan.contains("PartitionFilters: [dbucket"),
-      s"token read not dbucket-pruned:\n$plan")
+    assert(all.contains("PartitionFilters: [bucket"),
+      s"postings read not bucket-pruned:\n$all")
+    assert(all.contains("PartitionFilters: [dbucket"),
+      s"token read not dbucket-pruned:\n$all")
   }
 
   test("O(batch) append: new doc becomes findable, old partitions untouched") {
@@ -256,6 +276,69 @@ class MaxSimSpec extends SparkSpec {
     val got = MaxSim.searchIndex(spark, live, d.where(col("doc_id") < 2),
       k = 4, nPlanes = 3, dims = 8, dBuckets = 4)
     assert(got.count() > 0)
+  }
+
+  test("pre-quantized probe and append equal the unquantized entry points") {
+    val d = corpus16
+    val idx = java.nio.file.Files.createTempDirectory("maxsim_q").toString
+    val twin = java.nio.file.Files.createTempDirectory("maxsim_qt").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    MaxSim.writeIndex(d, twin, nPlanes = 3, dims = 8, dBuckets = 4)
+    val batch = d.where(col("doc_id") === 3)
+      .select((col("doc_id") + 100L).as("doc_id"), col("tok"),
+        (col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    // the streaming shape: quantize ONCE, share across append + probe
+    val qRows = MaxSim.quantizeBag(batch).localCheckpoint(true)
+    assert(!MaxSim.appendIndexBufferedQuantized(qRows, idx, nPlanes = 3,
+      dims = 8, dBuckets = 4))
+    assert(!MaxSim.appendIndexBuffered(batch, twin, nPlanes = 3, dims = 8,
+      dBuckets = 4))
+    val q = d.where(col("doc_id") === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaQ = rows(MaxSim.searchIndexQuantized(spark, idx,
+      MaxSim.quantizeBag(q).localCheckpoint(true), k = 16, nPlanes = 3,
+      dims = 8, dBuckets = 4))
+    val viaPlain = rows(MaxSim.searchIndex(spark, twin, q, k = 16,
+      nPlanes = 3, dims = 8, dBuckets = 4))
+    assert(viaQ.exists(_._3 == 103L), "staged doc must be findable")
+    assert(viaQ == viaPlain,
+      "pre-quantized path must score bit-identically to the plain one")
+  }
+
+  test("a staged file landing after the fold's snapshot survives the flip") {
+    val d = corpus16
+    val idx = java.nio.file.Files.createTempDirectory("maxsim_race").toString
+    MaxSim.writeIndex(d, idx, nPlanes = 3, dims = 8, dBuckets = 4)
+    def batchFor(doc: Long, idOff: Long) = d.where(col("doc_id") === doc)
+      .select((col("doc_id") + idOff).as("doc_id"), col("tok"),
+        (col("vec_id") + idOff * 100L).as("vec_id"), col("embedding"))
+    assert(!MaxSim.appendIndexBuffered(batchFor(3L, 100L), idx,
+      nPlanes = 3, dims = 8, dBuckets = 4))
+    val live = graft.ops.Generations.livePath(spark, s"$idx/staging")
+    // snapshot taken NOW — then a racing append lands one more file
+    // before the fold flips (the out-of-contract window the
+    // foldStaging scaladoc names)
+    val snapshot = new java.io.File(live.stripPrefix("file:")).listFiles()
+      .toSeq
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+    assert(!MaxSim.appendIndexBuffered(batchFor(5L, 200L), idx,
+      nPlanes = 3, dims = 8, dBuckets = 4))
+    MaxSim.foldStagingSnapshot(spark, idx, live, snapshot)
+    // the racing file was carried into the FRESH staging generation —
+    // its doc is still retrievable, and the snapshot's doc folded
+    val newLive = graft.ops.Generations.livePath(spark, s"$idx/staging")
+    assert(newLive != live, "fold must flip to a new staging generation")
+    assert(graft.ops.Generations.hasData(spark, newLive),
+      "the post-snapshot file must be carried into the new generation")
+    def found(doc: Long) =
+      MaxSim.searchIndex(spark, idx, d.where(col("doc_id") === doc % 100),
+          k = 16, nPlanes = 3, dims = 8, dBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(found(103L).contains(103L), "folded doc lost")
+    assert(found(205L).contains(205L), "racing staged doc stranded by the flip")
   }
 
   test("plan: query side broadcasts — no sort-merge join anywhere") {
