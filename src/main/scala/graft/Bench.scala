@@ -31,7 +31,15 @@ import org.apache.spark.sql.SparkSession
   *      machine-visible instead of indistinguishable from a
   *      regression;
   *   4. the 1-minute load average is also sampled before and after
-  *      the whole run (`load_avg_start`/`load_avg_end`).
+  *      the whole run (`load_avg_start`/`load_avg_end`), and the MAX
+  *      per-query sample is surfaced as `load_max_during`;
+  *   5. SPARK_GRAFT_BENCH_PASSES=N (default 1) repeats the whole
+  *      sweep N times and keeps the per-query min ACROSS passes —
+  *      the run-of-record defense against uniform ambient drift that
+  *      min-of-2-within-one-pass cannot see (the r13 close read ~32%
+  *      over the same binary's mid-round number with a clean start
+  *      load and zero suspects); `pass_totals` carries each pass's
+  *      sum so cross-pass drift is visible in the artifact itself.
   *
   * == Artifact schema ==
   * One JSON object: `metric`/`value`/`unit` (total seconds over all
@@ -97,19 +105,38 @@ object Bench {
     }
 
     var rerunCount = 0
-    val results = sorted.map { case (name, fn) =>
-      val (w1, e1) = timeOnce(fn)
-      val (w2, e2) = timeOnce(fn)
-      val best2 = math.min(w1, w2)
-      val anchor = warmWalls.get(name)
-      val (best, err3) =
-        if (isSuspect(best2, anchor)) {
-          rerunCount += 1
-          val (w3, e3) = timeOnce(fn)
-          (math.min(best2, w3), e3)
-        } else (best2, None)
-      (name, best, e1.orElse(e2).orElse(err3), isSuspect(best, anchor),
-        loadAvg())
+    def runPass(): Seq[(String, Double, Option[String], Double)] =
+      sorted.map { case (name, fn) =>
+        val (w1, e1) = timeOnce(fn)
+        val (w2, e2) = timeOnce(fn)
+        val best2 = math.min(w1, w2)
+        val anchor = warmWalls.get(name)
+        val (best, err3) =
+          if (isSuspect(best2, anchor)) {
+            rerunCount += 1
+            val (w3, e3) = timeOnce(fn)
+            (math.min(best2, w3), e3)
+          } else (best2, None)
+        (name, best, e1.orElse(e2).orElse(err3), loadAvg())
+      }
+    // run-of-record passes (round 14): min-of-2-per-query is robust to
+    // squeezes shorter than one run, but the r13 close drifted ~32%
+    // above the same binary's mid-round number under UNIFORM ambient
+    // contention that no per-query check can see (start-load was 0.47
+    // and nothing was suspect). SPARK_GRAFT_BENCH_PASSES=2 runs the
+    // whole sweep twice and keeps the per-query min across passes —
+    // sustained drift must now persist across the full wall-clock of
+    // both sweeps to pollute the artifact; pass_totals exposes the
+    // drift directly when it happens. Default 1 (the driver's run).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(1).max(1)
+    val allPasses = (1 to passes).map(_ => runPass())
+    val passTotals = allPasses.map(_.map(_._2).sum)
+    val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
+      val runs = allPasses.map(_(i))
+      val best = runs.map(_._2).min
+      (name, best, runs.flatMap(_._3).headOption,
+        isSuspect(best, warmWalls.get(name)), runs.map(_._4).max)
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -137,7 +164,9 @@ object Bench {
     }.sorted
     val floor = floorRuns(floorRuns.length / 2)
     val load1 = loadAvg()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$suspects,"loads":$loads,"floor_sec":$floor,"runs_per_query":2,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}"""
+    val loadMax = results.map(_._5).max
+    val passTotalsJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$suspects,"loads":$loads,"floor_sec":$floor,"runs_per_query":2,"passes":$passes,"pass_totals":$passTotalsJson,"load_max_during":$loadMax,"outlier_reruns":$rerunCount,"load_avg_start":$load0,"load_avg_end":$load1,"sf":"$sfDir"}"""
     println(line)
     // the artifact of record must survive a stdout capture that only
     // keeps the tail (BENCH_r06 preserved 55 of 107 per-query walls);

@@ -1845,7 +1845,146 @@ object BenchScale {
           require(graft.ops.MaxSim.searchIndex(spark, live, qR, k = 10,
             nPlanes = 8, dims = 64).collect().nonEmpty)
         })
-      (fixtureRow +: gtRow +: sweep) ++ msChain
+      // ---- STREAMING chain economics (round 14) ----
+      // The r13 verdict read the 12-append chain as PROBE-bound
+      // (~5.3 s/batch searchIndex x 12 ≈ the whole 63 s wall). These
+      // rows price the REAL streaming loop — MaxSimStream.applyBatch
+      // per batch: ONE shared quantization (quantizeBag), ONE
+      // postings scan per probe (the r14 shortlist checkpoint), the
+      // batch-partitioned sink write, and a buffered staging append —
+      // at realistic per-batch ingest (4 docs x 8 tokens, the qR
+      // probe shape: a streaming intake scores ARRIVING docs, so the
+      // query bag is batch-sized, never corpus-sized). Runs against
+      // msRoot post-compact (a clean index; nothing else reads it
+      // after). Done-bar vs r13: the 12-batch chain materially below
+      // both the 63 s append-chain wall and 12 x the old 5.3 s probe.
+      val streamChain = {
+        var sBatches: Seq[org.apache.spark.sql.DataFrame] = Seq.empty
+        val sSetup = timeOnce("maxsim_stream_chain_setup") {
+          sBatches = (1 to 12).map { i =>
+            graft.ops.MaxSim.multiVector(
+              embBig.where(col("vec_id") >= (i - 1) * 32L &&
+                  col("vec_id") < i * 32L)
+                .select((col("vec_id") + 500000000L).as("vec_id"),
+                  col("embedding"), col("label")),
+              "vec_id", 8).localCheckpoint(true)
+          }
+          require(sBatches.forall(_.count() == 32L),
+            "stream-chain fixture: each batch must carry 32 tokens")
+        }
+        val sChain = timeOnce("maxsim_stream_chain_12batches") {
+          (1 to 12).foreach { i =>
+            graft.streaming.MaxSimStream.applyBatch(sBatches(i - 1), msRoot,
+              s"$tmp/maxsim_stream_out", k = 10, nPlanes = 8, dims = 64,
+              dBuckets = 64, batchId = i.toLong)
+          }
+        }
+        // the probe alone after the chain (staging still unfolded):
+        // the per-batch probe bill the chain row amortizes
+        val sProbe = time("maxsim_probe_after_stream_chain") {
+          val live = graft.ops.Generations.livePath(spark, msRoot)
+          require(graft.ops.MaxSim.searchIndex(spark, live, qR, k = 10,
+            nPlanes = 8, dims = 64).collect().nonEmpty)
+        }
+        Seq(sSetup, sChain, sProbe)
+      }
+      // ---- m2 probe pair at DOUBLE corpus (round 14) ----
+      // The sparse-bag default (p8/mp4) saved 14% vs exact at 1.28M
+      // docs — a default worth keeping only if the gap WIDENS with
+      // corpus growth (the shortlist is sublinear in corpus, the
+      // exact wall linear). Same planted-angular fixture at 2.56M
+      // docs; compare maxsim_lsh_m2_x2_probe_p8_mp4 against the
+      // maxsim_exact_gt_m2_x2_topk10 wall, and the recall row against
+      // the 1.28M 0.875.
+      val m2x2 = {
+        val (c2, q2) = graft.ops.AnnEval.plantedTokenBags(
+          spark, dims = 64, nBgDocs = 2560000L, m = 2,
+          nQueries = 16, nPlanted = 12)
+        var mvX: org.apache.spark.sql.DataFrame = null
+        var qX: org.apache.spark.sql.DataFrame = null
+        var gtX: org.apache.spark.sql.DataFrame = null
+        val fixX = timeOnce("maxsim_recall_m2_x2_fixture_setup") {
+          mvX = c2.localCheckpoint(true)
+          qX = q2.localCheckpoint(true)
+          ()
+        }
+        val gtXRow = timeOnce("maxsim_exact_gt_m2_x2_topk10") {
+          gtX = graft.ops.MaxSim.scoreExact(mvX, qX, k = 10)
+            .localCheckpoint(true)
+          require(gtX.count() > 0)
+        }
+        val probeX = timeOnce("maxsim_lsh_m2_x2_probe_p8_mp4") {
+          require(graft.ops.MaxSim.scoreLshPruned(mvX, qX, k = 10,
+            nPlanes = 8, dims = 64, multiProbe = 4).collect().nonEmpty)
+        }
+        val recX = valueRow("maxsim_recall_milli_m2_x2_p8_mp4") {
+          graft.ops.AnnEval.recallAtK(
+              graft.ops.MaxSim.scoreLshPruned(mvX, qX, k = 10,
+                nPlanes = 8, dims = 64, multiProbe = 4),
+              gtX, "q_doc", "doc_id", k = 10)
+            .agg(avg(col("recall_milli"))).head().getDouble(0)
+        }
+        Seq(fixX, gtXRow, probeX, recX)
+      }
+      (fixtureRow +: gtRow +: sweep) ++ msChain ++ streamChain ++ m2x2
+    } ++ {
+      // ---- SCD2 streaming late-data economics (round 14) ----
+      // r13 shipped the watermark split + quarantine + backfill but
+      // never priced them at x20 (the q190 gate wall doubled with
+      // machinery and drift unseparated). Batches from the 12M-event
+      // log, 64 buckets: the monotone fold prices the split's
+      // overhead when NOTHING is late (watermark join, null guard,
+      // two isEmpty actions, eager checkpoint); the out-of-order fold
+      // adds a ~1% withheld slice whose rows are mostly below their
+      // keys' watermarks — the quarantine write's marginal cost; the
+      // drain row prices backfillQuarantine's semi-join-filtered log
+      // scan + touched-bucket swap at that same realistic fraction.
+      val store = s"$tmp/scd2_store"
+      val evT = evBig.select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      var aB: DataFrame = null; var t1B: DataFrame = null
+      var t2B: DataFrame = null; var holdB: DataFrame = null
+      val scd2Setup = timeOnce("scd2_late_batches_setup") {
+        // time cuts at 80%/90% of the span; the 1% holdout (by
+        // event-id hash, from the first 80%) becomes the late slice
+        val mm = evT.agg(min("ts"), max("ts")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val c = lo + ((hi - lo) * 8) / 10
+        val cc = lo + ((hi - lo) * 9) / 10
+        val hold = pmod(xxhash64(col("event_id")), lit(100)) === 7
+        aB = evT.where(col("ts") < c && !hold).localCheckpoint(true)
+        t1B = evT.where(col("ts") >= c && col("ts") < cc && !hold)
+          .localCheckpoint(true)
+        t2B = evT.where(col("ts") >= cc && !hold).localCheckpoint(true)
+        holdB = evT.where(col("ts") < c && hold).localCheckpoint(true)
+        require(aB.count() > 0 && t1B.count() > 0 && t2B.count() > 0 &&
+          holdB.count() > 0, "scd2 late fixture: empty slice")
+      }
+      val scd2Init = timeOnce("scd2_stream_initial_fold") {
+        graft.streaming.Scd2Stream.applyBatch(spark, store, aB,
+          "user_id", "ts", "event_id", Seq("event_type"),
+          nBuckets = 64, batchId = 0L)
+      }
+      val scd2Mono = timeOnce("scd2_fold_monotone") {
+        graft.streaming.Scd2Stream.applyBatch(spark, store, t1B,
+          "user_id", "ts", "event_id", Seq("event_type"),
+          nBuckets = 64, batchId = 1L)
+      }
+      val scd2Ooo = timeOnce("scd2_fold_outoforder") {
+        graft.streaming.Scd2Stream.applyBatch(spark, store,
+          t2B.unionByName(holdB), "user_id", "ts", "event_id",
+          Seq("event_type"), nBuckets = 64, batchId = 2L)
+      }
+      val scd2LateRows = valueRow("scd2_quarantined_rows") {
+        spark.read.parquet(s"$store/_latedata").count().toDouble
+      }
+      val scd2Drain = timeOnce("scd2_backfill_drain") {
+        require(graft.streaming.Scd2Stream.backfillQuarantine(spark, store,
+            evT, "user_id", "ts", "event_id", Seq("event_type"),
+            nBuckets = 64) > 0,
+          "scd2 late fixture: the out-of-order fold quarantined nothing")
+      }
+      Seq(scd2Setup, scd2Init, scd2Mono, scd2Ooo, scd2LateRows, scd2Drain)
     } ++ Seq(
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one

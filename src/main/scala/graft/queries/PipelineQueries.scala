@@ -593,6 +593,63 @@ object PipelineQueries {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // SCD2 SELF-REPAIRING stream, oracle-gated (round 14): q194's
+    // out-of-order feed again (terciles 1, 3, 2), but the stream owns
+    // its whole repair loop — the attach point TEES each batch's raw
+    // events to <store>/_eventlog (the backfill capture contract: a
+    // deployment that only ran the stream has no other log) and runs
+    // the quarantine drain INSIDE its own foreachBatch tick every 2nd
+    // batch (the serialization backfillQuarantine's contract demands;
+    // a drain racing a live fold would silently lose the fold). No
+    // manual backfill call anywhere: the batch-id-2 tick quarantines
+    // tercile 2 AND drains it from the tee in the same guard. The
+    // oracle is the one-shot scd2 over the slice.
+    "q195_scd2_stream_drain" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("event_id") % 23 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      // bounded driver read: one min/max row for the tercile cuts
+      val mm = ev.agg(min("us"), max("us")).head()
+      require(!mm.isNullAt(0), "q195: the event_id % 23 slice is empty")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val store = java.nio.file.Files.createTempDirectory("graft_q195")
+        .resolve("scd2").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q195_ck")
+        .toString
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val rows = mem.toDS().toDF("user_id", "us", "event_id", "event_type")
+      val q = graft.streaming.Scd2Stream.start(rows, store, "user_id",
+        "us", "event_id", Seq("event_type"), ckpt, nBuckets = 16,
+        teeEventLog = true, drainEvery = 2)
+      // bounded driver read: ~140 rows per tercile at the sf0.01 gate
+      def batch(a: Long, b: Long): Seq[(Long, Long, Long, String)] =
+        ev.where(col("us") >= a && col("us") < b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+      try {
+        // tercile 2 delivered LAST (batch id 2) — quarantined and
+        // drained by the same tick
+        Seq((lo, c1), (c2, hi + 1L), (c1, c2)).foreach { case (a, b) =>
+          val rs = batch(a, b)
+          require(rs.nonEmpty, s"q195: empty tercile [$a,$b)")
+          mem.addData(rs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // the in-stream drain left nothing behind: quarantine holds no
+      // data files and the store needs no manual repair
+      require(!graft.streaming.BatchMarkers.hasData(s, s"$store/_latedata"),
+        "q195: the in-stream drain must leave the quarantine empty")
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -1225,6 +1282,23 @@ object PipelineQueries {
     "q194_scd2_backfill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
                FROM events WHERE event_id % 19 = 0),
+         c AS (SELECT user_id, us, event_id, event_type,
+                 (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                   OR (lag(us) OVER w IS NULL) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         f AS (SELECT user_id, event_id, event_type, us AS valid_from,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to
+               FROM c WHERE chg)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM f ORDER BY user_id, valid_from, event_id""",
+
+    // the self-repairing stream restores the one-shot history with no
+    // manual backfill: the same scd2 replay, over the % 23 slice
+    "q195_scd2_stream_drain" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events WHERE event_id % 23 = 0),
          c AS (SELECT user_id, us, event_id, event_type,
                  (event_type IS DISTINCT FROM lag(event_type) OVER w)
                    OR (lag(us) OVER w IS NULL) AS chg

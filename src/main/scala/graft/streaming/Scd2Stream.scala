@@ -87,6 +87,16 @@ object Scd2Stream {
                  batchId: Long = -1L): Unit = {
     val ev = batch.select(
       col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
+    // three-valued-logic guard: a row with null (ts, tie) would fail
+    // BOTH sides of the watermark split below (`regressed` evaluates
+    // to NULL) and silently vanish — neither folded, quarantined, nor
+    // loud. Event time is the fold's ordering domain; a null there is
+    // a feed bug, and the only honest answer is a loud error (O(batch)
+    // check, before anything is read or written).
+    require(ev.where(col(tsCol).isNull || col(tieCol).isNull).isEmpty,
+      s"scd2 fold: batch $batchId carries null $tsCol/$tieCol rows — " +
+        "event time and tiebreak are the fold's ordering domain and " +
+        "cannot be null")
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
     // data probe, not bare exists: the dir may already hold only the
@@ -108,6 +118,16 @@ object Scd2Stream {
     // must not rewrite its buckets byte-identically)
     val curAll = spark.read.parquet(store)
       .where(col("kb").isin(touchedKb: _*))
+    // a store written before the watermark columns existed would
+    // throw an opaque AnalysisException on col("hwm") below, wedging
+    // every micro-batch of an upgraded stream — fail loudly instead,
+    // naming the one-time migration
+    require(curAll.columns.contains("hwm") &&
+        curAll.columns.contains("hwm_tie"),
+      s"$store predates the hwm/hwm_tie watermark columns: run " +
+        "Scd2Stream.migrateHwm once (stream stopped) before attaching " +
+        "— the fold classifies late rows against the per-key high " +
+        "watermark the store carries")
     // late-row split against the watermark pair (read off the key's
     // open row). Keys with no open interval (never seen) are on-time
     // by definition. localCheckpoint: the split feeds writes that
@@ -189,6 +209,64 @@ object Scd2Stream {
       .select(col(keyCol), col("__p")(tsCol).as("hwm"),
         col("__p")(tieCol).as("hwm_tie"))
 
+  /** One-time migration of a store written BEFORE the round-13
+    * watermark columns: seeds `hwm`/`hwm_tie` on every row from the
+    * key's open-interval `(valid_from, tie)` — a conservative LOWER
+    * bound (event times of collapsed re-assertions are unrecoverable
+    * from the store, so a row may read as on-time that a full
+    * watermark would have quarantined; the fold it produces is still
+    * the fold the pre-migration store would have computed, and the
+    * log backfill remains the exact repair). No-op when every open
+    * row already carries a non-null watermark.
+    *
+    * Run with the stream STOPPED. The rewrite is a dynamic partition
+    * overwrite of the key buckets (the `_applied` markers, the
+    * quarantine, and the event tee are untouched), and it is
+    * idempotent: a crash mid-overwrite leaves a mixed store that a
+    * re-run reads with schema merging and re-seeds — already-seeded
+    * keys recompute to the same value because the seed depends only
+    * on `(valid_from, tie)`, which the migration never changes.
+    */
+  def migrateHwm(spark: SparkSession, store: String, keyCol: String,
+                 tsCol: String, tieCol: String,
+                 nBuckets: Int = 64): Unit = {
+    require(BatchMarkers.hasData(spark, store), s"no scd2 store at $store")
+    // mergeSchema: a crashed earlier migration leaves files WITH and
+    // WITHOUT the columns; the merged view reads the missing ones as
+    // null, which the seed below fills
+    val cur0 = spark.read.option("mergeSchema", "true").parquet(store)
+    val vfType = cur0.schema("valid_from").dataType
+    val tieType = cur0.schema(tieCol).dataType
+    val cur =
+      if (cur0.columns.contains("hwm")) cur0
+      else cur0.withColumn("hwm", lit(null).cast(vfType))
+        .withColumn("hwm_tie", lit(null).cast(tieType))
+    val open = cur.where(col("is_current"))
+    if (open.where(col("hwm").isNull).isEmpty) return
+    val seed = open
+      .select(col(keyCol),
+        when(col("hwm").isNotNull,
+          struct(col("hwm").as("h"), col("hwm_tie").as("t")))
+          .otherwise(struct(col("valid_from").as("h"), col(tieCol).as("t")))
+          .as("__p"))
+      .groupBy(keyCol).agg(max("__p").as("__p"))
+      .select(col(keyCol), col("__p.h").as("__h"), col("__p.t").as("__t"))
+    // uniform per-key watermark on every row (only the open row's is
+    // ever read); left join so a malformed key with no open row keeps
+    // its rows instead of vanishing
+    val out = cur.drop("hwm", "hwm_tie", "kb")
+      .join(seed, Seq(keyCol), "left")
+      .withColumnRenamed("__h", "hwm").withColumnRenamed("__t", "hwm_tie")
+      .withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
+    // localCheckpoint breaks lineage from the files the overwrite
+    // replaces (the applyBatch discipline)
+    out.localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(store)
+  }
+
   /** Drain the `_latedata` quarantine: recompute the affected keys'
     * history from the FULL event log and swap exactly their buckets.
     * This is the backfill job the quarantine scaladoc prescribes —
@@ -208,18 +286,48 @@ object Scd2Stream {
     *
     * Crash-safe by idempotence: a crash between the bucket overwrite
     * and the quarantine delete re-runs the same log recompute (same
-    * result) and deletes then. Single maintainer at a time — the
-    * [[graft.ops.Generations]] cadence-owner contract.
+    * result) and deletes then.
+    *
+    * SERIALIZATION CONTRACT — the drain must never overlap a live
+    * fold on the same store. A micro-batch folded between this job's
+    * store read and its bucket overwrite would be clobbered, and
+    * because its batch id is already marked by [[BatchMarkers]] it is
+    * never re-folded: silent, permanent divergence. Either stop the
+    * stream for the drain, or — the built-in path — pass
+    * `drainEvery` to [[start]], which runs this method INSIDE the
+    * stream's own foreachBatch tick (same thread as the fold,
+    * serialized by construction, reading the [[start]] event tee).
+    * The quarantine delete is FILE-WISE for the same race family: only
+    * the files this drain actually read are removed, so a quarantine
+    * file appended by a concurrent out-of-contract fold is left in
+    * place for the next drain instead of being destroyed unread.
     */
   def backfillQuarantine(spark: SparkSession, store: String, log: DataFrame,
                          keyCol: String, tsCol: String, tieCol: String,
                          stateCols: Seq[String], nBuckets: Int = 64): Long = {
     val latePath = s"$store/_latedata"
     if (!BatchMarkers.hasData(spark, latePath)) return 0L
-    // snapshot keys + count before anything mutates: the bucket
-    // overwrite and the quarantine delete both invalidate lazy plans
-    // over the files they replace
-    val late = spark.read.parquet(latePath).localCheckpoint(true)
+    // snapshot rows AND their source files before anything mutates:
+    // the bucket overwrite and the quarantine delete both invalidate
+    // lazy plans over the files they replace, and the delete must
+    // target exactly the files this snapshot read
+    val late = spark.read.parquet(latePath)
+      .withColumn("__file", input_file_name())
+      .localCheckpoint(true)
+    backfillLate(spark, store, log, late, keyCol, tsCol, tieCol,
+      stateCols, nBuckets)
+  }
+
+  /** The drain body over an explicit quarantine snapshot (carrying a
+    * `__file` source column) — split out so the snapshot-vs-delete
+    * race window is testable (the spec hands in a snapshot that
+    * deliberately misses a file).
+    */
+  private[graft] def backfillLate(spark: SparkSession, store: String,
+                                  log: DataFrame, late: DataFrame,
+                                  keyCol: String, tsCol: String,
+                                  tieCol: String, stateCols: Seq[String],
+                                  nBuckets: Int = 64): Long = {
     val nLate = late.count()
     val keys = late.select(keyCol).distinct()
     def kb(df: DataFrame): DataFrame =
@@ -241,27 +349,84 @@ object Scd2Stream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(store)
-    val p = new org.apache.hadoop.fs.Path(latePath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // file-wise delete (see scaladoc): bounded driver read, one entry
+    // per quarantine file appended since the last drain
+    val hconf = spark.sparkContext.hadoopConfiguration
+    late.select("__file").distinct().collect().map(_.getString(0))
+      .foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        p.getFileSystem(hconf).delete(p, false)
+        ()
+      }
     nLate
   }
+
+  private def eventLogPath(store: String): String = s"$store/_eventlog"
 
   /** Attach to a change stream; folds every micro-batch. Every
     * delivered batch id is marked — the empty check sits INSIDE the
     * marker fold ([[BatchMarkers]] marking discipline).
+    *
+    * Backfill capture contract: [[backfillQuarantine]] needs the FULL
+    * event log, and a deployment that only ever ran this stream keeps
+    * none — so `teeEventLog = true` appends each batch's raw events
+    * to `<store>/_eventlog` BEFORE the fold (O(batch): one
+    * `batch_id=`-partitioned write per micro-batch, dynamic overwrite
+    * so a crash-replay replaces its own partition instead of
+    * doubling rows; the `_`-prefixed dir is invisible to store
+    * readers). With the tee off, the CALLER owns the log: whatever
+    * upstream system feeds the stream must retain every event ever
+    * delivered, or the quarantine can never be drained exactly.
+    *
+    * `drainEvery = n` (requires the tee) additionally runs
+    * [[backfillQuarantine]] from the tee'd log after every n-th
+    * batch's fold — on the same foreachBatch thread, which is the
+    * serialization the drain's contract demands (a drain overlapping
+    * a live fold silently loses the fold; see
+    * [[backfillQuarantine]]). The tee rides inside the batch-marker
+    * guard with the fold, so a replayed batch re-tees (idempotent
+    * overwrite of its own partition) and skips both fold and drain.
     */
   def start(stream: DataFrame, store: String, keyCol: String, tsCol: String,
             tieCol: String, stateCols: Seq[String], checkpointDir: String,
-            nBuckets: Int = 64): StreamingQuery =
+            nBuckets: Int = 64, teeEventLog: Boolean = false,
+            drainEvery: Int = 0): StreamingQuery = {
+    require(drainEvery == 0 || teeEventLog,
+      "drainEvery needs teeEventLog: the in-stream drain recomputes " +
+        "from <store>/_eventlog, which only the tee maintains")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         BatchMarkers.applyOnce(b.sparkSession, store, id) {
-          if (!b.isEmpty)
+          if (!b.isEmpty) {
+            // tee BEFORE the fold: rows this very batch quarantines
+            // must already be in the log when a same-tick drain runs
+            if (teeEventLog)
+              b.select(col(keyCol) +: col(tsCol) +: col(tieCol) +:
+                  stateCols.map(col): _*)
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(eventLogPath(store))
             applyBatch(b.sparkSession, store, b, keyCol, tsCol, tieCol,
               stateCols, nBuckets, id)
+          }
+          // drain AFTER the fold commits, same thread — the serialized
+          // cadence the backfill contract demands; outside the isEmpty
+          // guard so an empty trigger can still pay down the quarantine
+          if (drainEvery > 0 && id > 0 && id % drainEvery == 0) {
+            val s = b.sparkSession
+            val logPath = eventLogPath(store)
+            if (BatchMarkers.hasData(s, logPath)) {
+              backfillQuarantine(s, store, s.read.parquet(logPath),
+                keyCol, tsCol, tieCol, stateCols, nBuckets)
+              ()
+            }
+          }
         }
         ()
       }
       .start()
+  }
 }

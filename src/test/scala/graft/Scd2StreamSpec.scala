@@ -126,9 +126,9 @@ class Scd2StreamSpec extends SparkSpec {
     assert(intervals(spark.read.parquet(store)) ==
       intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
         Seq("state"))))
-    // quarantine cleared; a second drain is a no-op
-    val p = new org.apache.hadoop.fs.Path(s"$store/_latedata")
-    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    // quarantine cleared (file-wise: the dir may keep its _SUCCESS
+    // marker, but no data files remain); a second drain is a no-op
+    assert(!graft.streaming.BatchMarkers.hasData(spark, s"$store/_latedata"))
     assert(Scd2Stream.backfillQuarantine(spark, store, ev(all), "user_id",
       "ts", "event_id", Seq("state"), nBuckets = 4) == 0L)
   }
@@ -223,6 +223,171 @@ class Scd2StreamSpec extends SparkSpec {
     assert(intervals(spark.read.parquet(store)) == before)
     assert(before == intervals(ChangeCapture.scd2(ev(rows),
       "user_id", "ts", "event_id", Seq("state"))))
+  }
+
+  test("null event time or tiebreak fails loudly, never silently vanishes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_null").toString
+    val store = s"$tmp/dim"
+    Scd2Stream.applyBatch(spark, store, ev(Seq((1L, 10L, 1L, "A"))),
+      "user_id", "ts", "event_id", Seq("state"))
+    // a null ts row used to fail BOTH sides of the watermark split
+    // (three-valued logic) and drop without a trace
+    val bad = ev(Seq((1L, 20L, 2L, "B"), (1L, 30L, 3L, "C")))
+      .withColumn("ts", when(col("event_id") === 3L, lit(null)
+        .cast("timestamp")).otherwise(col("ts")))
+    val e = intercept[IllegalArgumentException] {
+      Scd2Stream.applyBatch(spark, store, bad, "user_id", "ts", "event_id",
+        Seq("state"), batchId = 5L)
+    }
+    assert(e.getMessage.contains("null"))
+    // nothing folded, nothing quarantined: the batch was rejected whole
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(Seq((1L, 10L, 1L, "A"))),
+        "user_id", "ts", "event_id", Seq("state"))))
+    assert(!graft.streaming.BatchMarkers.hasData(spark, s"$store/_latedata"))
+  }
+
+  test("pre-watermark store fails loudly; migrateHwm seeds it and the fold resumes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_mig").toString
+    val store = s"$tmp/dim"
+    val b1 = Seq((1L, 10L, 1L, "A"), (1L, 100L, 2L, "A"), (2L, 15L, 3L, "X"))
+    Scd2Stream.applyBatch(spark, store, ev(b1), "user_id", "ts", "event_id",
+      Seq("state"), nBuckets = 4)
+    // strip the watermark columns — the round-12 store layout
+    val legacy = spark.read.parquet(store).drop("hwm", "hwm_tie", "kb")
+      .withColumn("kb", pmod(hash(col("user_id")), lit(4)))
+      .localCheckpoint()
+    legacy.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(store)
+    val b2 = ev(Seq((1L, 120L, 4L, "B")))
+    val e = intercept[IllegalArgumentException] {
+      Scd2Stream.applyBatch(spark, store, b2, "user_id", "ts", "event_id",
+        Seq("state"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("migrateHwm"))
+    Scd2Stream.migrateHwm(spark, store, "user_id", "ts", "event_id",
+      nBuckets = 4)
+    // the seeded watermark is the open row's (valid_from, tie) — a
+    // conservative lower bound (user 1's collapsed ts=100 re-assertion
+    // is unrecoverable from the store, so the seed is (10, 1), not
+    // (100, 2); the documented migration trade) — and a plainly-new
+    // row must fold cleanly against it:
+    Scd2Stream.applyBatch(spark, store, b2, "user_id", "ts", "event_id",
+      Seq("state"), nBuckets = 4)
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(
+        ev(Seq((1L, 10L, 1L, "A"), (2L, 15L, 3L, "X"), (1L, 120L, 4L, "B"))),
+        "user_id", "ts", "event_id", Seq("state"))))
+    // a second migrate is a no-op (watermarks now non-null everywhere)
+    val before = intervals(spark.read.parquet(store))
+    Scd2Stream.migrateHwm(spark, store, "user_id", "ts", "event_id",
+      nBuckets = 4)
+    assert(intervals(spark.read.parquet(store)) == before)
+    // and genuinely-regressed rows still quarantine against the seed
+    Scd2Stream.applyBatch(spark, store, ev(Seq((2L, 5L, 9L, "Y"))),
+      "user_id", "ts", "event_id", Seq("state"), nBuckets = 4, batchId = 9L)
+    assert(spark.read.parquet(s"$store/_latedata").count() == 1L)
+  }
+
+  test("the drain deletes only the quarantine files it read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_fw").toString
+    val store = s"$tmp/dim"
+    val all = Seq((1L, 10L, 1L, "a"), (1L, 50L, 2L, "b"),
+      (2L, 10L, 3L, "p"), (2L, 50L, 4L, "q"),
+      (1L, 20L, 5L, "c"), (2L, 30L, 6L, "r"))
+    Scd2Stream.applyBatch(spark, store, ev(all.take(4)), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 0L)
+    // two separate late folds -> two quarantine files
+    Scd2Stream.applyBatch(spark, store, ev(Seq(all(4))), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 1L)
+    Scd2Stream.applyBatch(spark, store, ev(Seq(all(5))), "user_id", "ts",
+      "event_id", Seq("state"), nBuckets = 4, batchId = 2L)
+    val latePath = s"$store/_latedata"
+    def lateFiles(): Set[String] =
+      new java.io.File(latePath).listFiles().toSeq
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val two = lateFiles()
+    assert(two.size == 2, s"fixture: expected 2 quarantine files, got $two")
+    // a snapshot that (deliberately) read only batch 1's file — the
+    // shape of a drain racing a concurrent fold's append
+    val late1 = spark.read.parquet(latePath)
+      .withColumn("__file", input_file_name())
+      .where(col("batch_id") === 1L)
+      .localCheckpoint(true)
+    val drained = Scd2Stream.backfillLate(spark, store, ev(all), late1,
+      "user_id", "ts", "event_id", Seq("state"), nBuckets = 4)
+    assert(drained == 1L)
+    // batch 2's file survived the delete — its trigger is intact
+    val left = lateFiles()
+    assert(left.size == 1 && left.subsetOf(two),
+      s"unread quarantine file destroyed: had $two, left $left")
+    // and a second, full drain completes the repair to one-shot truth
+    assert(Scd2Stream.backfillQuarantine(spark, store, ev(all), "user_id",
+      "ts", "event_id", Seq("state"), nBuckets = 4) == 1L)
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+  }
+
+  test("event tee + in-stream drain: out-of-order stream self-repairs to one-shot truth") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_tee").toString
+    val store = s"$tmp/dim"
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staged = s"$tmp/stage_$name"
+      ev(rows).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(inDir, s"$name.parquet").toPath)
+    }
+    // the q194 shape: the middle of the history arrives LAST — its
+    // rows quarantine, and the drain (every 2nd batch, from the tee'd
+    // log) repairs the store without any manual backfill
+    val all = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"), (1L, 30L, 3L, "x"),
+      (1L, 50L, 4L, "z"), (2L, 15L, 5L, "p"), (2L, 40L, 6L, "q"))
+    stage("b1", Seq(all(0), all(4)))
+    stage("b2", Seq(all(2), all(3), all(5)))
+    stage("b3", Seq(all(1))) // late: user 1 already open at [50,inf)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("state", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = Scd2Stream.start(stream, store, "user_id", "ts", "event_id",
+      Seq("state"), s"$tmp/ckpt", nBuckets = 4, teeEventLog = true,
+      drainEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+    // batch ids 0,1,2 -> the drain fired on id 2, right after its own
+    // fold quarantined the late row: quarantine empty, store exact
+    assert(!graft.streaming.BatchMarkers.hasData(spark, s"$store/_latedata"))
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+    // the tee IS the full log: a from-scratch backfill over it equals
+    // a backfill over the original events (the capture contract)
+    val teed = spark.read.parquet(s"$store/_eventlog")
+    assert(teed.select("user_id", "event_id").distinct().count() ==
+      all.size.toLong)
+    assert(intervals(ChangeCapture.scd2(teed, "user_id", "ts", "event_id",
+        Seq("state"))) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+  }
+
+  test("drainEvery without the tee is refused up front") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_cfg").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val rows = mem.toDS().toDF("user_id", "us", "event_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Scd2Stream.start(rows, s"$tmp/dim", "user_id", "us", "event_id",
+        Seq("event_type"), s"$tmp/ckpt", drainEvery = 2)
+    }
+    assert(e.getMessage.contains("teeEventLog"))
   }
 
   test("streaming attach: file-source micro-batches fold through the checkpoint") {
