@@ -169,10 +169,17 @@ object MaxSim {
     * near-exact recall at near-exact cost
     * (`maxsim_lsh_m2_probe_p4` vs the `maxsim_exact_gt_m2_topk10`
     * wall); route there only when exactness matters more than cost.
-    * SPARSE DEFAULT: (nPlanes = 8, multiProbe = 4). Re-measure via
-    * the recall rows after changing either knob — the
-    * planted-angular fixture fails loudly on regressions (the r11
-    * fixture could not).
+    * SPARSE DEFAULT: (nPlanes = 8, multiProbe = 4). Scaling trend
+    * (r14, the same fixture at DOUBLE corpus — 2.56M docs): recall
+    * holds at 0.875 and the saving vs exact is a CONSTANT factor,
+    * not asymptotic — 12.98 vs 20.09 s at 1.28M (35%), 32.37 vs
+    * 45.21 s at 2.56M (28%); the mp4 shortlist on m=2 bags covers a
+    * large corpus fraction, so probe cost tracks the corpus nearly
+    * linearly. Route m=2 bags here for the ~30% saving at equal-recall
+    * 0.875, not in the expectation that the gap widens with growth
+    * (`maxsim_*_m2_x2_*`, BENCH_SCALE_r14). Re-measure via the recall
+    * rows after changing either knob — the planted-angular fixture
+    * fails loudly on regressions (the r11 fixture could not).
     */
   def scoreLshPruned(docToks: DataFrame, queryToks: DataFrame, k: Int,
                      nPlanes: Int, dims: Int,
