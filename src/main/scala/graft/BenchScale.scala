@@ -1984,7 +1984,36 @@ object BenchScale {
             nBuckets = 64) > 0,
           "scd2 late fixture: the out-of-order fold quarantined nothing")
       }
-      Seq(scd2Setup, scd2Init, scd2Mono, scd2Ooo, scd2LateRows, scd2Drain)
+      // event-tee compaction priced (round 14): a year of minute-cadence
+      // micro-batches is ~500k tee partitions; the compaction row is
+      // the bill paid per maintenance tick to keep the PERMANENT log
+      // archive file-sane. Fixture: the 2M-event log laid out as 64
+      // marked batch partitions (the tee's shape), compacted down to
+      // one segment + the keep-window
+      def logDirs(): Double = {
+        val p = new org.apache.hadoop.fs.Path(s"$store/_eventlog")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).count(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=")).toDouble
+      }
+      val teeSetup = timeOnce("scd2_eventlog_tee_setup") {
+        evT.withColumn("batch_id", pmod(col("event_id"), lit(64)))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$store/_eventlog")
+        (0 until 64).foreach { id =>
+          graft.streaming.BatchMarkers.applyOnce(spark, store, id.toLong) {}
+          ()
+        }
+      }
+      val dirsBefore = valueRow("scd2_eventlog_dirs_before") { logDirs() }
+      val compact = timeOnce("scd2_eventlog_compact") {
+        require(graft.streaming.Scd2Stream.compactEventLog(spark, store,
+          keepRecentBatches = 2) == 62L, "compaction fixture: 62 victims")
+      }
+      val dirsAfter = valueRow("scd2_eventlog_dirs_after") { logDirs() }
+      Seq(scd2Setup, scd2Init, scd2Mono, scd2Ooo, scd2LateRows, scd2Drain,
+        teeSetup, dirsBefore, compact, dirsAfter)
     } ++ Seq(
       time("scd2_event_history") {
         // SCD2 interval build over the full 12M-event log: one

@@ -650,6 +650,64 @@ object PipelineQueries {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // SCD2 event-log COMPACTION, oracle-gated (round 14): the tee's
+    // one-partition-per-micro-batch layout is right for replay
+    // idempotence and wrong for a permanent archive (a minute-cadence
+    // stream accrues ~500k directories a year). q194's out-of-order
+    // feed again, tee on, NO in-stream drain: after the stream stops,
+    // compactEventLog coalesces the marked batch partitions into one
+    // segment (O(new bytes); crash window leaves only duplicate rows,
+    // which scd2 is idempotent to — spec-pinned), and the backfill
+    // drains the quarantine FROM THE COMPACTED LOG. A compaction that
+    // lost, doubled-with-effect, or re-ordered any event fails the
+    // one-shot oracle hash.
+    "q196_scd2_log_compact" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("event_id") % 29 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      // bounded driver read: one min/max row for the tercile cuts
+      val mm = ev.agg(min("us"), max("us")).head()
+      require(!mm.isNullAt(0), "q196: the event_id % 29 slice is empty")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val store = java.nio.file.Files.createTempDirectory("graft_q196")
+        .resolve("scd2").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q196_ck")
+        .toString
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val rows = mem.toDS().toDF("user_id", "us", "event_id", "event_type")
+      val q = graft.streaming.Scd2Stream.start(rows, store, "user_id",
+        "us", "event_id", Seq("event_type"), ckpt, nBuckets = 16,
+        teeEventLog = true)
+      // bounded driver read: ~110 rows per tercile at the sf0.01 gate
+      def batch(a: Long, b: Long): Seq[(Long, Long, Long, String)] =
+        ev.where(col("us") >= a && col("us") < b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+      try {
+        Seq((lo, c1), (c2, hi + 1L), (c1, c2)).foreach { case (a, b) =>
+          val rs = batch(a, b)
+          require(rs.nonEmpty, s"q196: empty tercile [$a,$b)")
+          mem.addData(rs); q.processAllAvailable()
+        }
+      } finally q.stop()
+      require(graft.streaming.Scd2Stream.compactEventLog(s, store,
+          keepRecentBatches = 1) >= 1L,
+        "q196: compaction must fold at least one marked batch partition")
+      val drained = graft.streaming.Scd2Stream.backfillQuarantine(s, store,
+        s.read.parquet(s"$store/_eventlog"), "user_id", "us", "event_id",
+        Seq("event_type"), nBuckets = 16)
+      require(drained > 0, "q196: backfill must drain the quarantine")
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     "q96_quality_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val rep = QualitySignals.repetitionMetrics(d, "doc_id", "text", n = 2)
@@ -1282,6 +1340,23 @@ object PipelineQueries {
     "q194_scd2_backfill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
                FROM events WHERE event_id % 19 = 0),
+         c AS (SELECT user_id, us, event_id, event_type,
+                 (event_type IS DISTINCT FROM lag(event_type) OVER w)
+                   OR (lag(us) OVER w IS NULL) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         f AS (SELECT user_id, event_id, event_type, us AS valid_from,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS valid_to
+               FROM c WHERE chg)
+         SELECT user_id, event_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM f ORDER BY user_id, valid_from, event_id""",
+
+    // the compacted tee is still the full log: the same scd2 replay,
+    // over the % 29 slice
+    "q196_scd2_log_compact" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events WHERE event_id % 29 = 0),
          c AS (SELECT user_id, us, event_id, event_type,
                  (event_type IS DISTINCT FROM lag(event_type) OVER w)
                    OR (lag(us) OVER w IS NULL) AS chg

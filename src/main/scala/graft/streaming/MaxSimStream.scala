@@ -51,10 +51,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object MaxSimStream {
 
+  /** Attach the intake loop. `maintainEvery = n` (off by default)
+    * additionally runs [[MaxSim.maintain]] on the index root after
+    * every n-th batch's fold — INSIDE the same foreachBatch thread,
+    * which satisfies the one-owner-per-index-path writer contract
+    * ([[MaxSim.appendIndexBuffered]]) by construction instead of by
+    * caller care: the health probe, any triggered compaction, and the
+    * appends can never overlap. A healthy tick costs one postings
+    * scan; the cadence owns the duplicate-postings residue a
+    * crash-replay can leave and the boilerplate buckets appends can
+    * grow. The maintenance runs inside the batch-marker guard with
+    * the fold, so a replayed batch skips it with everything else.
+    */
   def start(docToks: DataFrame, indexRoot: String, outPath: String,
             k: Int, nPlanes: Int, dims: Int, dBuckets: Int,
             checkpointDir: String,
-            foldBytes: Long = 64L << 20): StreamingQuery =
+            foldBytes: Long = 64L << 20,
+            maintainEvery: Int = 0): StreamingQuery =
     docToks.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -64,6 +77,11 @@ object MaxSimStream {
           if (!batch.isEmpty)
             applyBatch(batch, indexRoot, outPath, k, nPlanes, dims, dBuckets,
               batchId, foldBytes)
+          if (maintainEvery > 0 && batchId > 0 &&
+              batchId % maintainEvery == 0) {
+            MaxSim.maintain(batch.sparkSession, indexRoot)
+            ()
+          }
         }
         ()
       }

@@ -363,6 +363,86 @@ object Scd2Stream {
 
   private def eventLogPath(store: String): String = s"$store/_eventlog"
 
+  /** Compact the event tee's micro-batch partitions. The tee writes
+    * one `batch_id=N` partition per micro-batch — the right unit for
+    * replay idempotence, the wrong one for a long-lived archive: a
+    * minute-cadence stream accrues ~500k partition directories a
+    * year, and the log IS permanent (exact backfill needs each
+    * quarantined key's FULL event history — scd2's collapse makes any
+    * truncation unsound, so retention is the archive contract, and
+    * file-count hygiene has to come from compaction, not deletion).
+    *
+    * Each tick coalesces every batch partition that is (a) at least
+    * `keepRecentBatches` behind the newest and (b) already marked
+    * applied — a marked batch can never be re-teed ([[start]]'s tee
+    * runs inside the [[BatchMarkers]] guard), so its partition is
+    * immutable and safe to move — into ONE compacted segment
+    * partition `batch_id = -(minVictimId + 1)`, then deletes the
+    * victim directories. Cost is O(newly-compacted bytes) per tick:
+    * prior segments are never rewritten (no O(archive) re-merge), so
+    * a cadence produces one segment per tick instead of one directory
+    * per micro-batch.
+    *
+    * Crash-safe without a transaction: a crash after the segment
+    * write but before the deletes leaves victim rows present TWICE
+    * (segment + original partitions) — harmless, because
+    * [[graft.ops.ChangeCapture.scd2]] is idempotent to exact
+    * duplicate events (a duplicate never flips the change predicate,
+    * and `valid_to` is computed after the change filter; spec-pinned)
+    * — and the re-run compacts the surviving victims under a NEW
+    * segment id (the min-victim naming can only repeat when no
+    * delete happened, where the rewrite is bit-identical). Same
+    * maintenance owner as the drain: run it inside the stream's
+    * foreachBatch tick or with the stream stopped — a drain racing a
+    * compaction could list a victim directory the compaction then
+    * deletes mid-scan. Returns the number of batch partitions
+    * compacted.
+    */
+  def compactEventLog(spark: SparkSession, store: String,
+                      keepRecentBatches: Int = 2): Long = {
+    val logPath = eventLogPath(store)
+    if (!BatchMarkers.hasData(spark, logPath)) return 0L
+    val logP = new org.apache.hadoop.fs.Path(logPath)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = logP.getFileSystem(hconf)
+    val ids = fs.listStatus(logP).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
+      .filter(_ >= 0L)
+    if (ids.isEmpty) return 0L
+    val cut = ids.max - keepRecentBatches
+    def marked(id: Long) = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$store/_applied", s"batch-$id"))
+    val victims = ids.filter(id => id <= cut && marked(id)).sorted
+    if (victims.isEmpty) return 0L
+    val seg = -(victims.min + 1)
+    // segment file count sized from the victims' on-disk bytes
+    // (driver listing, bounded by the victim count) — one ~128 MiB
+    // file per slot, floor one
+    val bytes = victims.map(id =>
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(logP, s"batch_id=$id")).getLength).sum
+    val nParts = math.max(1L, bytes / (128L << 20)).toInt
+    // partition-pruned read of exactly the victim partitions; the
+    // write creates ONE new segment partition (dynamic overwrite so a
+    // crashed rerun replaces, never doubles, its own segment)
+    spark.read.parquet(logPath)
+      .where(col("batch_id").isin(victims.map(java.lang.Long.valueOf): _*))
+      .withColumn("batch_id", lit(seg))
+      .repartition(nParts)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(logPath)
+    victims.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(logP, s"batch_id=$id"), true)
+      ()
+    }
+    victims.size.toLong
+  }
+
   /** Attach to a change stream; folds every micro-batch. Every
     * delivered batch id is marked — the empty check sits INSIDE the
     * marker fold ([[BatchMarkers]] marking discipline).

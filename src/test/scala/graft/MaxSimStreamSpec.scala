@@ -142,6 +142,56 @@ class MaxSimStreamSpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("in-tick maintenance: maintainEvery compacts inside the guard, scores untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("msroot_mt").toString
+    val root = s"$tmp/root"
+    val out = s"$tmp/out"
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)
+    val gen1 = Generations.livePath(spark, root)
+    // un-guarded replay residue (duplicate postings) — exactly the
+    // debris the in-tick cadence exists to own
+    MaxSim.appendIndex(toks(3 until 4), gen1, nP, dms, dB)
+    def stage(name: String, docs: Range): Unit = {
+      val staged = s"$tmp/stage_$name"
+      toks(docs).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(inDir, s"$name.parquet").toPath)
+    }
+    stage("b1", 8 until 12)
+    stage("b2", 12 until 16)
+    stage("b3", 16 until 20)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/stage_b1").schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = MaxSimStream.start(stream, root, out, k, nP, dms, dB,
+      s"$tmp/ckpt", maintainEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+    // the batch-id-2 tick tripped maintain on the seeded duplicates —
+    // a NEW generation, re-distincted, without any caller serialization
+    val gen2 = Generations.livePath(spark, root)
+    assert(gen2 != gen1, "the in-tick maintain must have compacted")
+    val p = spark.read.parquet(s"$gen2/postings")
+    assert(p.count() == p.distinct().count())
+    // and the maintenance never moved a score bit: every batch equals
+    // the batch path over the corpus as of the previous batch (the
+    // duplicate doc-3 rows are score-identical under MAX)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_doc", "rnk", "doc_id", "score_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val sink = spark.read.parquet(out)
+    Seq((0L, 8, 12), (1L, 12, 16), (2L, 16, 20)).foreach {
+      case (id, lo, hi) =>
+        val got = rows(sink.where(col("batch_id") === id))
+        assert(got == rows(MaxSim.scoreLshPruned(toks(0 until lo),
+          toks(lo until hi), k, nP, dms)) && got.nonEmpty,
+          s"batch $id diverged from the batch path")
+    }
+  }
+
   test("maintain: healthy tick is read-only; duplicate postings trip a compaction") {
     val root = java.nio.file.Files.createTempDirectory("msroot").toString
     MaxSim.writeIndexVersioned(toks(0 until 8), root, nP, dms, dB)

@@ -376,6 +376,98 @@ class Scd2StreamSpec extends SparkSpec {
         Seq("state"))))
   }
 
+  test("scd2 is idempotent to exact duplicate events — the compaction crash contract") {
+    // compactEventLog's crash window leaves victim rows present twice
+    // (segment + original partition); this pins the property that
+    // makes that benign: a duplicate never flips the change
+    // predicate, and valid_to is computed after the change filter
+    val all = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"),
+      (1L, 30L, 3L, "x"), (1L, 30L, 3L, "x"), // in-batch dup too
+      (2L, 15L, 4L, "p"))
+    assert(intervals(ChangeCapture.scd2(ev(all ++ all), "user_id", "ts",
+        "event_id", Seq("state"))) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+  }
+
+  test("compactEventLog coalesces marked batches; the compacted log backfills exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_cmp").toString
+    val store = s"$tmp/dim"
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staged = s"$tmp/stage_$name"
+      ev(rows).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(inDir, s"$name.parquet").toPath)
+    }
+    val all = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"), (1L, 30L, 3L, "x"),
+      (1L, 50L, 4L, "z"), (2L, 15L, 5L, "p"), (2L, 40L, 6L, "q"))
+    stage("b1", Seq(all(0), all(4)))
+    stage("b2", Seq(all(2), all(3), all(5)))
+    stage("b3", Seq(all(1))) // late for user 1 -> quarantines
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("state", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    // tee only — no in-stream drain: the quarantine waits for the
+    // maintenance tick, which compacts FIRST and drains from the
+    // compacted log
+    val q = Scd2Stream.start(stream, store, "user_id", "ts", "event_id",
+      Seq("state"), s"$tmp/ckpt", nBuckets = 4, teeEventLog = true)
+    try q.processAllAvailable() finally q.stop()
+    val logDir = new java.io.File(s"$store/_eventlog")
+    def batchDirs(): Set[String] =
+      logDir.listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    assert(batchDirs() == Set("batch_id=0", "batch_id=1", "batch_id=2"))
+    // keepRecent=1: batches 0 and 1 (marked, behind the newest) fold
+    // into segment batch_id=-1; batch 2 stays live
+    assert(Scd2Stream.compactEventLog(spark, store,
+      keepRecentBatches = 1) == 2L)
+    assert(batchDirs() == Set("batch_id=-1", "batch_id=2"),
+      s"unexpected layout after compaction: ${batchDirs()}")
+    // the compacted log is still the FULL log: row-set identical and
+    // the quarantine drains from it exactly
+    val log = spark.read.parquet(s"$store/_eventlog")
+    assert(log.select("user_id", "event_id").distinct().count() ==
+      all.size.toLong)
+    assert(Scd2Stream.backfillQuarantine(spark, store, log, "user_id",
+      "ts", "event_id", Seq("state"), nBuckets = 4) == 1L)
+    assert(intervals(spark.read.parquet(store)) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+    // crash window: deletes run in ascending id order, so a crash
+    // leaves a SUFFIX of victims behind — simulate batch 1 surviving
+    // alongside the segment that already carries its rows
+    val segFile = new java.io.File(s"$store/_eventlog/batch_id=-1")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val leftover = new java.io.File(s"$store/_eventlog/batch_id=1")
+    leftover.mkdirs()
+    java.nio.file.Files.copy(segFile.toPath,
+      new java.io.File(leftover, segFile.getName).toPath)
+    // duplicates are benign for any reader (scd2 dup-idempotence) ...
+    assert(intervals(ChangeCapture.scd2(
+        spark.read.parquet(s"$store/_eventlog"), "user_id", "ts",
+        "event_id", Seq("state"))) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+    // ... and the re-run compacts the leftover into a NEW segment
+    // (min-victim naming: never the one already on disk), leaving the
+    // log exact again
+    assert(Scd2Stream.compactEventLog(spark, store,
+      keepRecentBatches = 1) == 1L)
+    assert(batchDirs() == Set("batch_id=-1", "batch_id=-2", "batch_id=2"),
+      s"unexpected layout after crash-recompaction: ${batchDirs()}")
+    assert(intervals(ChangeCapture.scd2(
+        spark.read.parquet(s"$store/_eventlog"), "user_id", "ts",
+        "event_id", Seq("state"))) ==
+      intervals(ChangeCapture.scd2(ev(all), "user_id", "ts", "event_id",
+        Seq("state"))))
+  }
+
   test("drainEvery without the tee is refused up front") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2s_cfg").toString
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
