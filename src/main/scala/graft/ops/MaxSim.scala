@@ -170,13 +170,15 @@ object MaxSim {
     * (`maxsim_lsh_m2_probe_p4` vs the `maxsim_exact_gt_m2_topk10`
     * wall); route there only when exactness matters more than cost.
     * SPARSE DEFAULT: (nPlanes = 8, multiProbe = 4). Scaling trend
-    * (r14, the same fixture at DOUBLE corpus — 2.56M docs): recall
-    * holds at 0.875 and the saving vs exact is a CONSTANT factor,
-    * not asymptotic — 12.98 vs 20.09 s at 1.28M (35%), 32.37 vs
-    * 45.21 s at 2.56M (28%); the mp4 shortlist on m=2 bags covers a
+    * (r14, the same fixture at DOUBLE corpus — 2.56M docs, two clean
+    * back-to-back full runs): recall HOLDS at 0.875 at both scales,
+    * and the saving vs exact is a MODEST CONSTANT factor, not
+    * asymptotic — run-dependent 10-35% at 1.28M (probe 12.98-15.56 s
+    * vs exact 17.35-20.09 s) and a steadier 24-28% at 2.56M (28.58-
+    * 32.37 vs 37.76-45.21 s); the mp4 shortlist on m=2 bags covers a
     * large corpus fraction, so probe cost tracks the corpus nearly
-    * linearly. Route m=2 bags here for the ~30% saving at equal-recall
-    * 0.875, not in the expectation that the gap widens with growth
+    * linearly. Route m=2 bags here for the equal-recall saving, not
+    * in the expectation that the gap widens with growth
     * (`maxsim_*_m2_x2_*`, BENCH_SCALE_r14). Re-measure via the recall
     * rows after changing either knob — the planted-angular fixture
     * fails loudly on regressions (the r11 fixture could not).
