@@ -22,15 +22,28 @@ import org.apache.spark.sql.types.LongType
   * bipartite structure; a fixed-round snapshot is deterministic
   * either way and the oracle replays it bit-for-bit).
   *
-  * Scale shape: per round ONE equi-join adj⋈labels (both sides keyed
-  * by node id) and the per-node argmax as a TWO-STEP aggregation —
-  * max count per node, filter the count frame to its max, min label —
-  * rather than a window (no per-node label lists) or a struct-max
-  * (whose immutable buffer demotes the whole aggregate to
-  * SortAggregate; these are all primitive-buffer HashAggregates,
-  * map-side combined). The counts frame is persisted for the round so
-  * the two consumers share one computation. `localCheckpoint` per
-  * round keeps plan depth O(1). Nothing ever reaches the driver.
+  * Scale shape (re-measured round 15): the adjacency is persisted
+  * ALREADY HASH-PARTITIONED on the join key (`repartition(v)` before
+  * `persist`), so the per-round adj⋈labels equi-join reuses the
+  * cached partitioning and only the (node-sized) labels frame is
+  * exchanged per round — the edge list, the big side, crosses the
+  * network ONCE at build instead of once per round (guide §2.4:
+  * operations keyed the same way share one exchange). The per-node
+  * argmax is the neighbor-label count aggregation (map-side combined
+  * HashAggregate — the count frame, not the edge list, is what the
+  * argmax consumes) followed by ONE row_number window ordered by
+  * (count desc, label asc) — replacing the r10-r14 two-step
+  * max-count/filter/min-label shape, which cost three exchanges and
+  * a persist of the counts frame per round where the window costs
+  * one exchange and no persist (r15 plan audit: 5 exchanges/round →
+  * 3, the cached adjacency's per-round Exchange gone — see
+  * plans/r15/q133_* and OPTIMIZATION_r15.md for the measured walls;
+  * identical labels, oracle-verified at sf0.01 and sf0.1). The
+  * window is a WindowGroupLimit top-1 per node over (count, label)
+  * pairs — bounded by the node's distinct neighbor labels, never a
+  * per-node edge list.
+  * `localCheckpoint` per round keeps plan depth O(1). Nothing ever
+  * reaches the driver.
   */
 object LabelPropagation {
 
@@ -44,23 +57,29 @@ object LabelPropagation {
     val e = edges.select(col("src").cast(LongType).as("u"),
         col("dst").cast(LongType).as("v"))
       .where(col("u") =!= col("v"))
+    // persisted pre-partitioned on the per-round join key: every
+    // round's adj⋈labels reuses this cached exchange, so the edge
+    // list is shuffled once at build, not once per round
     val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
+      .distinct().repartition(col("v")).persist()
     try {
       var labels = adj.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
+      val byNode = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("c").desc, col("nl"))
       for (_ <- 1 to iters) {
         val nbrCounts = adj.join(labels, adj("v") === labels("node"))
           .select(col("u"), col("lbl").as("nl"))
           .groupBy("u", "nl").agg(count(lit(1)).as("c"))
-          .persist()
-        val mc = nbrCounts.groupBy("u").agg(max("c").as("mc"))
-        labels = nbrCounts.join(mc, "u")
-          .where(col("c") === col("mc"))
-          .groupBy("u").agg(min("nl").cast(LongType).as("lbl"))
-          .select(col("u").as("node"), col("lbl"))
+        // argmax: highest count, ties -> smallest label. (u, nl) rows
+        // are distinct, so the (c desc, nl asc) order is total and the
+        // row_number pick is deterministic — the oracle replays the
+        // identical window.
+        labels = nbrCounts
+          .withColumn("rn", row_number().over(byNode))
+          .where(col("rn") === 1)
+          .select(col("u").as("node"), col("nl").cast(LongType).as("lbl"))
           .localCheckpoint() // truncate lineage: O(1) plan depth
-        nbrCounts.unpersist()
       }
       labels.select(col("node"), col("lbl").as("community"))
     } finally { adj.unpersist(); () }

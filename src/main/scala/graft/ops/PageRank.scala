@@ -44,8 +44,13 @@ object PageRank {
       val base = ((100L - dampNum) * 1000000L / 100L) / n // exact: all longs
       val outw = e.groupBy(col("src").as("node"))
         .agg(sum("w").as("outw"))
+      // persisted pre-partitioned on the per-round join key (the
+      // LabelPropagation discipline, r15): every iteration's
+      // ew⋈ranks reuses the cached hash partitioning, so the edge
+      // list is exchanged once at build instead of once per round
       val ew = e.join(outw, col("src") === outw("node"))
         .select(col("src"), col("dst"), col("w"), col("outw"))
+        .repartition(col("src"))
         .persist()
       try {
         var ranks = nodes.select(col("node"),
