@@ -87,16 +87,24 @@ object Scd2Stream {
                  batchId: Long = -1L): Unit = {
     val ev = batch.select(
       col(keyCol) +: col(tsCol) +: col(tieCol) +: stateCols.map(col): _*)
-    // three-valued-logic guard: a row with null (ts, tie) would fail
-    // BOTH sides of the watermark split below (`regressed` evaluates
-    // to NULL) and silently vanish — neither folded, quarantined, nor
-    // loud. Event time is the fold's ordering domain; a null there is
-    // a feed bug, and the only honest answer is a loud error (O(batch)
-    // check, before anything is read or written).
-    require(ev.where(col(tsCol).isNull || col(tieCol).isNull).isEmpty,
-      s"scd2 fold: batch $batchId carries null $tsCol/$tieCol rows — " +
-        "event time and tiebreak are the fold's ordering domain and " +
-        "cannot be null")
+    // ONE probe job does the three-valued-logic guard AND the
+    // touched-bucket collect (r15: these were two separate O(batch)
+    // jobs; at streaming cadence every per-batch job is fixed bill).
+    // The guard: a row with null (key, ts, tie) would fail BOTH sides
+    // of the watermark split below (`regressed` evaluates to NULL for
+    // null ts/tie; a null key never matches the open-interval join,
+    // so it would re-fold as a brand-new key every batch) — the key
+    // is the fold's partition domain and (ts, tie) its ordering
+    // domain, and a null in either is a feed bug whose only honest
+    // answer is a loud error. Bounded driver read: <= nBuckets values.
+    val probe = ev.agg(
+      sum(when(col(keyCol).isNull || col(tsCol).isNull ||
+        col(tieCol).isNull, 1L).otherwise(0L)).as("bad"),
+      collect_set(pmod(hash(col(keyCol)), lit(nBuckets))).as("kbs")).head()
+    require(probe.isNullAt(0) || probe.getLong(0) == 0L,
+      s"scd2 fold: batch $batchId carries null $keyCol/$tsCol/$tieCol " +
+        "rows — the key is the fold's partition domain and event time/" +
+        "tiebreak its ordering domain; none can be null")
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
     // data probe, not bare exists: the dir may already hold only the
@@ -109,9 +117,7 @@ object Scd2Stream {
         .write.mode("append").partitionBy("kb").parquet(store)
       return
     }
-    val touchedKb = ev
-      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
-      .distinct().collect().map(_.get(0))
+    val touchedKb: Seq[Any] = probe.getSeq[Any](1)
     // partition-pruned: only the touched buckets are ever read. kb is
     // kept so the WRITE set below can narrow further — to buckets
     // holding at least one on-time key (an all-late batch segment
@@ -130,60 +136,76 @@ object Scd2Stream {
         "watermark the store carries")
     // late-row split against the watermark pair (read off the key's
     // open row). Keys with no open interval (never seen) are on-time
-    // by definition. localCheckpoint: the split feeds writes that
-    // replace the very files this plan reads.
-    val evKeys = ev.select(keyCol).distinct()
+    // by definition. The open rows join the batch DIRECTLY (r15: the
+    // previous shape first semi-joined the open rows to the batch's
+    // keys — an extra exchange of the same store rows that the left
+    // join below already restricts to matching keys). localCheckpoint:
+    // the split feeds writes that replace the very files this plan
+    // reads.
     val openAll = curAll.where(col("is_current"))
-      .join(evKeys, Seq(keyCol), "left_semi")
-    val tagged = ev.join(
-      openAll.select(col(keyCol), col("hwm").as("__hwm"),
-        col("hwm_tie").as("__hwmt")),
-      Seq(keyCol), "left").localCheckpoint(true)
+      .select(col(keyCol), col("hwm").as("__hwm"),
+        col("hwm_tie").as("__hwmt"))
+    val tagged = ev.join(openAll, Seq(keyCol), "left").localCheckpoint(true)
     val regressed = struct(col(tsCol).as("h"), col(tieCol).as("t")) <
       struct(col("__hwm").as("h"), col("__hwmt").as("t"))
     val lateRows = tagged
       .where(col("__hwm").isNotNull && regressed)
       .drop("__hwm", "__hwmt")
-    val onTime = tagged
-      .where(col("__hwm").isNull || !regressed)
-      .drop("__hwm", "__hwmt")
-    if (!onTime.isEmpty) {
+    // on-time rows keep their key's old watermark pair riding along:
+    // the watermark advance below reads it per-row instead of joining
+    // the open rows a second time
+    val onTimeH = tagged.where(col("__hwm").isNull || !regressed)
+    val onTime = onTimeH.drop("__hwm", "__hwmt")
+    // bounded driver read #2 (<= nBuckets): the write-set buckets.
+    // Doubles as the emptiness probe — an all-late batch has no
+    // on-time bucket and must not rewrite anything byte-identically.
+    val onTimeKb = onTimeH
+      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
+      .distinct().collect().map(_.get(0))
+    if (onTimeKb.nonEmpty) {
       // the fold sees only on-time keys: a key whose rows ALL
       // quarantined is untouched and its history must carry through
       val keys = onTime.select(keyCol).distinct()
-      // bounded driver read #2: the write-set buckets (<= nBuckets)
-      val onTimeKb = keys
-        .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
-        .distinct().collect().map(_.get(0))
       val cur = curAll.where(col("kb").isin(onTimeKb: _*)).drop("kb")
-      val openTouched = cur.where(col("is_current"))
-        .join(keys, Seq(keyCol), "left_semi")
+      // ONE join classifies every current row against the batch's
+      // on-time keys (r15: the previous shape ran THREE cur⋈keys
+      // joins — open semi, closed semi, untouched anti — re-reading
+      // the store buckets and re-shuffling cur for each); the
+      // checkpoint materializes the classified rows once and the
+      // three consumers below are plain filters over it
+      val curT = cur
+        .join(keys.withColumn("__t", lit(true)), Seq(keyCol), "left")
+        .localCheckpoint(true)
+      val openTouched = curT.where(col("__t") && col("is_current"))
+        .drop("__t")
       val openAsEvents = openTouched.select(
         col(keyCol) +: col("valid_from").as(tsCol) +: col(tieCol) +:
           stateCols.map(col): _*)
       val redone0 = ChangeCapture.scd2(openAsEvents.unionByName(onTime),
         keyCol, tsCol, tieCol, stateCols)
       // watermark advance: lexicographic max(old pair, batch pair)
-      // per on-time key — attached to every redone row, read back
-      // off the open row
-      val newHwm = hwmOf(onTime, keyCol, tsCol, tieCol)
-        .withColumnRenamed("hwm", "__bh").withColumnRenamed("hwm_tie", "__bt")
-        .join(openTouched.select(col(keyCol), col("hwm"), col("hwm_tie")),
-          Seq(keyCol), "left")
+      // per on-time key — ONE aggregation over the tagged batch rows
+      // (each row carries its key's old pair off the split join), no
+      // second join against the open rows — attached to every redone
+      // row, read back off the open row
+      val newHwm = onTimeH.groupBy(keyCol).agg(
+        max(struct(col(tsCol).as("h"), col(tieCol).as("t"))).as("__bp"),
+        max(when(col("__hwm").isNotNull,
+          struct(col("__hwm").as("h"), col("__hwmt").as("t")))).as("__op"))
         .select(col(keyCol),
-          greatest(
-            coalesce(struct(col("hwm").as("h"), col("hwm_tie").as("t")),
-              struct(col("__bh").as("h"), col("__bt").as("t"))),
-            struct(col("__bh").as("h"), col("__bt").as("t"))).as("__p"))
+          when(col("__op").isNotNull && col("__op") > col("__bp"),
+            col("__op")).otherwise(col("__bp")).as("__p"))
         .select(col(keyCol), col("__p.h").as("hwm"),
           col("__p.t").as("hwm_tie"))
       val redone = redone0.join(newHwm, Seq(keyCol))
-      val untouchedKeys = cur.join(keys, Seq(keyCol), "left_anti")
-      // closed rows carry their pre-batch hwm — stale but unread (the
-      // watermark is only ever read off the is_current row)
-      val closedTouched = cur.where(!col("is_current"))
-        .join(keys, Seq(keyCol), "left_semi")
-      val next = untouchedKeys.unionByName(closedTouched).unionByName(redone)
+      // untouched keys' rows and touched keys' CLOSED rows carry
+      // through unchanged (closed rows keep their pre-batch hwm —
+      // stale but unread: the watermark is only ever read off the
+      // is_current row); only touched keys' open rows are replaced
+      // by the refold
+      val keep = curT.where(col("__t").isNull || !col("is_current"))
+        .drop("__t")
+      val next = keep.unionByName(redone)
       // localCheckpoint breaks lineage from the files the dynamic
       // overwrite below replaces (Spark rejects reading-while-writing)
       kb(next).localCheckpoint()
@@ -328,14 +350,19 @@ object Scd2Stream {
                                   keyCol: String, tsCol: String,
                                   tieCol: String, stateCols: Seq[String],
                                   nBuckets: Int = 64): Long = {
-    val nLate = late.count()
+    // ONE metadata job over the snapshot: the drained-row count, the
+    // touched buckets (<= nBuckets values) and the source-file list
+    // (bounded: files appended since the last drain) — previously
+    // three separate driver reads (r15)
+    val meta = late.agg(
+      count(lit(1)).as("n"),
+      collect_set(pmod(hash(col(keyCol)), lit(nBuckets))).as("kbs"),
+      collect_set(col("__file")).as("files")).head()
+    val nLate = meta.getLong(0)
     val keys = late.select(keyCol).distinct()
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(nBuckets)))
-    // bounded driver read: <= nBuckets values
-    val touchedKb = keys
-      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("kb"))
-      .distinct().collect().map(_.get(0))
+    val touchedKb: Seq[Any] = meta.getSeq[Any](1)
     val cur = spark.read.parquet(store)
       .where(col("kb").isin(touchedKb: _*)).drop("kb")
     val events = log.join(keys, Seq(keyCol), "left_semi").select(
@@ -349,15 +376,14 @@ object Scd2Stream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(store)
-    // file-wise delete (see scaladoc): bounded driver read, one entry
-    // per quarantine file appended since the last drain
+    // file-wise delete (see scaladoc): exactly the files the snapshot
+    // read, off the metadata job above
     val hconf = spark.sparkContext.hadoopConfiguration
-    late.select("__file").distinct().collect().map(_.getString(0))
-      .foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-        p.getFileSystem(hconf).delete(p, false)
-        ()
-      }
+    meta.getSeq[String](2).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(hconf).delete(p, false)
+      ()
+    }
     nLate
   }
 
