@@ -86,7 +86,15 @@ object MaxSim {
     val perQueryTok = tokSim
       .groupBy(col("q_doc"), col("q_vec"), col("doc_id"))
       .agg(max(col("sim_micro")).as("mx"))
+    // ONE exchange (on q_doc) serves both the per-doc score sum and
+    // the top-k window (r15): hash(q_doc) satisfies the aggregate's
+    // (q_doc, doc_id) clustering AND the window's partitioning, where
+    // the default plan exchanged twice — once per operator. The rows
+    // crossing are per-(query-token, doc) maxes, already reduced by
+    // the map-side-combined aggregation above; the heavy frame
+    // (tokSim) still combines before ITS exchange, unchanged.
     val scored = perQueryTok
+      .repartition(col("q_doc"))
       .groupBy(col("q_doc"), col("doc_id"))
       .agg(sum(col("mx")).as("score_micro"))
     val w = Window.partitionBy("q_doc")
@@ -243,10 +251,17 @@ object MaxSim {
       .withColumn("bucket", bucketCol(nPlanes, dims).cast("int"))
       .withColumn("dbucket", dbucketCol(col("doc_id"), dBuckets))
       .persist()
+    // repartition on the write key (the appendIndex/compactVersioned
+    // discipline, extended to the build in r15): without it every
+    // task holding rows for a partition value opens a file there, so
+    // the build scatters up to tasks x partitions small files that
+    // every later probe pays to list and open
     q.select("bucket", "doc_id").distinct()
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     q.select("dbucket", "doc_id", "tok", "vec_id", "ei", "nn")
+      .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/toks")
     q.unpersist()

@@ -116,8 +116,9 @@ object MaxSimStream {
     val qRows = MaxSim.quantizeBag(batchToks).localCheckpoint(true)
     // snapshot the scores BEFORE the index append: the append adds
     // files to the partitions the probe plan's scans list
-    val scored = MaxSim.searchIndexQuantized(spark, live, qRows, k, nPlanes,
-      dims, dBuckets).localCheckpoint(true)
+    val scored0 = MaxSim.searchIndexQuantized(spark, live, qRows, k, nPlanes,
+      dims, dBuckets)
+    val scored = scored0.localCheckpoint(true)
     // batch-partitioned + dynamic overwrite: a replay of this batch id
     // replaces ONLY its own partition (never other batches' rows), so
     // the sink carries no undetectable duplicates from a crash-replay
@@ -132,6 +133,10 @@ object MaxSimStream {
     // guard, so an identified replay skips the fold with the rest
     MaxSim.appendIndexBufferedQuantized(qRows, live, nPlanes, dims, dBuckets,
       foldBytes)
-    ()
+    // all consumers are done (scores written, tokens appended): free
+    // the batch's checkpoint blocks now instead of waiting for a
+    // driver GC — releasing scored0's lazy plan also frees the probe's
+    // internal shortlist/staging checkpoints (graft.ops.Blocks)
+    graft.ops.Blocks.release(scored, scored0, qRows)
   }
 }

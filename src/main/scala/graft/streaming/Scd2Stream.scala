@@ -208,17 +208,21 @@ object Scd2Stream {
       val next = keep.unionByName(redone)
       // localCheckpoint breaks lineage from the files the dynamic
       // overwrite below replaces (Spark rejects reading-while-writing)
-      kb(next).localCheckpoint()
-        .write.mode("overwrite")
+      val nextCk = kb(next).localCheckpoint()
+      nextCk.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb")
         .parquet(store)
+      // fold committed: free this batch's fold checkpoints instead of
+      // waiting for a driver GC (long-lived stream memory hygiene)
+      graft.ops.Blocks.release(nextCk, curT)
     }
     // dead-letter AFTER the fold committed (see scaladoc); lateRows is
     // checkpointed above, immune to the overwrite
     if (!lateRows.isEmpty)
       lateRows.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$store/_latedata")
+    graft.ops.Blocks.release(tagged)
   }
 
   /** Per-key lexicographic max (ts, tie) of an event frame, as
@@ -371,8 +375,8 @@ object Scd2Stream {
     val redone = ChangeCapture.scd2(events, keyCol, tsCol, tieCol, stateCols)
       .join(hwmOf(events, keyCol, tsCol, tieCol), Seq(keyCol))
     val untouched = cur.join(keys, Seq(keyCol), "left_anti")
-    kb(untouched.unionByName(redone)).localCheckpoint()
-      .write.mode("overwrite")
+    val nextCk = kb(untouched.unionByName(redone)).localCheckpoint()
+    nextCk.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(store)
@@ -384,6 +388,8 @@ object Scd2Stream {
       p.getFileSystem(hconf).delete(p, false)
       ()
     }
+    // drain committed: free the drain's checkpoints (stream hygiene)
+    graft.ops.Blocks.release(nextCk, late)
     nLate
   }
 
