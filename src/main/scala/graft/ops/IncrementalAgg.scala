@@ -166,6 +166,9 @@ object IncrementalAgg {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(path)
+      // fold committed: free the merge checkpoint now — RollupStream
+      // runs this once per micro-batch (graft.ops.Blocks hygiene)
+      graft.ops.Blocks.release(merged)
       touched.length
     } finally { partial.unpersist(); () }
   }
